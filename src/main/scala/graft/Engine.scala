@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  *    dynamic broadcast conversion — the local[32] numbers then transfer
+  *    to a real cluster where partition counts are data-driven.
+  *  - `spark.sql.shuffle.partitions` is set by the entrypoints (32 locally);
+  *    on a 1000-executor cluster AQE re-coalesces from a higher initial value.
+  *  - All reads are columnar parquet through the vectorized reader; queries
+  *    select narrow column sets so pruning + predicate pushdown reach the scan.
+  */
+object Engine {
+  def session(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's reader
+      // rejects; read as epoch-nanos long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Typed access to the driver-generated parquet tables (TESTDATA.md).
+  * One parquet file per table under `$dir/`.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** events.ts is INT64 TIMESTAMP(NANOS) in parquet; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as epoch-nanos
+    * long. Expose both `ts_us` (epoch micros, exact) and `ts`
+    * (microsecond-precision timestamp) — all downstream logic uses these.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Calendar, Dedup, Merge, Scd2}
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.8), each query expressed
+  * twice: the Spark plan here and an equivalent DuckDB SQL oracle. Query
+  * result columns are aliased identically on both sides (driver hash-compares
+  * after sorting columns by name).
+  *
+  * Determinism rules used throughout:
+  *  - every window/top-k has a total order (unique id tiebreak);
+  *  - double outputs are either raw single-op arithmetic on identical
+  *    inputs (bit-deterministic) or round(·, 2) of sums of 2-decimal data
+  *    (accumulated fp error ≪ the 0.005 rounding margin);
+  *  - DuckDB aggregate types are CAST to Spark's (sum(bigint) would
+  *    otherwise widen to hugeint).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- A1/P5: filter + group-count (active-headcount-by-designation
+    // shape, reference Task_4_generate_active_table.py:27-30)
+    "q01_filter_group_count" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- A2-A4/F8: multi-aggregate pricing summary (sum/count per group)
+    "q02_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_discount")), 2).as("sum_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- A5: group-min over dates (SCD2 min(start_date) shape,
+    // reference merge2_tf_dim_staging.py:32)
+    "q03_group_min_date" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_order_date"))
+    }),
+
+    // ---- J1/F8/F9/P6/O1: two-aggregate inner join + percentage + filter
+    // (the Quota80Pct report shape, reference Task_4_monthly_80_percent.py)
+    "q04_quota_pct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val avail = o.groupBy(col("o_custkey").as("emp_id"))
+        .agg(count(lit(1)).as("total_orders"))
+      val availed = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("emp_id"))
+        .agg(count(lit(1)).as("f_orders"))
+      avail.join(availed, "emp_id")
+        .withColumn("pct",
+          round(col("f_orders") / col("total_orders") * 100, 2))
+        .filter(col("pct") > 50)
+    }),
+
+    // ---- W1: dedup-keep-latest per key (reference
+    // clean_load_3_ld_staging.py:54-63); total order via (ts_us, event_id)
+    "q05_dedup_keep_latest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Dedup.keepFirst(ev, Seq("user_id", "event_type"),
+          Seq(col("ts_us").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "ts_us", "value", "props")
+    }),
+
+    // ---- W2: keep top-1 row per group by preference column (reference
+    // clean_load_2_tf_staging.py:78-84 max-salary open row)
+    "q06_top1_per_group" -> ((s, d) => {
+      Dedup.keepFirst(Tables.customer(s, d), Seq("c_nationkey"),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc))
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    }),
+
+    // ---- J2/J4/U2/P7/P10/P11: SCD2 close-out merge (reference
+    // merge2_tf_dim_staging.py:32-48). Dim = first 'F'-order per customer
+    // (open rows); staging = first 'O'-order per customer.
+    "q07_scd2_closeout" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dim = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("emp_id"))
+        .agg(min(to_date(col("o_orderdate"))).as("start_date"))
+        .withColumn("end_date", lit(null).cast("date"))
+        .withColumn("status", lit("Active"))
+      val staging = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("emp_id"))
+        .agg(min(to_date(col("o_orderdate"))).as("start_date"))
+      Scd2.closeOutMerge(dim, staging, "emp_id", "start_date", "end_date",
+        "status")
+    }),
+
+    // ---- J4: keyed upsert = staging wins, dim survives unmatched
+    // (reference daily_dag.py:200-209 MERGE INTO)
+    "q08_upsert" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("emp_id"), col("c_acctbal").as("val"))
+      val staging = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("emp_id"))
+        .agg(round(sum(col("o_totalprice")), 2).as("val"))
+      Merge.upsert(dim, staging, Seq("emp_id"))
+    }),
+
+    // ---- J3: left-anti join (distributed rewrite of the reference's
+    // collect()+isin at Task_4_80perc.py:59,65)
+    "q09_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- left-semi join (EXISTS)
+    "q10_semi_join" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      su.join(li, su("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
+    // ---- U1: exceptAll multiset difference (reference
+    // clean_load_2_tf_staging.py:84)
+    "q11_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+      li.exceptAll(li.filter(col("l_returnflag") === "A"))
+    }),
+
+    // ---- U2: union (by name; reference merge2_tf_dim_staging.py:48)
+    "q12_union_parties" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), lit("customer").as("kind"))
+      val su = Tables.supplier(s, d).select(col("s_suppkey").as("id"),
+        col("s_name").as("name"), lit("supplier").as("kind"))
+      c.unionByName(su)
+    }),
+
+    // ---- F5/F7/P8/P9: working-day calendar with holiday anti-join
+    // (reference Task_4_80perc.py:44-84, kept fully distributed)
+    "q13_working_days" -> ((s, d) => {
+      val holidays = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(to_date(col("ts")).as("hd")).distinct()
+      val days = Calendar.dateRange(s, "2024-01-01", "2024-12-31")
+      Calendar.workingDays(days, holidays, "hd")
+        .groupBy(month(col("d")).as("mth"))
+        .agg(count(lit(1)).as("working_days"))
+    }),
+
+    // ---- F6: scalar subquery kept in-plan (reference Task_4_80perc.py:78
+    // does a spark.sql+collect round-trip; here a 1-row broadcast cross
+    // join)
+    "q14_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val maxd = o.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+      o.crossJoin(broadcast(maxd))
+        .select(col("o_orderkey"),
+          datediff(col("max_d"), to_date(col("o_orderdate")))
+            .as("days_to_end"))
+    }),
+
+    // ---- P10/P11: CASE WHEN + COALESCE over a left join (reference
+    // clean_load_2_tf_staging.py:76, merge2_tf_dim_staging.py:43-44)
+    "q15_case_coalesce" -> ((s, d) => {
+      val cnt = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val c = Tables.customer(s, d)
+      c.join(cnt, c("c_custkey") === cnt("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          when(col("cnt").isNull, lit("Inactive")).otherwise(lit("Active"))
+            .as("status"),
+          coalesce(col("cnt"), lit(0L)).as("order_cnt"))
+    }),
+
+    // ---- F1-F5: date-part extraction family
+    "q16_date_parts" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(to_date(col("o_orderdate"))).as("yr"),
+        month(to_date(col("o_orderdate"))).as("mth"),
+        weekday(to_date(col("o_orderdate"))).as("dow"))
+    }),
+
+    // ---- A7: distinct over key columns
+    "q17_distinct_pairs" -> ((s, d) => {
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    // ---- O1 + window rank: top-3 per group with explicit rank column
+    "q18_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_filter_group_count" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_discount), 2) AS sum_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_group_min_date" ->
+      """SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_order_date
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q04_quota_pct" ->
+      """WITH avail AS (
+        |  SELECT o_custkey AS emp_id, count(*) AS total_orders
+        |  FROM orders GROUP BY o_custkey),
+        |availed AS (
+        |  SELECT o_custkey AS emp_id, count(*) AS f_orders
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT a.emp_id, a.total_orders, b.f_orders,
+        |  round(b.f_orders / a.total_orders * 100, 2) AS pct
+        |FROM avail a JOIN availed b ON a.emp_id = b.emp_id
+        |WHERE round(b.f_orders / a.total_orders * 100, 2) > 50""".stripMargin,
+
+    "q05_dedup_keep_latest" ->
+      """SELECT user_id, event_type, event_id, ts_us, value, props
+        |FROM (
+        |  SELECT *, epoch_ns(ts) // 1000 AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q06_top1_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |WHERE rn = 1""".stripMargin,
+
+    "q07_scd2_closeout" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS emp_id, min(CAST(o_orderdate AS DATE)) AS start_date
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |upd AS (
+        |  SELECT o_custkey AS emp_id, min(CAST(o_orderdate AS DATE)) AS start_date
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT d.emp_id, d.start_date,
+        |  u.start_date AS end_date,
+        |  CASE WHEN u.emp_id IS NULL THEN 'Active' ELSE 'Inactive' END AS status
+        |FROM dim d LEFT JOIN upd u ON d.emp_id = u.emp_id
+        |UNION ALL
+        |SELECT emp_id, start_date, CAST(NULL AS DATE) AS end_date,
+        |  'Active' AS status
+        |FROM upd""".stripMargin,
+
+    "q08_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_custkey AS emp_id, round(sum(o_totalprice), 2) AS val
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT emp_id, val FROM upd
+        |UNION ALL
+        |SELECT c_custkey AS emp_id, c_acctbal AS val FROM customer
+        |WHERE c_custkey NOT IN (SELECT emp_id FROM upd)""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderstatus = 'P')""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')""".stripMargin,
+
+    "q11_except_all" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |EXCEPT ALL
+        |SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag = 'A'""".stripMargin,
+
+    "q12_union_parties" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind
+        |FROM supplier""".stripMargin,
+
+    "q13_working_days" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |hol AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS hd FROM events
+        |  WHERE event_type = 'error')
+        |SELECT CAST(month(d) AS INT) AS mth, count(*) AS working_days
+        |FROM days
+        |WHERE isodow(d) <= 5 AND d NOT IN (SELECT hd FROM hol)
+        |GROUP BY month(d)""".stripMargin,
+
+    "q14_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |    (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS INT)
+        |    AS days_to_end
+        |FROM orders""".stripMargin,
+
+    "q15_case_coalesce" ->
+      """SELECT c_custkey,
+        |  CASE WHEN t.cnt IS NULL THEN 'Inactive' ELSE 'Active' END AS status,
+        |  coalesce(t.cnt, 0) AS order_cnt
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+        |  GROUP BY o_custkey) t
+        |ON c_custkey = t.o_custkey""".stripMargin,
+
+    "q16_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mth,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS dow
+        |FROM orders""".stripMargin,
+
+    "q17_distinct_pairs" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q18_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+        |  o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin
+  )
+}
