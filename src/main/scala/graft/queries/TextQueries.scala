@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** LLM-training-data text operators over the `documents` table: exact and
+  * near dedup, fingerprinting, token statistics, language-ID and quality
+  * heuristics. Each query has a value-identical DuckDB oracle (md5-based
+  * hashing, lexicographic minima, single-division ratios).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup by content hash: one canonical doc per distinct
+    // text (shuffles 16-byte digests, not bodies)
+    "q20_dedup_exact" -> ((s, d) => {
+      Dedup.exactByHash(Tables.documents(s, d), "text", "doc_id")
+    }),
+
+    // ---- MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs
+    // over word-trigram shingles
+    "q21_minhash_pairs" -> ((s, d) => {
+      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      val sig = Text.minhashSignature(sh, "doc_id", 16)
+      Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+    }),
+
+    // ---- exact n-gram Jaccard within (lang, source) blocks: blocked
+    // all-pairs similarity with ids+counts only in the shuffle
+    "q22_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("tk"))
+      val tri = toks
+        .select(col("doc_id"), col("lang"), col("source"), col("tk"),
+          explode(sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))))
+            .as("p"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("concat_ws(' ', try_element_at(tk, p), " +
+            "try_element_at(tk, p + 1), try_element_at(tk, p + 2))")
+            .as("tri"))
+        .distinct()
+      val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = tri.select(col("lang"), col("source"), col("tri"),
+        col("doc_id").as("doc_a"))
+      val b = tri.select(col("lang").as("lang_b"),
+        col("source").as("source_b"), col("tri").as("tri_b"),
+        col("doc_id").as("doc_b"))
+      val inter = a.join(b,
+          col("lang") === col("lang_b") && col("source") === col("source_b")
+            && col("tri") === col("tri_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter") >= 3)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+    }),
+
+    // ---- 32-bit SimHash fingerprint per document
+    "q23_simhash" -> ((s, d) => {
+      Text.simhash(Tables.documents(s, d), "doc_id", "text", 32)
+    }),
+
+    // ---- token counting + length statistics
+    "q24_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        ((length(col("text")) - (size(split(col("text"), " ")) - 1))
+          / size(split(col("text"), " "))).as("avg_token_len"))
+    }),
+
+    // ---- n-gram/stopword-heuristic language ID
+    "q25_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0))
+            .as("stop_hits"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("stop_hits"), col("n_tokens"),
+          when(col("stop_hits") / col("n_tokens") >= 0.03, lit("en"))
+            .otherwise(lit("other")).as("pred_lang"))
+    }),
+
+    // ---- quality scoring: length band + lexical diversity + stopword
+    // ratio, one pass over exploded tokens
+    "q26_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), length(col("text")).as("chars"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("chars"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("uniq_tokens"),
+          sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0))
+            .as("stop_hits"))
+      tok.select(
+        col("doc_id"), col("chars"), col("n_tokens"), col("uniq_tokens"),
+        (col("uniq_tokens") / col("n_tokens")).as("uniq_ratio"),
+        (col("stop_hits") / col("n_tokens")).as("stop_ratio"),
+        (when(col("chars").between(100, 500), 1.0).otherwise(0.5) * 0.5
+          + (col("uniq_tokens") / col("n_tokens")) * 0.3
+          + (col("stop_hits") / col("n_tokens")) * 0.2).as("score"))
+    }),
+
+    // ---- document fingerprinting: exact digest + min-shingle (winnowing
+    // -style) robust fingerprint
+    "q27_fingerprint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val minSh = Text.charShingles(docs, "doc_id", "text", 8)
+        .select(col("doc_id"), md5(col("sh").cast("binary")).as("shh"))
+        .groupBy(col("doc_id")).agg(min(col("shh")).as("min_shingle_fp"))
+      docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("exact_fp"))
+        .join(minSh, "doc_id")
+    })
+  )
+
+  private def wideCols(n: Int): String =
+    (0 until n).map(i =>
+      s"max(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(",\n  ")
+
+  private def bandRows(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
+      s"SELECT doc_id, $b AS band, md5($parts) AS h FROM wide"
+    }.mkString("\n  UNION ALL ")
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q21_minhash_pairs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+        |    FROM toks)),
+        |mh AS (SELECT doc_id, seed,
+        |    min(md5(seed::VARCHAR || '|' || sh)) AS mh
+        |  FROM (SELECT doc_id, sh, unnest(generate_series(0,15)) AS seed
+        |    FROM sh)
+        |  GROUP BY doc_id, seed),
+        |wide AS (SELECT doc_id,
+        |  ${wideCols(16)}
+        |  FROM mh GROUP BY doc_id),
+        |bh AS (
+        |  ${bandRows(4, 4)})
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bh a JOIN bh b
+        |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |tri AS (SELECT DISTINCT doc_id, lang, source,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS tri
+        |  FROM (SELECT doc_id, lang, source, tk,
+        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+        |    FROM toks)),
+        |n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM tri a JOIN tri b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.tri = b.tri
+        |      AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, inter,
+        |  (inter / (na.n + nb.n - inter)) AS jac
+        |FROM inter
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE inter >= 3""".stripMargin,
+
+    "q23_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |        substr(md5(tok), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        |  FROM (SELECT doc_id, tok, unnest(generate_series(0, 31)) AS j
+        |    FROM tok)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q24_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  ((length(text) - (len(string_split(text, ' ')) - 1))
+        |    / len(string_split(text, ' '))) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q25_lang_id" ->
+      s"""SELECT doc_id, stop_hits, n_tokens,
+        |  CASE WHEN stop_hits / n_tokens >= 0.03 THEN 'en' ELSE 'other' END
+        |    AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN tok IN ($stopwordsSql) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stop_hits,
+        |    count(*) AS n_tokens
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id)""".stripMargin,
+
+    "q26_quality_score" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, chars, count(*) AS n_tokens,
+        |    count(DISTINCT tok) AS uniq_tokens,
+        |    CAST(sum(CASE WHEN tok IN ($stopwordsSql) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stop_hits
+        |  FROM (SELECT doc_id, CAST(length(text) AS INT) AS chars,
+        |      unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, chars)
+        |SELECT doc_id, chars, n_tokens, uniq_tokens,
+        |  (uniq_tokens / n_tokens) AS uniq_ratio,
+        |  (stop_hits / n_tokens) AS stop_ratio,
+        |  (CASE WHEN chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.5 END * 0.5
+        |    + (uniq_tokens / n_tokens) * 0.3
+        |    + (stop_hits / n_tokens) * 0.2) AS score
+        |FROM t""".stripMargin,
+
+    "q27_fingerprint" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, p, 8) AS sh
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(1, greatest(length(text)-7, 1))) AS p
+        |    FROM documents)),
+        |minsh AS (SELECT doc_id, min(md5(sh)) AS min_shingle_fp
+        |  FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id, md5(d.text) AS exact_fp, m.min_shingle_fp
+        |FROM documents d JOIN minsh m ON d.doc_id = m.doc_id""".stripMargin
+  )
+}
