@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q02_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.TextQueries.queries
+    graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle
+    graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle ++
+      graft.queries.VectorQueries.oracle
 }
