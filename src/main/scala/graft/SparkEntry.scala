@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle ++
-      graft.queries.VectorQueries.oracle
+      graft.queries.VectorQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }
