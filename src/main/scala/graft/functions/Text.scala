@@ -24,16 +24,20 @@ object Text {
     * shingles rather than erroring under ANSI mode.
     */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, dedup: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
     val parts = (0 until n)
       .map(i => s"try_element_at(tk, p + $i)").mkString(", ")
-    toks
-      .select(col(idCol), col("tk"),
-        explode(sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))))
-          .as("p"))
-      .select(col(idCol), expr(s"concat_ws(' ', $parts)").as("sh"))
-      .distinct()
+    // build the n-gram array inside one transform() so the explode emits
+    // plain strings — carrying the token array through the explode costs
+    // an array copy per output row
+    val sh = toks.select(col(idCol),
+      explode(expr(
+        s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), " +
+          s"p -> concat_ws(' ', $parts))")).as("sh"))
+    // dedup costs a full shuffle; skip it for min-aggregating consumers
+    // (minhash minima are unaffected by duplicates)
+    if (dedup) sh.distinct() else sh
   }
 
   /** Distinct character k-gram shingles per document: (idCol, sh). */
@@ -47,23 +51,24 @@ object Text {
       .distinct()
 
   /** MinHash signature over a shingle frame (idCol, sh): one row per id
-    * with columns m0..m{numHashes-1}, where
-    * m_i = min over shingles of md5(i || '|' || sh).
+    * with columns m0..m{numHashes-1}.
+    *
+    * One md5 per shingle; the digest is split into two 40-bit ints (a, b)
+    * and the i-th hash family is a + i*b (Kirsch–Mitzenmacher double
+    * hashing — max value 16*2^40 ≪ 2^63, overflow-free under ANSI). All
+    * minima fall out of a single aggregation pass: no per-seed explode,
+    * no extra shuffle.
     */
   def minhashSignature(shingles: DataFrame, idCol: String,
                        numHashes: Int): DataFrame = {
-    val seeded = shingles
-      .select(col(idCol),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("sh"))
-      .select(col(idCol), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("sh"))
-          .cast("binary")).as("h"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h")).as("mh"))
-    val wide = (0 until numHashes)
-      .map(i => max(when(col("seed") === i, col("mh"))).as(s"m$i"))
-    seeded.groupBy(col(idCol)).agg(wide.head, wide.tail: _*)
+    val hashed = shingles.select(col(idCol),
+      expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 1, 10), 16, 10) " +
+        "AS BIGINT)").as("ha"),
+      expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 17, 10), 16, 10) " +
+        "AS BIGINT)").as("hb"))
+    val mins = (0 until numHashes)
+      .map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"m$i"))
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding of a minhash signature: (idCol, band, h) with
@@ -75,7 +80,7 @@ object Text {
     val entries = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand)
         .map(r => s"m${b * rowsPerBand + r}").mkString(", ")
-      s"$b, md5(CAST(concat($cols) AS BINARY))"
+      s"$b, md5(CAST(concat_ws('|', $cols) AS BINARY))"
     }
     sig.selectExpr(idCol,
       s"stack(${bands}, ${entries.mkString(", ")}) as (band, h)")
@@ -93,27 +98,28 @@ object Text {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Per-(doc, bit) ±1 contributions summed into a `bits`-wide SimHash
-    * fingerprint. Bit j of md5(token) is drawn from hex nibble j/4,
-    * bit j%4 — identical arithmetic on both engines.
+  /** SimHash fingerprint: per-token md5 once, then `bits` conditional
+    * ±1 sums in a single aggregation (no per-bit row explosion, one
+    * shuffle of `bits` small ints per doc). Bit j of the digest is hex
+    * nibble j/4, bit j%4 — literal-unrolled so indices constant-fold;
+    * identical arithmetic on the oracle side.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32): DataFrame =
-    docs
+              bits: Int = 32): DataFrame = {
+    val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .select(col(idCol), col("tok"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .select(col(idCol), col("j"),
-        expr("""CASE WHEN (shiftright(
-                  instr('0123456789abcdef',
-                        substr(md5(CAST(tok AS BINARY)),
-                               CAST(j div 4 AS INT) + 1, 1)) - 1,
-                  CAST(j % 4 AS INT)) & 1) = 1
-                THEN 1 ELSE -1 END""").as("contrib"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(lit(0L))).as("simhash"))
+      .select(col(idCol), md5(col("tok").cast("binary")).as("h"))
+    val bitSums = (0 until bits).map { j =>
+      sum(expr(
+        s"""CASE WHEN (shiftright(
+           |  instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1,
+           |  ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END""".stripMargin))
+        .as(s"s$j")
+    }
+    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col(idCol), fp.as("simhash"))
+  }
 }

@@ -28,7 +28,8 @@ object TextQueries {
     // ---- MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs
     // over word-trigram shingles
     "q21_minhash_pairs" -> ((s, d) => {
-      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3,
+        dedup = false)
       val sig = Text.minhashSignature(sh, "doc_id", 16)
       Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
     }),
@@ -40,12 +41,10 @@ object TextQueries {
       val toks = docs.select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("tk"))
       val tri = toks
-        .select(col("doc_id"), col("lang"), col("source"), col("tk"),
-          explode(sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))))
-            .as("p"))
         .select(col("doc_id"), col("lang"), col("source"),
-          expr("concat_ws(' ', try_element_at(tk, p), " +
-            "try_element_at(tk, p + 1), try_element_at(tk, p + 2))")
+          explode(expr("transform(sequence(1, greatest(size(tk) - 2, 1)), " +
+            "p -> concat_ws(' ', try_element_at(tk, p), " +
+            "try_element_at(tk, p + 1), try_element_at(tk, p + 2)))"))
             .as("tri"))
         .distinct()
       val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -131,14 +130,13 @@ object TextQueries {
     })
   )
 
-  private def wideCols(n: Int): String =
-    (0 until n).map(i =>
-      s"max(CASE WHEN seed = $i THEN mh END) AS m$i").mkString(",\n  ")
+  private def minCols(n: Int): String =
+    (0 until n).map(i => s"min(ha + $i * hb) AS m$i").mkString(",\n  ")
 
   private def bandRows(bands: Int, rows: Int): String =
     (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
-      s"SELECT doc_id, $b AS band, md5($parts) AS h FROM wide"
+      val parts = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS h FROM wide"
     }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(
@@ -150,19 +148,18 @@ object TextQueries {
     "q21_minhash_pairs" ->
       s"""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |sh AS (SELECT doc_id,
         |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
         |  FROM (SELECT doc_id, tk,
         |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
         |    FROM toks)),
-        |mh AS (SELECT doc_id, seed,
-        |    min(md5(seed::VARCHAR || '|' || sh)) AS mh
-        |  FROM (SELECT doc_id, sh, unnest(generate_series(0,15)) AS seed
-        |    FROM sh)
-        |  GROUP BY doc_id, seed),
+        |hashed AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
+        |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
+        |  FROM sh),
         |wide AS (SELECT doc_id,
-        |  ${wideCols(16)}
-        |  FROM mh GROUP BY doc_id),
+        |  ${minCols(16)}
+        |  FROM hashed GROUP BY doc_id),
         |bh AS (
         |  ${bandRows(4, 4)})
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -191,20 +188,24 @@ object TextQueries {
         |JOIN n nb ON nb.doc_id = doc_b
         |WHERE inter >= 3""".stripMargin,
 
-    "q23_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |bits AS (SELECT doc_id, j,
-        |    sum(CASE WHEN ((strpos('0123456789abcdef',
-        |        substr(md5(tok), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1 = 1
-        |      THEN 1 ELSE -1 END) AS s
-        |  FROM (SELECT doc_id, tok, unnest(generate_series(0, 31)) AS j
-        |    FROM tok)
-        |  GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-        |    ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q23_simhash" -> {
+      val bitSums = (0 until 32).map { j =>
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', " +
+          s"substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n  ")
+      val fp = (0 until 32)
+        .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' ')))
+        |    AS h FROM documents),
+        |agged AS (SELECT doc_id,
+        |  $bitSums
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+        |FROM agged""".stripMargin
+    },
 
     "q24_token_stats" ->
       """SELECT doc_id,
