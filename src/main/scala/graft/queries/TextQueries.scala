@@ -117,6 +117,21 @@ object TextQueries {
           + (col("stop_hits") / col("n_tokens")) * 0.2).as("score"))
     }),
 
+    // ---- simhash near-dup ranking via the custom codegen'd Catalyst
+    // expression hamming64 (graft.plans.HammingDistance): top-20 closest
+    // fingerprints to doc 0
+    "q34_simhash_knn" -> ((s, d) => {
+      graft.plans.HammingDistance.register(s)
+      val fp = Text.simhash(Tables.documents(s, d), "doc_id", "text", 32)
+      val q = fp.filter(col("doc_id") === 0)
+        .select(col("simhash").as("qfp"))
+      fp.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), expr("hamming64(simhash, qfp)").as("dist"))
+        .orderBy(col("dist").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // ---- document fingerprinting: exact digest + min-shingle (winnowing
     // -style) robust fingerprint
     "q27_fingerprint" -> ((s, d) => {
@@ -129,6 +144,25 @@ object TextQueries {
         .join(minSh, "doc_id")
     })
   )
+
+  private lazy val simhashSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', " +
+        s"substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' ')))
+      |    AS h FROM documents),
+      |agged AS (SELECT doc_id,
+      |  $bitSums
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+      |FROM agged""".stripMargin
+  }
 
   private def minCols(n: Int): String =
     (0 until n).map(i => s"min(ha + $i * hb) AS m$i").mkString(",\n  ")
@@ -188,24 +222,17 @@ object TextQueries {
         |JOIN n nb ON nb.doc_id = doc_b
         |WHERE inter >= 3""".stripMargin,
 
-    "q23_simhash" -> {
-      val bitSums = (0 until 32).map { j =>
-        s"sum(CASE WHEN ((strpos('0123456789abcdef', " +
-          s"substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1 = 1 " +
-          s"THEN 1 ELSE -1 END) AS s$j"
-      }.mkString(",\n  ")
-      val fp = (0 until 32)
-        .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
-          "ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' ')))
-        |    AS h FROM documents),
-        |agged AS (SELECT doc_id,
-        |  $bitSums
-        |  FROM tok GROUP BY doc_id)
-        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-        |FROM agged""".stripMargin
-    },
+    "q23_simhash" -> simhashSql,
+
+    "q34_simhash_knn" ->
+      s"""WITH fp AS ($simhashSql),
+        |q AS (SELECT simhash AS qfp FROM fp WHERE doc_id = 0)
+        |SELECT f.doc_id,
+        |  CAST(bit_count(xor(f.simhash, q.qfp)) AS INT) AS dist
+        |FROM fp f, q
+        |WHERE f.doc_id <> 0
+        |ORDER BY dist ASC, f.doc_id ASC
+        |LIMIT 20""".stripMargin,
 
     "q24_token_stats" ->
       """SELECT doc_id,

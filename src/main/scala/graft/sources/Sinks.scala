@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks (SURVEY.md §2.1 S5-S7, S9).
+  *
+  * The reference's staging tables are truncate-and-reload JDBC writes
+  * (`clean_load_2_tf_staging.py:92-100`); dims are appends. Here the
+  * primary store is parquet (columnar, vectorized reads, partition
+  * pruning); `SaveMode.Overwrite` subsumes the explicit TRUNCATE step
+  * (S9). JDBC remains the same `df.write.format("jdbc")` call shape —
+  * not constructable in this container (no database), so parquet/csv are
+  * the tested paths.
+  */
+object Sinks {
+
+  /** S5: overwrite (staging truncate-and-reload semantics). */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S6: append (dim accretion semantics). */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S7: CSV report export (header, overwrite). */
+  def overwriteCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Partitioned parquet for scale: co-locates by `cols` so downstream
+    * filters prune whole directories (the 100 TB layout default). */
+  def overwritePartitioned(df: DataFrame, path: String,
+                           cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+}
