@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient aggregation: two-phase salted group-by.
+  *
+  * At 100 TB a handful of hot keys (one employee generating most events,
+  * one template dominating a document corpus) can pin a single reducer.
+  * AQE's skew-join splitting covers joins; for aggregations whose partial
+  * combine doesn't collapse enough (e.g. count-distinct-ish payloads),
+  * pre-splitting each key into `saltBuckets` sub-keys bounds any one
+  * task's share at 1/saltBuckets of the hottest key, at the cost of a
+  * second (tiny) shuffle over the partial rows.
+  *
+  * Only algebraic aggregates (sum/count/min/max) can ride this rewrite;
+  * they re-combine exactly.
+  */
+object Skew {
+
+  /** Salted count: equivalent to
+    * df.groupBy(keys).agg(count(*) as outCol) but with the first shuffle
+    * spread over keys × saltBuckets.
+    */
+  def saltedCount(df: DataFrame, keys: Seq[String], outCol: String,
+                  saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__pc"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__pc")).as(outCol))
+  }
+
+  /** Salted sum over `valueCol`, same contract as saltedCount. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                outCol: String, saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__ps"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ps")).as(outCol))
+  }
+}

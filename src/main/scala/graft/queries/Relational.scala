@@ -197,6 +197,17 @@ object Relational {
       Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
     }),
 
+    // ---- F3/F10: epoch-seconds -> timestamp round-trip (reference
+    // clean_load_2_tf_staging.py:73-74 from_unixtime parse) + typed null
+    "q19_epoch_parse" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        expr("ts_us div 1000000").as("ts_s"),
+        unix_micros(timestamp_seconds(expr("ts_us div 1000000")))
+          .as("parsed_us"),
+        lit(null).cast("date").as("cooldown_start_date"))
+    }),
+
     // ---- O1 + window rank: top-3 per group with explicit rank column
     "q18_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -343,6 +354,13 @@ object Relational {
 
     "q17_distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q19_epoch_parse" ->
+      """SELECT event_id,
+        |  epoch_ns(ts) // 1000 // 1000000 AS ts_s,
+        |  (epoch_ns(ts) // 1000 // 1000000) * 1000000 AS parsed_us,
+        |  CAST(NULL AS DATE) AS cooldown_start_date
+        |FROM events""".stripMargin,
 
     "q18_topk_per_group" ->
       """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,

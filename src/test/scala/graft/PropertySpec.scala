@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Merge, Skew}
+
+/** Property-based invariants (SURVEY.md §5): dedup key-uniqueness, merge
+  * cardinality, salted-aggregation equivalence — over seeded randomized
+  * inputs (plain scalacheck generators; deterministic seeds).
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val rowsGen = Gen.listOfN(60,
+    Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 5L), Gen.choose(0L, 1000L)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("keepFirst: unique keys, one row per group, winner is group max") {
+    samples(rowsGen, 5).foreach { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k1", "k2", "v")
+      val out = Dedup.keepFirst(df, Seq("k1", "k2"),
+        Seq(col("v").desc, col("v").asc))
+      val got = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+      assert(got.length == rows.map(t => (t._1, t._2)).distinct.length)
+      val maxes = rows.groupBy(t => (t._1, t._2))
+        .map { case (k, vs) => k -> vs.map(_._3).max }
+      got.foreach { t => assert(t._3 == maxes((t._1, t._2))) }
+    }
+  }
+
+  test("upsert: output keys = union of inputs, staging wins on overlap") {
+    val dimGen = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 10L), Gen.alphaStr))
+    val stgGen = Gen.listOfN(20, Gen.zip(Gen.choose(5L, 15L), Gen.alphaStr))
+    samples(Gen.zip(dimGen, stgGen), 5).foreach { case (dimRows, stgRows) =>
+      import spark.implicits._
+      val dim = dimRows.toDF("k", "v").dropDuplicates("k")
+      val stg = stgRows.toDF("k", "v").dropDuplicates("k")
+      val out = Merge.upsert(dim, stg, Seq("k"))
+      val dimKeys = dim.select("k").collect().map(_.getLong(0)).toSet
+      val stgKeys = stg.select("k").collect().map(_.getLong(0)).toSet
+      val outKeys = out.select("k").collect().map(_.getLong(0)).toSet
+      assert(outKeys == (dimKeys ++ stgKeys))
+      assert(out.count() == outKeys.size)
+      val stgMap = stg.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.collect().foreach { r =>
+        stgMap.get(r.getLong(0)).foreach(v => assert(r.getString(1) == v))
+      }
+    }
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    samples(rowsGen, 5).foreach { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k", "k2", "v")
+      val plainC = df.groupBy("k").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val saltC = Skew.saltedCount(df, Seq("k"), "c")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(saltC == plainC)
+      val plainS = df.groupBy("k").agg(sum($"v").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val saltS = Skew.saltedSum(df, Seq("k"), "v", "s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(saltS == plainS)
+    }
+  }
+}
