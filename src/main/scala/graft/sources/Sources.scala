@@ -48,6 +48,36 @@ object Sources {
       .exists(t => t >= windowStartMs && t < windowEndMs)
   }
 
+  /** S3: JDBC scan. Same call shape as the reference's `read.jdbc`
+    * (`merge2_tf_dim_staging.py:27,30`) but with partitioned reads — the
+    * reference's single-partition whole-table pulls serialize on one
+    * executor. No database ships in this container, so this is the
+    * documented wiring (compile-checked, not integration-tested).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** S8: Kafka source (reference README.md:27,103 — spec-only there too).
+    * Identical downstream wiring to `csvStream`; no broker in this
+    * container, so compile-checked only. Requires the
+    * spark-sql-kafka connector on the classpath at deploy time.
+    */
+  def kafkaStream(spark: SparkSession, bootstrap: String,
+                  topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+
   /** T1-analog for file feeds: incremental streaming ingest of a CSV feed
     * folder (each new drop becomes a micro-batch; `maxFilesPerTrigger`
     * bounds per-batch work). The Kafka variant is identical wiring with
