@@ -46,4 +46,23 @@ object Vectors {
       .map(i => when(expr(s"try_element_at($a, ${i + 1})") >= 0f,
         lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** IVF coarse assignment: nearest centroid per vector (max dot product;
+    * unit-normalized inputs make this max cosine). `cents` must carry
+    * (cid, ce) and be small enough to broadcast — at scale it is the
+    * output of a sampled k-means; here any deterministic centroid set.
+    * Ties broken by lowest cid (total order → oracle-stable).
+    */
+  def ivfAssign(vectors: org.apache.spark.sql.DataFrame, vecCol: String,
+                idCol: String,
+                cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = vectors.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"), dot(vecCol, "ce").as("dsim"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dsim").desc, col("cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cid"))
+  }
 }

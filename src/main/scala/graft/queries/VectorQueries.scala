@@ -54,6 +54,31 @@ object VectorQueries {
         .limit(5)
     }),
 
+    // ---- IVF ANN: coarse-quantize to the nearest of 16 centroids
+    // (deterministic stand-in for sampled k-means: vec_ids 0..15), then
+    // exact cosine re-rank inside the query's cluster only. The
+    // assignment is a broadcast cross join + windowed argmax — the same
+    // plumbing a trained IVF index uses at 100 TB.
+    "q35_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("ce"))
+      val assign = Vectors.ivfAssign(e, "embedding", "vec_id", cents)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val qCluster = assign.filter(col("vec_id") === 0)
+        .select(col("cid").as("qcid"))
+      e.join(assign, "vec_id")
+        .join(broadcast(qCluster), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cid"),
+          Vectors.cosine("embedding", "qe").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // ---- embedding near-duplicate pairs: 8-bit sign buckets bound the
     // candidate set; exact cosine filters inside buckets. The shuffle key
     // is a small int; vectors move once.
@@ -95,6 +120,33 @@ object VectorQueries {
         |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
         |FROM e, q
         |WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+        |ORDER BY cosine DESC, e.vec_id ASC
+        |LIMIT 5""".stripMargin,
+
+    "q35_ann_ivf" ->
+      s"""WITH cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ${dotSql("e.embedding", "c.ce")} AS dsim
+        |  FROM embeddings e, cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dsim DESC, cid ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |qc AS (SELECT cid AS qcid FROM assign WHERE vec_id = 0)
+        |SELECT e.vec_id, a.cid,
+        |  ${dotSql("e.embedding", "q.qe")}
+        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+        |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+        |FROM embeddings e
+        |JOIN assign a ON e.vec_id = a.vec_id
+        |JOIN qc ON a.cid = qc.qcid, q
+        |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC
         |LIMIT 5""".stripMargin,
 
