@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: makes graft's native functions
+  * available in pure-SQL deployments without touching application code:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *
+  * (The programmatic path is `HammingDistance.register(spark)`; this is
+  * the cluster-wide registration hook.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
+      { exprs => {
+        require(exprs.length == 2, "hamming64 takes exactly 2 arguments")
+        HammingDistance(exprs.head, exprs(1))
+      } }))
+  }
+}
