@@ -71,14 +71,31 @@ object TextQueries {
       Text.simhash(Tables.documents(s, d), "doc_id", "text", 32)
     }),
 
-    // ---- token counting + length statistics
+    // ---- token counting + length statistics: whitespace tokens plus a
+    // BPE-ish regex segmentation (letter runs / digit runs / punctuation)
     "q24_token_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
         length(col("text")).as("chars"),
         size(split(col("text"), " ")).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .as("bpe_tokens"),
         ((length(col("text")) - (size(split(col("text"), " ")) - 1))
           / size(split(col("text"), " "))).as("avg_token_len"))
+    }),
+
+    // ---- near-dup dedup materialization: the canonical corpus = docs
+    // that never appear as the higher id of an LSH candidate pair
+    // (greedy keep-lowest; ids only, bodies untouched)
+    "q38_neardup_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Text.wordShingles(docs, "doc_id", "text", 3, dedup = false)
+      val sig = Text.minhashSignature(sh, "doc_id", 16)
+      val pairs = Text.lshCandidatePairs(
+        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      docs.join(pairs.select(col("doc_b")),
+          docs("doc_id") === col("doc_b"), "left_anti")
+        .select("doc_id", "lang", "source")
     }),
 
     // ---- n-gram/stopword-heuristic language ID
@@ -173,32 +190,39 @@ object TextQueries {
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS h FROM wide"
     }.mkString("\n  UNION ALL ")
 
+  private lazy val minhashPairsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+      |  FROM (SELECT doc_id, tk,
+      |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+      |    FROM toks)),
+      |hashed AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
+      |  FROM sh),
+      |wide AS (SELECT doc_id,
+      |  ${minCols(16)}
+      |  FROM hashed GROUP BY doc_id),
+      |bh AS (
+      |  ${bandRows(4, 4)})
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bh a JOIN bh b
+      |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
-    "q21_minhash_pairs" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
-        |  FROM (SELECT doc_id, tk,
-        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
-        |    FROM toks)),
-        |hashed AS (SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
-        |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
-        |  FROM sh),
-        |wide AS (SELECT doc_id,
-        |  ${minCols(16)}
-        |  FROM hashed GROUP BY doc_id),
-        |bh AS (
-        |  ${bandRows(4, 4)})
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bh a JOIN bh b
-        |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+    "q21_minhash_pairs" -> minhashPairsSql,
+
+    "q38_neardup_dedup" ->
+      s"""WITH pairs AS ($minhashPairsSql)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin,
 
     "q22_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, lang, source,
@@ -238,6 +262,8 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS chars,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS INT) AS bpe_tokens,
         |  ((length(text) - (len(string_split(text, ' ')) - 1))
         |    / len(string_split(text, ' '))) AS avg_token_len
         |FROM documents""".stripMargin,
