@@ -208,6 +208,30 @@ object Relational {
         lit(null).cast("date").as("cooldown_start_date"))
     }),
 
+    // ---- hierarchical totals: ROLLUP over (returnflag, linestatus)
+    // (beyond the reference's surface; standard warehouse capability)
+    "q39_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- analytic window frames: running total + lag per user ordered
+    // by event time (beyond the reference's row_number-only usage)
+    "q40_running_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+          sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_value"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"))
+    }),
+
     // ---- O1 + window rank: top-3 per group with explicit rank column
     "q18_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -354,6 +378,24 @@ object Relational {
 
     "q17_distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q39_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q40_running_window" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+        |  sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS running_value,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC)
+        |    AS prev_event_id
+        |FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     "q19_epoch_parse" ->
       """SELECT event_id,

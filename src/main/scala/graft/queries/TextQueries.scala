@@ -40,6 +40,10 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("tk"))
+      // note: at true scale, hash the trigram to a 40-bit int here (md5 +
+      // conv, mirrored in the oracle) so the self-join shuffles 8-byte
+      // keys; measured at sf0.1 the extra hashing costs more than the
+      // smaller shuffle saves, so the bench keeps string keys
       val tri = toks
         .select(col("doc_id"), col("lang"), col("source"),
           explode(expr("transform(sequence(1, greatest(size(tk) - 2, 1)), " +
