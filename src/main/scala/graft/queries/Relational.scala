@@ -232,6 +232,52 @@ object Relational {
           lag(col("event_id"), 1).over(w).as("prev_event_id"))
     }),
 
+    // ---- gap-based sessionization: new session when >30 min idle;
+    // pure window math over exact integers (classic clickstream op)
+    "q41_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+            .otherwise(lit(0)))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+    }),
+
+    // ---- exact distinct cardinality per group (the HLL approx variant
+    // is asserted within 5% of this in ApproxSpec — sketches don't
+    // hash-match across engines)
+    "q42_distinct_users" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- as-of join: each purchase matched to the user's most recent
+    // signup at-or-before it (AsOf.join: union+window, no pair blow-up;
+    // oracle deliberately uses the naive range-join formulation)
+    "q43_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts_us", "event_id")
+      graft.operators.AsOf.join(purchases, signups, "user_id", "ts_us",
+          "event_id", "event_id")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_event_id"))
+    }),
+
     // ---- O1 + window rank: top-3 per group with explicit rank column
     "q18_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -396,6 +442,46 @@ object Relational {
         |    AS prev_event_id
         |FROM events
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q41_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM t),
+        |s AS (SELECT user_id, event_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q42_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q43_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT user_id, ts_us, event_id FROM ev
+        |  WHERE event_type = 'purchase'),
+        |sg AS (SELECT user_id, ts_us, event_id FROM ev
+        |  WHERE event_type = 'signup')
+        |SELECT user_id, event_id, ts_us, asof_event_id FROM (
+        |  SELECT p.user_id, p.event_id, p.ts_us,
+        |    sg.event_id AS asof_event_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY sg.ts_us DESC, sg.event_id DESC) AS rn
+        |  FROM p LEFT JOIN sg
+        |    ON p.user_id = sg.user_id AND sg.ts_us <= p.ts_us)
+        |WHERE rn = 1""".stripMargin,
 
     "q19_epoch_parse" ->
       """SELECT event_id,
