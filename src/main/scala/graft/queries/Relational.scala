@@ -278,6 +278,30 @@ object Relational {
           col("asof_event_id"))
     }),
 
+    // ---- non-equi range join: quantity binned against an interval
+    // table (tiny side broadcast -> nested-loop; the at-scale shape for
+    // band/bin joins)
+    "q44_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bins = Seq((0.0, 10.0, "small"), (10.0, 25.0, "mid"),
+        (25.0, 1000.0, "big")).toDF("lo", "hi", "label")
+      val li = Tables.lineitem(s, d)
+      li.join(broadcast(bins),
+          li("l_quantity") >= col("lo") && li("l_quantity") < col("hi"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- semi-structured data: JSON field extraction from events.props
+    "q45_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- O1 + window rank: top-3 per group with explicit rank column
     "q18_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -482,6 +506,19 @@ object Relational {
         |  FROM p LEFT JOIN sg
         |    ON p.user_id = sg.user_id AND sg.ts_us <= p.ts_us)
         |WHERE rn = 1""".stripMargin,
+
+    "q44_range_join" ->
+      """WITH bins(lo, hi, label) AS (VALUES
+        |  (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 1000.0, 'big'))
+        |SELECT label, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN bins
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY label""".stripMargin,
+
+    "q45_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q19_epoch_parse" ->
       """SELECT event_id,
