@@ -129,6 +129,15 @@ object Relational {
         .select("s_suppkey", "s_name")
     }),
 
+    // ---- set intersection (completes the set-op family)
+    "q46_intersect" -> ((s, d) => {
+      val buyers = Tables.orders(s, d).select(col("o_custkey").as("id"))
+      val flagged = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("id"))
+      buyers.intersect(flagged)
+    }),
+
     // ---- U1: exceptAll multiset difference (reference
     // clean_load_2_tf_staging.py:84)
     "q11_except_all" -> ((s, d) => {
@@ -448,6 +457,12 @@ object Relational {
 
     "q17_distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q46_intersect" ->
+      """SELECT o_custkey AS id FROM orders
+        |INTERSECT
+        |SELECT o_custkey AS id FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q39_rollup" ->
       """SELECT l_returnflag, l_linestatus,
