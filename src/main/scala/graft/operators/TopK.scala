@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Heap-based top-k per group as a typed `Aggregator`.
+  *
+  * The window formulation of "top k per group" (`row_number` + filter,
+  * q18) sorts EVERY row of every group; at 100 TB that is an O(n log n)
+  * sort per partition plus a full shuffle of all rows. This aggregator
+  * keeps a bounded k-element buffer per group with map-side partial
+  * aggregation: O(n log k) work, and only k rows per group ever cross
+  * the wire. Registered for DataFrames via
+  * `org.apache.spark.sql.functions.udaf(new TopKAgg(k))`.
+  *
+  * Ordering: larger `score` wins; ties prefer the smaller `id` (total
+  * order → deterministic output).
+  *
+  * Measured honestly (BASELINE.md): at sf0.1 local[32] the window form
+  * is ~2.4x faster — the Aggregator pays per-row encoder boxing while
+  * the sort is cheap in-memory. The crossover is where shuffle volume
+  * dominates (wide clusters, big groups): the window shuffles every row,
+  * this shuffles ≤ k·partitions per group.
+  */
+case class Scored(score: Double, id: Long)
+
+class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
+    if (buf.length < k) (buf :+ x).sortWith(better)
+    else if (better(x, buf.last)) (buf.init :+ x).sortWith(better)
+    else buf
+  }
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
+    insert(buf, x)
+
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+
+  override def bufferEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}

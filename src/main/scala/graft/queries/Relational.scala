@@ -241,6 +241,24 @@ object Relational {
           lag(col("event_id"), 1).over(w).as("prev_event_id"))
     }),
 
+    // ---- heap-based top-k per group via a custom typed Aggregator
+    // (same semantics as q18's window form, but O(n log k) with bounded
+    // k-row partial aggregation instead of a full per-group sort — the
+    // at-scale formulation; identical oracle)
+    "q47_topk_agg" -> ((s, d) => {
+      val topk = udaf(new graft.operators.TopKAgg(3))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          col("o_totalprice").as("score"), col("o_orderkey").as("id"))
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("score"), col("id")).as("tops"))
+        .select(col("o_orderpriority"), posexplode(col("tops")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))
+    }),
+
     // ---- gap-based sessionization: new session when >30 min idle;
     // pure window math over exact integers (classic clickstream op)
     "q41_sessionize" -> ((s, d) => {
@@ -481,6 +499,16 @@ object Relational {
         |    AS prev_event_id
         |FROM events
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q47_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+        |  o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q41_sessionize" ->
       """WITH t AS (

@@ -42,6 +42,34 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       "near-dup must be closer than unrelated doc")
   }
 
+  test("LSH recall: every true high-Jaccard pair is a candidate (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    // ground truth: exact trigram Jaccard over ALL pairs sharing >= 1
+    // trigram (500 docs — cheap at smoke scale)
+    val tri = Text.wordShingles(docs, "doc_id", "text", 3)
+    val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = tri.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = tri.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.join(b, col("sh") === col("sh_b")
+        && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = SparkEntry.queries("q21_minhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- candidates
+    assert(missed.isEmpty,
+      s"LSH(16 hashes, 4x4) missed ${missed.size}/${truth.size} " +
+        s"true jac>=0.5 pairs: ${missed.take(5)}")
+    assert(truth.nonEmpty, "smoke data should contain high-jaccard pairs")
+  }
+
   test("exact dedup groups exact copies only") {
     val out = graft.operators.Dedup.exactByHash(docs, "text", "doc_id")
     assert(out.count() == 3)
