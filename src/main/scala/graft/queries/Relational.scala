@@ -235,8 +235,10 @@ object Relational {
       Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
-          sum(col("value")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          // rounded: windowed sums are pairwise/segment-tree in some
+          // engines (DuckDB), so raw prefix doubles are not order-stable
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
             .as("running_value"),
           lag(col("event_id"), 1).over(w).as("prev_event_id"))
     }),
@@ -490,9 +492,9 @@ object Relational {
 
     "q40_running_window" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
-        |  sum(value) OVER (PARTITION BY user_id
+        |  round(sum(value) OVER (PARTITION BY user_id
         |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS running_value,
         |  lag(event_id, 1) OVER (PARTITION BY user_id
         |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC)
