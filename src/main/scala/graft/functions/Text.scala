@@ -24,17 +24,19 @@ object Text {
     * shingles rather than erroring under ANSI mode.
     */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, dedup: Boolean = true): DataFrame = {
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+                   n: Int = 3, dedup: Boolean = true,
+                   carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carryCols).map(col)
+    val toks = docs.select(keep :+ split(col(textCol), " ").as("tk"): _*)
     val parts = (0 until n)
       .map(i => s"try_element_at(tk, p + $i)").mkString(", ")
     // build the n-gram array inside one transform() so the explode emits
     // plain strings — carrying the token array through the explode costs
     // an array copy per output row
-    val sh = toks.select(col(idCol),
+    val sh = toks.select(keep :+
       explode(expr(
         s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), " +
-          s"p -> concat_ws(' ', $parts))")).as("sh"))
+          s"p -> concat_ws(' ', $parts))")).as("sh"): _*)
     // dedup costs a full shuffle; skip it for min-aggregating consumers
     // (minhash minima are unaffected by duplicates)
     if (dedup) sh.distinct() else sh

@@ -18,32 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Two-phase scaffold shared by the salted aggregates: partial agg on
+    * (keys, salt), then recombine on keys. */
+  private def salted(df: DataFrame, keys: Seq[String], outCol: String,
+                     saltBuckets: Int, partialAgg: Column,
+                     combine: Column => Column): DataFrame = {
+    val saltedDf = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    saltedDf
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAgg.as("__p"))
+      .groupBy(keys.map(col): _*)
+      .agg(combine(col("__p")).as(outCol))
+  }
+
   /** Salted count: equivalent to
     * df.groupBy(keys).agg(count(*) as outCol) but with the first shuffle
     * spread over keys × saltBuckets.
     */
   def saltedCount(df: DataFrame, keys: Seq[String], outCol: String,
-                  saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
-    val partial = salted
-      .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(count(lit(1)).as("__pc"))
-    partial.groupBy(keys.map(col): _*)
-      .agg(sum(col("__pc")).as(outCol))
-  }
+                  saltBuckets: Int = 16): DataFrame =
+    salted(df, keys, outCol, saltBuckets, count(lit(1)), sum)
 
   /** Salted sum over `valueCol`, same contract as saltedCount. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                outCol: String, saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
-    val partial = salted
-      .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(sum(col(valueCol)).as("__ps"))
-    partial.groupBy(keys.map(col): _*)
-      .agg(sum(col("__ps")).as(outCol))
-  }
+                outCol: String, saltBuckets: Int = 16): DataFrame =
+    salted(df, keys, outCol, saltBuckets, sum(col(valueCol)), sum)
 }

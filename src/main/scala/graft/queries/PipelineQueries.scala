@@ -85,10 +85,10 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q31_multimodal_features" ->
       """SELECT doc_id,
-        |  CAST(length(text) AS INT) AS n_bytes,
-        |  CAST(16 + length(text) % 64 AS INT) AS width,
-        |  CAST(16 + length(text) % 48 AS INT) AS height,
-        |  CAST(length(text) // 100 + 1 AS INT) AS frames
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(16 + octet_length(encode(text)) % 48 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS frames
         |FROM documents""".stripMargin,
 
     "q32_hourly_events" ->

@@ -283,7 +283,7 @@ object Relational {
     }),
 
     // ---- exact distinct cardinality per group (the HLL approx variant
-    // is asserted within 5% of this in ApproxSpec — sketches don't
+    // is asserted within 5% of this in AsOfSpec — sketches don't
     // hash-match across engines)
     "q42_distinct_users" -> ((s, d) => {
       Tables.events(s, d)

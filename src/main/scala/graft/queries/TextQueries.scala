@@ -38,19 +38,13 @@ object TextQueries {
     // all-pairs similarity with ids+counts only in the shuffle
     "q22_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-        split(col("text"), " ").as("tk"))
       // note: at true scale, hash the trigram to a 40-bit int here (md5 +
       // conv, mirrored in the oracle) so the self-join shuffles 8-byte
       // keys; measured at sf0.1 the extra hashing costs more than the
       // smaller shuffle saves, so the bench keeps string keys
-      val tri = toks
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(expr("transform(sequence(1, greatest(size(tk) - 2, 1)), " +
-            "p -> concat_ws(' ', try_element_at(tk, p), " +
-            "try_element_at(tk, p + 1), try_element_at(tk, p + 2)))"))
-            .as("tri"))
-        .distinct()
+      val tri = Text.wordShingles(docs, "doc_id", "text", 3,
+          carryCols = Seq("lang", "source"))
+        .withColumnRenamed("sh", "tri")
       val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = tri.select(col("lang"), col("source"), col("tri"),
         col("doc_id").as("doc_a"))

@@ -26,7 +26,12 @@ object Sources {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else fs.listStatus(p).filter(_.isFile).sortBy(-_.getModificationTime)
+    else fs.listStatus(p).filter(_.isFile)
+      // filename tiebreak (descending — dated names sort newest-last):
+      // mtime granularity can be 1s on some filesystems, and
+      // newest-file-wins must stay deterministic
+      .sortBy(f => (f.getModificationTime, f.getPath.getName))(
+        Ordering.Tuple2(Ordering.Long.reverse, Ordering.String.reverse))
       .headOption.map(_.getPath.toString)
   }
 

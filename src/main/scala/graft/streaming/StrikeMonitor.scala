@@ -52,8 +52,10 @@ object StrikeMonitor {
             else st
     val out = Seq.newBuilder[Flagged]
     msgs.sortBy(m => (m.ts.getTime, m.message)).foreach { m =>
-      val month = m.ts.toLocalDateTime.getMonthValue +
-        m.ts.toLocalDateTime.getYear * 12
+      // month boundary computed in UTC — toLocalDateTime would use the
+      // JVM default zone and make cooldown resets platform-dependent
+      val utc = m.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      val month = utc.getMonthValue + utc.getYear * 12
       // monthly cooldown: reset strikes on month change unless INACTIVE
       if (s.lastMonth != -1 && month != s.lastMonth && s.active)
         s = s.copy(strikes = 0)
