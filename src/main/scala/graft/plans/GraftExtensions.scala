@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "hamming64 takes exactly 2 arguments")
         HammingDistance(exprs.head, exprs(1))
       } }))
+    // window-top-k → bounded-heap custom operator (rule + strategy pair)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
