@@ -27,10 +27,17 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * The heap exec does O(n log k) with at most k rows retained per group
   * — at 100 TB with million-row groups and k=3 that is the difference
   * between a full sort and a near-scan. Registered via
-  * `graft.plans.GraftExtensions`; without the extension the query runs
-  * identically on the built-in window path (the rule is an optimization,
-  * not a semantic change — results are bit-identical because the window
-  * order is required to be total).
+  * `graft.plans.GraftExtensions` (or `spark.experimental`); without the
+  * extension the query runs identically on the built-in window path
+  * (the rule is an optimization, not a semantic change — results are
+  * bit-identical because the window order is required to be total).
+  *
+  * Honest positioning: since 3.5 Spark's own `InsertWindowGroupLimit`
+  * already bounds this idiom to k rows per partition before the shuffle
+  * (partial/final `WindowGroupLimitExec`), which captures most of the
+  * at-scale win; that native path still sorts each partition, which the
+  * heap avoids. This stack is therefore part optimization, part the
+  * worked exemplar of the rule+strategy+exec extension point.
   */
 case class TopKPerGroup(groupExprs: Seq[Expression],
                         orderSpec: Seq[SortOrder], k: Int,
