@@ -19,6 +19,11 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // graft's Catalyst extensions (hamming64 SQL fn + the window-top-k
+      // → bounded-heap rewrite); static conf — applies when this builder
+      // creates the JVM's SparkContext (Verify/Bench/production), and is
+      // a no-op on an already-running context
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
