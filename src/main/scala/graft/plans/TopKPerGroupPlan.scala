@@ -27,10 +27,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * The heap exec does O(n log k) with at most k rows retained per group
   * — at 100 TB with million-row groups and k=3 that is the difference
   * between a full sort and a near-scan. Registered via
-  * `graft.plans.GraftExtensions` (or `spark.experimental`); without the
-  * extension the query runs identically on the built-in window path
-  * (the rule is an optimization, not a semantic change — results are
-  * bit-identical because the window order is required to be total).
+  * `graft.plans.GraftExtensions` (or `spark.experimental`); disable per
+  * session with `spark.graft.topkRewrite=false`. Results match the
+  * native path exactly when the window order is total (as all graft
+  * queries are); for tied orderings BOTH paths pick ties
+  * implementation-dependently. Memory envelope: groups-per-partition ×
+  * k rows on-heap (no spill) — the kill switch exists for pathological
+  * group cardinalities.
   *
   * Honest positioning: since 3.5 Spark's own `InsertWindowGroupLimit`
   * already bounds this idiom to k rows per partition before the shuffle
@@ -60,10 +63,22 @@ case class TopKPerGroup(groupExprs: Seq[Expression],
   */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 
+  /** Kill switch: the rewrite trades the native spillable sort for an
+    * in-memory (groups-per-partition × k)-row heap — disable for
+    * pathological group cardinalities. */
+  val EnabledConf = "spark.graft.topkRewrite"
+
+  private def semanticEq(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x.semanticEquals(y)
+    }
+
   private def asTopK(cond: Expression, plan: LogicalPlan)
       : Option[LogicalPlan] = plan match {
     case w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
-        WindowSpecDefinition(part, order, _)), _)), _, _, child, _) =>
+        WindowSpecDefinition(part, order, _)), _)), _, _, child, _)
+        if part.nonEmpty => // empty PARTITION BY → ClusteredDistribution
+                            // would be invalid; leave global top-k native
       val rn = a.toAttribute
       // strip optimizer-inferred IsNotNull(rn) conjuncts, then expect a
       // single bound on rn
@@ -77,11 +92,12 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           .IsNotNull(r: Attribute) => r.semanticEquals(rn)
         case _ => false
       }
-      val kOpt = bounds match {
+      // Long arithmetic: `rn < Int.MinValue` must stay empty, not wrap
+      val kOpt: Option[Long] = bounds match {
         case Seq(LessThanOrEqual(r: Attribute, Literal(k: Int, _)))
-          if r.semanticEquals(rn) => Some(k)
+          if r.semanticEquals(rn) => Some(k.toLong)
         case Seq(LessThan(r: Attribute, Literal(k: Int, _)))
-          if r.semanticEquals(rn) => Some(k - 1)
+          if r.semanticEquals(rn) => Some(k.toLong - 1)
         case _ => None
       }
       // if Spark's own InsertWindowGroupLimit already ran (it does when
@@ -90,23 +106,26 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       val cleanChild = child match {
         case org.apache.spark.sql.catalyst.plans.logical
           .WindowGroupLimit(p2, o2, _, _, gc)
-          if p2 == part && o2 == order => gc
+          if semanticEq(p2, part) && semanticEq(o2, order) => gc
         case other => other
       }
-      kOpt.filter(_ > 0).map(k =>
-        TopKPerGroup(part, order, k, rn.withNullability(false), cleanChild))
+      kOpt.filter(k => k > 0 && k <= Int.MaxValue).map(k =>
+        TopKPerGroup(part, order, k.toInt, rn.withNullability(false),
+          cleanChild))
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, w: Window) =>
-      asTopK(cond, w).getOrElse(f)
-    case f @ Filter(cond, p @ Project(projectList, w: Window))
-        if projectList.forall(_.isInstanceOf[Attribute]) =>
-      asTopK(cond, w)
-        .map(topk => Project(projectList, topk))
-        .getOrElse(f)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
+    else plan.transform {
+      case f @ Filter(cond, w: Window) =>
+        asTopK(cond, w).getOrElse(f)
+      case f @ Filter(cond, p @ Project(projectList, w: Window))
+          if projectList.forall(_.isInstanceOf[Attribute]) =>
+        asTopK(cond, w)
+          .map(topk => Project(projectList, topk))
+          .getOrElse(f)
+    }
 }
 
 object TopKStrategy extends SparkStrategy {
@@ -147,8 +166,15 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
         .empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = groupProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](ordering))
+        // look up with the reused projection buffer; copy the key only
+        // on first insert (getOrElseUpdate would copy on every row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
