@@ -74,10 +74,13 @@ object EmployeePipeline {
       .filter(col("date") > run && year(col("date")) === year(run)
         && weekday(col("date")) <= 4)
       .select(col("date").as("hd"))
-    // remaining working days in the year: calendar anti-join, one row
+    // remaining working days in the year: calendar anti-join, one row.
+    // The range INCLUDES runDate — the reference generates
+    // date_add(current_date(), 0..days_diff) (Task_4_80perc.py:81), so
+    // today counts in the denominator (leaves in the numerator stay
+    // strictly after runDate).
     val days = Calendar
       .dateRange(spark, runDate, runDate.take(4) + "-12-31")
-      .filter(col("d") > run)
     val remaining = Calendar.workingDays(days, holidays, "hd")
       .agg(count(lit(1)).as("remaining_wd"))
     // upcoming weekday, non-holiday, non-cancelled leaves per employee

@@ -25,6 +25,9 @@ import org.apache.spark.sql.expressions.Aggregator
 case class Scored(score: Double, id: Long)
 
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  // k <= 0 would otherwise surface as an opaque executor-side
+  // NoSuchElementException from buf.last in insert
+  require(k > 0, s"TopKAgg requires k > 0, got $k")
 
   private def better(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)

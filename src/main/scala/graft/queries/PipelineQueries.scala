@@ -113,7 +113,7 @@ object PipelineQueries {
         |rem AS (SELECT count(*) AS remaining_wd FROM (
         |    SELECT CAST(unnest(generate_series(DATE '2000-06-01',
         |      DATE '2000-12-31', INTERVAL 1 DAY)) AS DATE) AS dd)
-        |  WHERE dd > DATE '2000-06-01' AND isodow(dd) <= 5
+        |  WHERE isodow(dd) <= 5
         |    AND dd NOT IN (SELECT hd FROM hol)),
         |up AS (SELECT emp_id, count(*) AS upcoming_leaves FROM (
         |    SELECT DISTINCT emp_id, leave_date FROM leave

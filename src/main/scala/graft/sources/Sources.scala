@@ -40,17 +40,24 @@ object Sources {
                 schema: StructType): Option[DataFrame] =
     newestFile(spark, dir).map(f => csv(spark, f, schema))
 
-  /** C1: file-arrival gate — newest file landed within
+  /** C1: file-arrival gate — did the NEWEST file land within
     * [windowStartMs, windowEndMs)? (reference daily_dag.py:26-62's
-    * ShortCircuit check, minus the Airflow.)
+    * ShortCircuit check, minus the Airflow.) Only the max mtime is
+    * tested: an older file inside the window with a newer drop outside
+    * it means the feed has already moved past the window, and the
+    * reference gate short-circuits in that case.
     */
   def newDataAvailable(spark: SparkSession, dir: String,
                        windowStartMs: Long, windowEndMs: Long): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).filter(_.isFile)
-      .map(_.getModificationTime)
-      .exists(t => t >= windowStartMs && t < windowEndMs)
+    fs.exists(p) && {
+      val mtimes = fs.listStatus(p).filter(_.isFile).map(_.getModificationTime)
+      mtimes.nonEmpty && {
+        val newest = mtimes.max
+        newest >= windowStartMs && newest < windowEndMs
+      }
+    }
   }
 
   /** S3: JDBC scan. Same call shape as the reference's `read.jdbc`

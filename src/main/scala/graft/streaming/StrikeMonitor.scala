@@ -56,15 +56,18 @@ object StrikeMonitor {
       // JVM default zone and make cooldown resets platform-dependent
       val utc = m.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
       val month = utc.getMonthValue + utc.getYear * 12
-      // monthly cooldown: reset strikes on month change unless INACTIVE
-      if (s.lastMonth != -1 && month != s.lastMonth && s.active)
+      // monthly cooldown: reset strikes only on a FORWARD month change
+      // (lastMonth stays monotone) unless INACTIVE — a late cross-batch
+      // message from a prior month must not clear accumulated strikes or
+      // re-trigger resets when in-order traffic resumes
+      if (s.lastMonth != -1 && month > s.lastMonth && s.active)
         s = s.copy(strikes = 0)
-      s = s.copy(lastMonth = month)
+      s = s.copy(lastMonth = math.max(s.lastMonth, month))
       if (s.active && containsReserved(m.message, reserved)) {
         val strikes = s.strikes + 1
         val salary = s.salary * 0.9 // 10% deduction per flagged message
         val active = strikes < 10
-        s = StrikeState(strikes, salary, active, month)
+        s = StrikeState(strikes, salary, active, s.lastMonth)
         out += Flagged(m.emp_id, m.message, m.ts, strikes, salary,
           if (active) "Active" else "INACTIVE")
       }

@@ -57,8 +57,9 @@ class EmployeePipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("upcomingLeaveAbuse: >8% of remaining working days, holidays excluded") {
     import spark.implicits._
-    // runDate Mon 2024-12-02; remaining working days Dec 3..31 = 21
-    // minus holiday Dec 25 => 20
+    // runDate Mon 2024-12-02; remaining working days Dec 2..31 (runDate
+    // inclusive, as the reference's date_add(current_date(), 0) range) = 22
+    // minus holiday Dec 25 => 21
     val calendar = Seq(("xmas", "2024-12-25"), ("newyear", "2025-01-01"))
       .toDF("reason", "date").withColumn("date", to_date($"date"))
     // emp 1: 2 upcoming weekday leaves (10% > 8%); emp 2: 1 (5%, excluded)
@@ -75,6 +76,32 @@ class EmployeePipelineSpec extends AnyFunSuite with SparkSpec {
       .upcomingLeaveAbuse(spark, leaves, calendar, "2024-12-02")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L))
+  }
+
+  test("upcomingLeaveAbuse: runDate itself counts in the denominator") {
+    import spark.implicits._
+    // runDate Mon 2024-12-30: remaining weekdays Dec 30, 31 = 2 (the
+    // reference range starts at current_date()+0). One upcoming leave on
+    // Dec 31 => 1/2 = 50% > 8%. Excluding runDate would give 1/1 = 100%
+    // either way, so also pin the exact denominator via a 2-leaf case:
+    // emp 2 has zero upcoming leaves and must not appear.
+    val calendar = Seq.empty[(String, String)].toDF("reason", "date")
+      .withColumn("date", to_date($"date"))
+    val leaves = Seq((1L, "2024-12-31", "ACTIVE"))
+      .toDF("emp_id", "date", "status")
+      .withColumn("leave_date", to_date($"date")).drop("date")
+    val out = EmployeePipeline
+      .upcomingLeaveAbuse(spark, leaves, calendar, "2024-12-30")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 1L)))
+    // denominator check through the non-abuse side: with 25 fake weekday
+    // leaves impossible in 2 days this can't distinguish, so assert the
+    // internal count directly
+    val days = graft.operators.Calendar.dateRange(spark, "2024-12-30",
+      "2024-12-31")
+    val wd = graft.operators.Calendar
+      .workingDays(days, calendar.select($"date".as("hd")), "hd").count()
+    assert(wd == 2L, "Dec 30 (Mon) and Dec 31 (Tue) both count")
   }
 
   test("quotaAbuse: >80% of quota flagged with 2dp percentage") {

@@ -38,6 +38,16 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       1750000001000L, 1750000002000L))
     assert(!Sources.newDataAvailable(spark, dir.toString + "/missing",
       0L, Long.MaxValue))
+    // a NEWER drop outside the window closes the gate even though an older
+    // file's mtime still falls inside it (only the newest file is tested,
+    // matching the reference's newest-object check)
+    val g = new java.io.File(dir, "feed2.csv")
+    Files.writeString(g.toPath, "a\n2\n")
+    g.setLastModified(1750000005000L)
+    assert(!Sources.newDataAvailable(spark, dir.toString,
+      1749999999000L, 1750000001000L))
+    assert(Sources.newDataAvailable(spark, dir.toString,
+      1750000001000L, 1750000006000L))
   }
 
   test("sinks: overwrite truncates, append accretes, csv round-trips") {

@@ -52,6 +52,26 @@ class StrikeMonitorSpec extends AnyFunSuite with SparkSpec {
     assert(outFeb.head.strike_no == 1)
   }
 
+  test("foldMessages: late prior-month message cannot reset strikes") {
+    // 3 strikes in Feb, then a straggler from January arrives in a later
+    // batch: it must neither clear the Feb strikes (month is not a FORWARD
+    // change) nor rewind lastMonth so that the next Feb message re-triggers
+    // a reset.
+    val feb = (1 to 3).map(i =>
+      Message(1L, "secret plan", ts(f"2024-02-0$i 09:00:00")))
+    val (stFeb, _) = StrikeMonitor.foldMessages(feb, null, reserved, 1000.0)
+    assert(stFeb.strikes == 3)
+    val (stLate, outLate) = StrikeMonitor.foldMessages(
+      Seq(Message(1L, "secret straggler", ts("2024-01-31 23:00:00"))),
+      stFeb, reserved, 1000.0)
+    assert(stLate.strikes == 4, "late Jan message adds a strike, no reset")
+    assert(outLate.head.strike_no == 4)
+    val (stNext, _) = StrikeMonitor.foldMessages(
+      Seq(Message(1L, "secret again", ts("2024-02-15 09:00:00"))),
+      stLate, reserved, 1000.0)
+    assert(stNext.strikes == 5, "lastMonth stayed monotone — no fake boundary")
+  }
+
   test("streaming end-to-end via MemoryStream: append log across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -47,4 +47,9 @@ class TopKPlanSpec extends AnyFunSuite with SparkSpec {
     assert(!df.queryExecution.executedPlan.toString
       .contains("TopKPerGroup "))
   }
+
+  test("TopKAgg rejects k <= 0 at construction, not executor-side") {
+    intercept[IllegalArgumentException](new graft.operators.TopKAgg(0))
+    intercept[IllegalArgumentException](new graft.operators.TopKAgg(-1))
+  }
 }
