@@ -63,11 +63,14 @@ object Text {
     */
   def minhashSignature(shingles: DataFrame, idCol: String,
                        numHashes: Int): DataFrame = {
-    val hashed = shingles.select(col(idCol),
-      expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 1, 10), 16, 10) " +
-        "AS BIGINT)").as("ha"),
-      expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 17, 10), 16, 10) " +
-        "AS BIGINT)").as("hb"))
+    // md5 once per shingle, then split the digest — CollapseProject keeps
+    // the two-step shape (md5 is non-cheap, so Catalyst won't re-inline
+    // it into both conv() calls)
+    val hashed = shingles
+      .select(col(idCol), md5(col("sh").cast("binary")).as("dg"))
+      .select(col(idCol),
+        expr("CAST(conv(substr(dg, 1, 10), 16, 10) AS BIGINT)").as("ha"),
+        expr("CAST(conv(substr(dg, 17, 10), 16, 10) AS BIGINT)").as("hb"))
     val mins = (0 until numHashes)
       .map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"m$i"))
     hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)

@@ -34,27 +34,31 @@ object TextQueries {
       Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
     }),
 
-    // ---- exact n-gram Jaccard within (lang, source) blocks: blocked
-    // all-pairs similarity with ids+counts only in the shuffle
+    // ---- exact n-gram Jaccard within (lang, source) blocks. Instead of
+    // a trigram self-join (sort-merge on wide string keys, two shuffles
+    // of the exploded frame), group each trigram's doc list once and
+    // emit ordered pairs in-row: one shuffle of the trigrams, then a
+    // shuffle of id-pairs only. Skew note: a trigram shared by m docs in
+    // a block emits C(m,2) pairs from one row — identical pair volume to
+    // the join, but hot trigrams should be stopword-pruned upstream at
+    // real scale (same caveat as any all-pairs similarity).
     "q22_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // note: at true scale, hash the trigram to a 40-bit int here (md5 +
-      // conv, mirrored in the oracle) so the self-join shuffles 8-byte
-      // keys; measured at sf0.1 the extra hashing costs more than the
-      // smaller shuffle saves, so the bench keeps string keys
       val tri = Text.wordShingles(docs, "doc_id", "text", 3,
           carryCols = Seq("lang", "source"))
         .withColumnRenamed("sh", "tri")
       val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = tri.select(col("lang"), col("source"), col("tri"),
-        col("doc_id").as("doc_a"))
-      val b = tri.select(col("lang").as("lang_b"),
-        col("source").as("source_b"), col("tri").as("tri_b"),
-        col("doc_id").as("doc_b"))
-      val inter = a.join(b,
-          col("lang") === col("lang_b") && col("source") === col("source_b")
-            && col("tri") === col("tri_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
+      val pairs = tri
+        .groupBy(col("lang"), col("source"), col("tri"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter"))
       inter
         .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -137,8 +141,13 @@ object TextQueries {
     // fingerprints to doc 0
     "q34_simhash_knn" -> ((s, d) => {
       graft.plans.HammingDistance.register(s)
-      val fp = Text.simhash(Tables.documents(s, d), "doc_id", "text", 32)
-      val q = fp.filter(col("doc_id") === 0)
+      val docs = Tables.documents(s, d)
+      val fp = Text.simhash(docs, "doc_id", "text", 32)
+      // query fingerprint from a doc_id=0-filtered scan: the predicate
+      // pushes down to parquet and only one document is tokenized+hashed,
+      // instead of re-aggregating (or exchange-reusing) the full corpus
+      val q = Text.simhash(docs.filter(col("doc_id") === 0),
+          "doc_id", "text", 32)
         .select(col("simhash").as("qfp"))
       fp.filter(col("doc_id") =!= 0)
         .crossJoin(broadcast(q))
