@@ -19,10 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

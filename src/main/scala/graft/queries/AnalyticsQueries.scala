@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-analytics depth beyond the reference's surface: CUBE,
+  * pivot/unpivot, discrete percentiles, and the full analytic-window
+  * function family. Determinism rules follow Relational.scala: total
+  * orders on every window, integer-exact sums (quantity values are
+  * integral doubles, order-independent far below 2^53), and the
+  * percentile oracle re-derives Spark's percentile_disc definition from
+  * first principles with integer threshold arithmetic (k*20 >= n*10
+  * instead of k/n >= 0.5 — no fp boundary risk).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- CUBE totals with grouping() markers (q39 covers ROLLUP);
+    // grouping flags disambiguate data NULLs from subtotal NULLs
+    "q48_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- pivot: one column per linestatus value (wide report shape);
+    // Spark's pivot emits NULL for empty cells, as does FILTER(...)
+    "q49_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }),
+
+    // ---- discrete percentiles per group: percentile_disc returns an
+    // ACTUAL stored value (no interpolation), so doubles hash-match
+    // bit-for-bit cross-engine
+    "q50_percentile_disc" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("median_price"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p90_price"))
+    }),
+
+    // ---- analytic window family: lead/lag/ntile/cume_dist over a total
+    // order (o_orderdate, o_orderkey); cume_dist is a single k/n division
+    // of exact ints — identical doubles on both engines
+    "q52_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"))
+    }),
+
+    // ---- unpivot (melt): wide aggregate back to long form — Spark's
+    // Dataset.unpivot vs a DuckDB UNION ALL of measure rows
+    "q58_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "val")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q48_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q49_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+        |  sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Spark percentile_disc(p) = smallest v with cume_dist(v) >= p;
+    // encoded with integer arithmetic (k*10 >= n*5 / k*10 >= n*9) to
+    // avoid any fp comparison at quantile boundaries
+    "q50_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS k,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN k * 10 >= n * 5 THEN v END) AS median_price,
+        |  min(CASE WHEN k * 10 >= n * 9 THEN v END) AS p90_price
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+
+    "q52_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q58_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val
+        |FROM wide""".stripMargin
+  )
+}

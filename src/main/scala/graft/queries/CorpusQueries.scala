@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Corpus-hygiene operators a training-data pipeline runs before (and
+  * after) dedup: benchmark decontamination, vocabulary statistics,
+  * repetition-based quality pruning, boilerplate detection, and
+  * reserved-token scrubbing. All hashing is md5; ratios are single
+  * divisions of exact integers (cross-engine bit-deterministic).
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- benchmark decontamination: which "train" docs (doc_id%10 != 0)
+    // share an 8-gram with a "test" doc (doc_id%10 == 0)? The classic
+    // n-gram-overlap contamination check, as a shingle equi-join —
+    // shuffles (shingle-hash, id), never bodies. At real scale the
+    // test-side shingle set is small enough to broadcast.
+    "q51_decontam" -> ((s, d) => {
+      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 8)
+        .select(md5(col("sh").cast("binary")).as("shh"), col("doc_id"))
+      val test = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("shh"), col("doc_id").as("test_id"))
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("shh"), col("doc_id").as("train_id"))
+      train.join(broadcast(test), "shh")
+        .groupBy(col("train_id"), col("test_id"))
+        .agg(count(lit(1)).as("shared_8grams"))
+    }),
+
+    // ---- vocabulary: global top-20 tokens by frequency (the token-count
+    // side of BPE vocab construction); deterministic via (count, token)
+    // total order
+    "q53_vocab_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20)
+    }),
+
+    // ---- repetition ratio: max single-token frequency / token count per
+    // doc — the standard "repetitive junk" quality signal
+    "q54_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tok_freq"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("doc_id"), col("max_tok_freq"), col("n_tokens"),
+          (col("max_tok_freq") / col("n_tokens")).as("repetition_ratio"))
+    }),
+
+    // ---- boilerplate detection: docs sharing an identical 10-token
+    // prefix (crawl-boilerplate analog of line-level dedup; the full
+    // corpus groups on a 16-byte digest, not text)
+    "q55_prefix_dup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10))
+            .cast("binary")).as("prefix_hash"))
+        .groupBy(col("prefix_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // ---- reserved-token scrub: count + redact configured tokens
+    // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
+    // real PII). Spark regexp_replace replaces all matches; DuckDB needs
+    // the 'g' flag — encoded in the oracle.
+    "q56_scrub" -> ((s, d) => {
+      val pat = "key|value|data"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).as("n_hits"),
+        md5(regexp_replace(col("text"), pat, "<REDACTED>").cast("binary"))
+          .as("redacted_fp"))
+    })
+  )
+
+  private def gram8(prefix: String): String =
+    (0 until 8).map(i => s"tk[p + $i]").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q51_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(concat_ws(' ', ${gram8("tk")})) AS shh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS p
+        |    FROM toks))
+        |SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+        |  count(*) AS shared_8grams
+        |FROM sh a JOIN sh b ON a.shh = b.shh
+        |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |GROUP BY a.doc_id, b.doc_id""".stripMargin,
+
+    "q53_vocab_topk" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok
+        |ORDER BY cnt DESC, tok ASC
+        |LIMIT 20""".stripMargin,
+
+    "q54_repetition" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok_freq,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  (CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT))
+        |    AS repetition_ratio
+        |FROM tc GROUP BY doc_id""".stripMargin,
+
+    "q55_prefix_dup" ->
+      """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10),
+        |      ' '))
+        |    AS prefix_hash,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q56_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'key|value|data')) AS INT)
+        |    AS n_hits,
+        |  md5(regexp_replace(text, 'key|value|data', '<REDACTED>', 'g'))
+        |    AS redacted_fp
+        |FROM documents""".stripMargin
+  )
+}

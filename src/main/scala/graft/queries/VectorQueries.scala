@@ -79,6 +79,33 @@ object VectorQueries {
         .limit(5)
     }),
 
+    // ---- IVF with nprobe=2: probe the TWO centroids nearest the query
+    // and re-rank their union — the standard recall/latency knob on an
+    // IVF index (q35 is nprobe=1). Probe selection is a 16-row broadcast
+    // sort; candidate filtering is a broadcast semi-style join.
+    "q57_ivf_nprobe2" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("ce"))
+      val assign = Vectors.ivfAssign(e, "embedding", "vec_id", cents)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val qprobe = q.crossJoin(broadcast(cents))
+        .select(col("cid"), Vectors.dot("qe", "ce").as("dsim"))
+        .orderBy(col("dsim").desc, col("cid").asc)
+        .limit(2)
+        .select(col("cid").as("qcid"))
+      e.join(assign, "vec_id")
+        .join(broadcast(qprobe), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cid"),
+          Vectors.cosine("embedding", "qe").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // ---- embedding near-duplicate pairs: 8-bit sign buckets bound the
     // candidate set; exact cosine filters inside buckets. The shuffle key
     // is a small int; vectors move once.
@@ -146,6 +173,37 @@ object VectorQueries {
         |FROM embeddings e
         |JOIN assign a ON e.vec_id = a.vec_id
         |JOIN qc ON a.cid = qc.qcid, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id ASC
+        |LIMIT 5""".stripMargin,
+
+    "q57_ivf_nprobe2" ->
+      s"""WITH cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ${dotSql("e.embedding", "c.ce")} AS dsim
+        |  FROM embeddings e, cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dsim DESC, cid ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |qp AS (SELECT cid AS qcid FROM (
+        |    SELECT c.cid, row_number() OVER (
+        |      ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.cid ASC) AS rn
+        |    FROM cents c, q)
+        |  WHERE rn <= 2)
+        |SELECT e.vec_id, a.cid,
+        |  ${dotSql("e.embedding", "q.qe")}
+        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+        |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+        |FROM embeddings e
+        |JOIN assign a ON e.vec_id = a.vec_id
+        |JOIN qp ON a.cid = qp.qcid, q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC
         |LIMIT 5""".stripMargin,
