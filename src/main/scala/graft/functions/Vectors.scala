@@ -22,12 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold dot product of two array<float> columns (as SQL
-    * expression text, to keep fold lambdas in one codegen'd expression). */
-  def dotExpr(a: String, b: String): String =
+  /** Sequential-fold dot product as composable built-ins — the
+    * correctness reference for `dotf` (bit-identical results; see
+    * VectorOpsSpec). The higher-order lambdas are CodegenFallback, so
+    * the hot path uses the native expression below instead. */
+  def foldDotExpr(a: String, b: String): String =
     s"""aggregate(
        |  zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** Native codegen'd dot product (graft.plans.DotProductF, registered
+    * as `dotf` by GraftExtensions): same index-order arithmetic as the
+    * fold, emitted as a straight Java loop. */
+  def dotExpr(a: String, b: String): String = s"dotf($a, $b)"
 
   def dot(a: String, b: String): Column = expr(dotExpr(a, b))
 

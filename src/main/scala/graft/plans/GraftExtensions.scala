@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "hamming64 takes exactly 2 arguments")
         HammingDistance(exprs.head, exprs(1))
       } }))
+    e.injectFunction((
+      FunctionIdentifier("dotf"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dotf"),
+      { exprs => {
+        require(exprs.length == 2, "dotf takes exactly 2 arguments")
+        DotProductF(exprs.head, exprs(1))
+      } }))
     // window-top-k → bounded-heap custom operator (rule + strategy pair)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectPlannerStrategy(_ => TopKStrategy)
