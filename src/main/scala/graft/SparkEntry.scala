@@ -21,12 +21,14 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.SamplingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.SamplingQueries.oracle
 }

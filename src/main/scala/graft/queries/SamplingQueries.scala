@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Components
+
+/** Dataset-assembly operators a training-data pipeline runs after
+  * hygiene/dedup: reproducible hash-based splits, stratified sampling,
+  * domain token budgeting / mixture reporting, duplicate-cluster
+  * materialization (connected components over LSH pairs), and a
+  * sketch-accuracy audit (estimated vs exact Jaccard).
+  *
+  * Determinism: all sampling decisions are md5-hash thresholds on ids
+  * (never `rand()` / TABLESAMPLE — reproducible across engines, runs,
+  * and partitionings); ratios are single IEEE divisions; truncation is
+  * explicit `floor` (Spark's double→bigint cast truncates while
+  * DuckDB's rounds, so casts alone would diverge).
+  *
+  * Scale notes (100 TB): hash-split/sample are stateless per-row
+  * projections — no shuffle, fully codegen'd, and the same row lands in
+  * the same split on any cluster. Budget/mix reports aggregate to one
+  * row per source (tiny) before any window. Clustering shuffles only
+  * (long, long) label pairs.
+  */
+object SamplingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 0..99 bucket from 32 md5 bits of the id rendered as a decimal
+    * string. `off` selects a digest window so different decisions (split
+    * vs sample) use independent bits of the same digest.
+    */
+  private def hashBucket(id: Column, off: Int, mod: Int): Column =
+    expr(s"CAST(conv(substr(md5(CAST(CAST(${id} AS STRING) AS BINARY)), " +
+      s"$off, 8), 16, 10) AS BIGINT) % $mod")
+
+  private def hashBucketSql(id: String, off: Int, mod: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), $off, 8)) " +
+      s"AS BIGINT) % $mod"
+
+  val queries: Map[String, Q] = Map(
+    // ---- reproducible train/val/test split: 80/10/10 by id-hash bucket.
+    // Report rows + token volume per split — the assignment itself is a
+    // pure projection (same doc → same split on any cluster, any day)
+    "q59_split_assign" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          when(hashBucket(col("doc_id"), 1, 100) < 80, lit("train"))
+            .when(hashBucket(col("doc_id"), 1, 100) < 90, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          size(split(col("text"), " ")).as("toks"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"))
+    }),
+
+    // ---- stratified sampling with per-stratum rates (upsample scarce
+    // languages, downsample English): en 20%, others 50%, decided by an
+    // independent hash window. Emits the sampled docs themselves.
+    "q60_stratified_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("__b", hashBucket(col("doc_id"), 9, 10))
+        .filter(col("__b") <
+          when(col("lang") === "en", lit(2)).otherwise(lit(5)))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // ---- domain token budgeting: cap every source at a fixed token
+    // budget; rate = min(1, budget/tokens) is the per-source sampling
+    // probability, kept_tokens its floor'd expectation — the "data
+    // mixing" table a pretraining run is configured from
+    "q61_domain_budget" -> ((s, d) => {
+      val budget = 3000.0
+      Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("src_tokens"))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          least(lit(1.0), lit(budget) / col("src_tokens")).as("rate"),
+          floor(least(lit(1.0), lit(budget) / col("src_tokens"))
+            * col("src_tokens")).cast("long").as("kept_tokens"))
+    }),
+
+    // ---- duplicate-cluster materialization: connected components over
+    // the LSH candidate pairs (q21). A~B~C collapses to one cluster even
+    // when A,C never share a band — the grouping exact/pairwise dedup
+    // cannot express. cluster = min doc_id of the group.
+    "q62_dup_clusters" -> ((s, d) => {
+      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3,
+        dedup = false)
+      val sig = Text.minhashSignature(sh, "doc_id", 16)
+      val pairs = Text.lshCandidatePairs(
+        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // ---- domain mixture report: token share per source and cumulative
+    // share in contribution order — the "what fraction of the corpus do
+    // the top-k domains supply" curve
+    "q63_domain_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySource = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).as("toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("toks")).as("src_tokens"))
+      val w = Window.orderBy(col("src_tokens").desc, col("source").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      bySource
+        .select(col("source"), col("src_tokens"),
+          sum(col("src_tokens")).over(w).as("cum_tokens"),
+          sum(col("src_tokens")).over(wAll).as("total_tokens"))
+        .select(col("source"), col("src_tokens"), col("cum_tokens"),
+          (col("cum_tokens").cast("double") / col("total_tokens"))
+            .as("cum_share"))
+    }),
+
+    // ---- sketch-accuracy audit: for every LSH candidate pair, the
+    // Jaccard estimated from minhash agreement (matching minima / 16)
+    // vs the exact distinct-trigram Jaccard — the report that validates
+    // a sketch config before trusting it on 100 TB
+    "q64_minhash_est" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shRaw = Text.wordShingles(docs, "doc_id", "text", 3, dedup = false)
+      val sig = Text.minhashSignature(shRaw, "doc_id", 16)
+      val pairs = Text.lshCandidatePairs(
+        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      val agree = (0 until 16)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = pairs
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (agree.cast("double") / lit(16.0)).as("est_jaccard"))
+      val tri = shRaw.distinct()
+      val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = tri.as("x")
+        .join(pairs, col("x.doc_id") === col("doc_a"))
+        .join(tri.as("y"),
+          col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          (coalesce(col("inter"), lit(0L)).cast("double")
+            / (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+            .as("exact_jaccard"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q59_split_assign" ->
+      s"""SELECT CASE
+        |    WHEN ${hashBucketSql("doc_id", 1, 100)} < 80 THEN 'train'
+        |    WHEN ${hashBucketSql("doc_id", 1, 100)} < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "q60_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE ${hashBucketSql("doc_id", 9, 10)}
+        |  < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)""".stripMargin,
+
+    "q61_domain_budget" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, src_tokens,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(3000.0 AS DOUBLE) / src_tokens) AS rate,
+        |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |    CAST(3000.0 AS DOUBLE) / src_tokens) * src_tokens) AS BIGINT)
+        |    AS kept_tokens
+        |FROM s""".stripMargin,
+
+    "q62_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.node = e.t)
+        |SELECT node AS doc_id, min(r) AS cluster
+        |FROM reach GROUP BY node""".stripMargin,
+
+    "q63_domain_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, src_tokens,
+        |  CAST(sum(src_tokens) OVER (ORDER BY src_tokens DESC, source ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  (CAST(sum(src_tokens) OVER (ORDER BY src_tokens DESC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(src_tokens) OVER ()) AS cum_share
+        |FROM s""".stripMargin,
+
+    "q64_minhash_est" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |shraw AS (SELECT doc_id,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+        |    FROM toks)),
+        |hashed AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
+        |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
+        |  FROM shraw),
+        |wide AS (SELECT doc_id,
+        |  ${(0 until 16).map(i => s"min(ha + $i * hb) AS m$i")
+             .mkString(",\n  ")}
+        |  FROM hashed GROUP BY doc_id),
+        |est AS (SELECT p.doc_a, p.doc_b,
+        |    (CAST((${(0 until 16)
+             .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) AS DOUBLE) / CAST(16.0 AS DOUBLE))
+        |      AS est_jaccard
+        |  FROM pairs p
+        |  JOIN wide a ON p.doc_a = a.doc_id
+        |  JOIN wide b ON p.doc_b = b.doc_id),
+        |tri AS (SELECT DISTINCT doc_id, sh FROM shraw),
+        |n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN tri x ON x.doc_id = p.doc_a
+        |  JOIN tri y ON y.doc_id = p.doc_b AND x.sh = y.sh
+        |  GROUP BY p.doc_a, p.doc_b)
+        |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+        |  (CAST(coalesce(i.inter, 0) AS DOUBLE)
+        |    / (na.n + nb.n - coalesce(i.inter, 0))) AS exact_jaccard
+        |FROM est e
+        |LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        |JOIN n na ON na.doc_id = e.doc_a
+        |JOIN n nb ON nb.doc_id = e.doc_b""".stripMargin
+  )
+}

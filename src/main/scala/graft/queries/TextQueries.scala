@@ -197,7 +197,8 @@ object TextQueries {
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS h FROM wide"
     }.mkString("\n  UNION ALL ")
 
-  private lazy val minhashPairsSql: String =
+  // shared with SamplingQueries (q62 clusters over the same pair set)
+  private[queries] lazy val minhashPairsSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+/** Connected-components semantics on hand-built edge lists: chains
+  * collapse transitively, components stay separate, direction of the
+  * input pair doesn't matter, and non-convergence is an error (not a
+  * silently wrong answer).
+  */
+class ComponentsSpec extends AnyFunSuite with SparkSpec {
+
+  private def clusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("chain A-B, B-C lands all three in min-id cluster") {
+    val c = clusters(Seq((1L, 2L), (2L, 3L)))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("disjoint components keep distinct min-id labels") {
+    val c = clusters(Seq((5L, 6L), (10L, 11L), (11L, 12L)))
+    assert(c == Map(5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("edge direction is irrelevant (higher id first)") {
+    val c = clusters(Seq((9L, 4L), (4L, 7L)))
+    assert(c == Map(4L -> 4L, 7L -> 4L, 9L -> 4L))
+  }
+
+  test("long path needs multiple rounds and still converges") {
+    // path 1-2-3-...-8: diameter 7, exercises the iteration loop
+    val edges = (1L until 8L).map(i => (i, i + 1))
+    val c = clusters(edges)
+    assert(c.values.toSet == Set(1L))
+    assert(c.keySet == (1L to 8L).toSet)
+  }
+
+  test("maxIter too small for the diameter throws, never returns wrong") {
+    import spark.implicits._
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(edges, "a", "b", maxIter = 2).collect()
+    }
+  }
+
+  test("maxIter <= 0 rejected up front") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    assertThrows[IllegalArgumentException] {
+      Components.connectedComponents(edges, "a", "b", maxIter = 0)
+    }
+  }
+}
