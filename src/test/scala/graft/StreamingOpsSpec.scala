@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+
+/** Streaming operators beyond the windowed-agg twin (StreamingSpec):
+  * watermarked streaming dedup, stream-stream interval join, and a
+  * foreachBatch keyed upsert that maintains a dim table incrementally —
+  * the streaming form of the reference's daily MERGE
+  * (/root/reference/daily_dag.py:200-209).
+  */
+case class Imp(ad_id: Long, ts: Timestamp)
+case class Clk(ad_id: Long, cts: Timestamp)
+case class Upd(emp_id: Long, salary: Long, ts: Timestamp)
+
+class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark removes cross-batch dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Imp]
+    val dedup = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("ad_id")
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(Imp(1, t("2024-01-01 10:00:00")),
+        Imp(1, t("2024-01-01 10:01:00")), // same batch dup
+        Imp(2, t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      input.addData(Imp(1, t("2024-01-01 10:03:00"))) // cross-batch dup
+      q.processAllAvailable()
+      val got = spark.table("sdedup").groupBy($"ad_id")
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: click within 30 min of impression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val joined = imps.toDS().withWatermark("ts", "1 hour")
+      .join(clks.toDS().withColumnRenamed("ad_id", "c_ad_id")
+          .withWatermark("cts", "1 hour"),
+        expr("""ad_id = c_ad_id AND
+                cts >= ts AND cts <= ts + interval 30 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      imps.addData(Imp(1, t("2024-01-01 10:00:00")),
+        Imp(2, t("2024-01-01 10:00:00")))
+      clks.addData(Clk(1, t("2024-01-01 10:10:00")), // inside window
+        Clk(2, t("2024-01-01 11:30:00"))) // too late — no match
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select($"ad_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert maintains a keyed dim incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dim").toString
+    // seed the dim
+    Seq((1L, 100L), (2L, 200L)).toDF("emp_id", "salary")
+      .write.mode("overwrite").parquet(dir)
+    val input = MemoryStream[Upd]
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Upd], _: Long) =>
+        // latest update per key within the batch, then keyed upsert
+        val latest = graft.operators.Dedup.keepFirst(
+          batch.toDF(), Seq("emp_id"), Seq(col("ts").desc))
+          .select("emp_id", "salary")
+        val dim = batch.sparkSession.read.parquet(dir)
+        val merged = Merge.upsert(dim, latest, Seq("emp_id"))
+        // collect-then-rewrite avoids reading and overwriting the same
+        // files in one job (fine for a dim; a transactional format does
+        // this atomically at scale)
+        val rows = merged.collect()
+        batch.sparkSession
+          .createDataFrame(batch.sparkSession.sparkContext
+            .parallelize(rows.toSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+      }
+      .start()
+    try {
+      input.addData(
+        Upd(2, 250L, t("2024-01-01 10:00:00")),
+        Upd(2, 260L, t("2024-01-01 10:05:00")), // later wins within batch
+        Upd(3, 300L, t("2024-01-01 10:01:00"))) // insert
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 100L, 2L -> 260L, 3L -> 300L))
+    } finally q.stop()
+  }
+}
