@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the properties the 100 TB design depends on,
+  * asserted so a refactor can't silently regress them.
+  *
+  *  - predicates reach the parquet scan (PushedFilters);
+  *  - projections prune the scan (ReadSchema carries only used columns);
+  *  - dimension-sized join sides broadcast (no all-to-all shuffle);
+  *  - aggregations are partial+final (map-side combine before shuffle);
+  *  - hot paths run inside WholeStageCodegen.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: status filter is pushed to the parquet scan") {
+    val p = plan("q01_filter_group_count")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*o_orderstatus.*\\].*"),
+      s"expected o_orderstatus in PushedFilters:\n$p")
+  }
+
+  test("q01: scan reads only the two referenced columns") {
+    val p = plan("q01_filter_group_count")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("o_orderstatus") && read.contains("o_orderpriority"),
+      read)
+    assert(!read.contains("o_totalprice") && !read.contains("o_comment"),
+      s"scan must not read unused columns: $read")
+  }
+
+  test("q02: aggregation is partial then final (map-side combine)") {
+    val p = plan("q02_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"expected a partial aggregate before the shuffle:\n$p")
+  }
+
+  test("q02: the agg pipeline runs inside WholeStageCodegen") {
+    // AQE hides codegen spans until the adaptive plan is final — execute,
+    // then look for the `*(n)` stage markers in the executed plan
+    val df = SparkEntry.queries("q02_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"expected WholeStageCodegen stages:\n$p")
+  }
+
+  test("q28: query vector joins as broadcast, never shuffles the corpus") {
+    val p = plan("q28_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"1-row query side must not trigger a sort-merge join:\n$p")
+  }
+
+  test("q29: bucket-equality ANN join broadcasts the query side") {
+    val p = plan("q29_ann_bucket")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04: dimension-sized aggregates join without SortMergeJoin at sf") {
+    // two grouped aggregates of the same table; Catalyst/AQE should pick
+    // a broadcast (or at worst shuffled-hash) join for these small sides
+    val df = SparkEntry.queries("q04_quota_pct")(spark, sf)
+    df.collect() // let AQE finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"expected hash join after AQE:\n$p")
+  }
+
+  test("q20: dedup shuffles digests, not document bodies") {
+    val p = plan("q20_dedup_exact")
+    // the exchange must be keyed on the 16-byte md5, and the scan must
+    // not carry `text` past the hash projection: ReadSchema includes text
+    // (hash input) but the shuffle output columns must not
+    val ex = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .mkString("\n")
+    assert(!ex.contains("text#"),
+      s"shuffle must be keyed on the digest, not carry text:\n$ex")
+  }
+}
