@@ -1,28 +1,82 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the step
-  * that turns near-duplicate *pairs* (LSH candidates, q21) into
-  * duplicate *clusters*, so a corpus can keep exactly one canonical
-  * document per group even when A~B and B~C but A!~C.
+/** Connected components — the step that turns near-duplicate *pairs*
+  * (LSH candidates, q21) into duplicate *clusters*, so a corpus keeps
+  * exactly one canonical document per group even when A~B and B~C but
+  * A!~C.
   *
-  * Algorithm: every vertex starts labeled with its own id; each round
-  * every vertex takes the min of its label and its neighbors' labels;
-  * stop when no label changes. Converges in at most diameter(G) rounds
-  * — near-dup clusters are dense (LSH links most members pairwise), so
-  * 2-4 rounds in practice.
+  * Algorithm: repeated partition-local union-find ("local contraction").
+  * Each pass shuffles the symmetrized edge set by source vertex — so a
+  * vertex's ENTIRE neighborhood lands in one partition — runs an
+  * in-memory union-find per partition, and re-emits each local
+  * component as a star around its minimum id. Fragments of one true
+  * component share vertices across partitions, so stars merge on the
+  * next pass; long chains collapse wholesale inside partitions rather
+  * than one hop per round, giving convergence in 2-4 passes where
+  * plain min-label propagation needs O(diameter) rounds.
   *
-  * Scale notes (100 TB): each round is one shuffle keyed on vertex id
-  * (edges join labels, min-aggregate) — the classic MapReduce CC loop.
-  * Labels/edges are pairs of longs; document bodies never enter the
-  * computation. The driver only sees one `count()` per round for the
-  * convergence check. `localCheckpoint` truncates the growing lineage
-  * so round N's plan does not replay rounds 1..N-1 (on a cluster, use
-  * reliable checkpointing instead if executors may be lost mid-job).
+  * Convergence check: stop when the label map (min star target per
+  * vertex) is unchanged by a pass. Sound because every edge (x,y) puts
+  * x and y into the same partition-local component of partition(x): an
+  * unchanged label map means labels were already constant across every
+  * edge, i.e. constant per true component — and the constant is the
+  * component min, since the min vertex labels itself.
+  *
+  * Scale notes (100 TB): one shuffle of (long, long) pairs per pass;
+  * document bodies never enter the computation. Per-partition state is
+  * a hash map over the vertices of that partition — size
+  * `spark.sql.shuffle.partitions` so a partition's edges fit in task
+  * memory. Intermediate fragment labels depend on the partitioning,
+  * but the fixed point (component-min labels) does not.
+  * `localCheckpoint` truncates lineage between passes (use reliable
+  * checkpointing on a cluster if executors may be lost mid-job).
   */
 object Components {
+
+  /** One local-contraction pass: union-find per partition, emit each
+    * local component as a min-rooted star (both edge directions, plus a
+    * self-loop on the root so labels stay defined for root vertices).
+    */
+  private def contract(e: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    import e.sparkSession.implicits._
+    e.repartition(col("_1")).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def findRoot(a: Long): Long = {
+        var r = a
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = a // path compression
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { case (s, t) =>
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(t)) parent.put(t, t)
+        val rs = findRoot(s)
+        val rt = findRoot(t)
+        // union-to-min: the root of every tree is its component minimum
+        if (rs < rt) parent.put(rt, rs)
+        else if (rt < rs) parent.put(rs, rt)
+      }
+      val out = Seq.newBuilder[(Long, Long)]
+      parent.keySet.forEach { x =>
+        val m = findRoot(x)
+        if (x == m) out += ((m, m))
+        else {
+          out += ((x, m))
+          out += ((m, x))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Min star target per vertex — the current label map. */
+  private def labelsOf(e: Dataset[(Long, Long)]): DataFrame =
+    e.toDF("s", "t").groupBy(col("s")).agg(min(col("t")).as("t_min"))
+      .select(col("s").as("id"), least(col("t_min"), col("s")).as("label"))
 
   /** Cluster assignment `(id, cluster)` for every vertex incident to an
     * edge. `edges` carries undirected edges as (srcCol, dstCol) pairs;
@@ -31,39 +85,32 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    // symmetrize so one join direction sees every neighbor
-    val sym = edges.select(col(srcCol).cast("long").as("s"),
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // symmetrize in one flat pass and materialize, so the (possibly
+    // expensive) upstream pair pipeline runs exactly once; duplicate
+    // edges are harmless to union-find, so no dedup shuffle
+    var e = edges
+      .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"))
-      .union(edges.select(col(dstCol).cast("long").as("s"),
-        col(srcCol).cast("long").as("t")))
-      .distinct()
-      .persist()
-
-    var labels = sym.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+      .as[(Long, Long)]
+      .flatMap { case (s, t) => Iterator((s, t), (t, s)) }
       .localCheckpoint()
+    var labels = labelsOf(e).localCheckpoint()
 
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val nbrMin = sym.join(labels, sym("t") === labels("id"))
-        .groupBy(col("s"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("s"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
+      e = contract(e).localCheckpoint()
+      val next = labelsOf(e).localCheckpoint()
+      converged = next
+        .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
+          col("id") === col("pid"))
+        .filter(col("label") =!= col("plabel"))
+        .limit(1).count() == 0
       labels = next
-      converged = changed == 0
       rounds += 1
     }
-    sym.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")

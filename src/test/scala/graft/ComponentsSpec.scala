@@ -36,19 +36,20 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(c == Map(4L -> 4L, 7L -> 4L, 9L -> 4L))
   }
 
-  test("long path needs multiple rounds and still converges") {
-    // path 1-2-3-...-8: diameter 7, exercises the iteration loop
-    val edges = (1L until 8L).map(i => (i, i + 1))
+  test("long path needs multiple passes and still converges") {
+    // path 1-2-...-100: fragments span partitions, exercises iteration
+    val edges = (1L until 100L).map(i => (i, i + 1))
     val c = clusters(edges)
     assert(c.values.toSet == Set(1L))
-    assert(c.keySet == (1L to 8L).toSet)
+    assert(c.keySet == (1L to 100L).toSet)
   }
 
-  test("maxIter too small for the diameter throws, never returns wrong") {
+  test("maxIter too small to converge throws, never returns wrong") {
     import spark.implicits._
-    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    // a 100-chain cannot stabilize its label map in a single pass
+    val edges = (1L until 100L).map(i => (i, i + 1)).toDF("a", "b")
     assertThrows[IllegalStateException] {
-      Components.connectedComponents(edges, "a", "b", maxIter = 2).collect()
+      Components.connectedComponents(edges, "a", "b", maxIter = 1).collect()
     }
   }
 
