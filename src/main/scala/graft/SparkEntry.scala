@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.SamplingQueries.queries
+      graft.queries.SamplingQueries.queries ++
+      graft.queries.WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle ++
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.SamplingQueries.oracle
+      graft.queries.SamplingQueries.oracle ++
+      graft.queries.WarehouseQueries.oracle
 }

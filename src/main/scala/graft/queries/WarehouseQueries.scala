@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Skew
+
+/** Round-2 depth: the operators a warehouse-scale training-data platform
+  * layers on top of the reference's relational core — TF-IDF ranking,
+  * CDC snapshot diff, SCD2 point-in-time lookup, funnel + cohort
+  * retention, bounded edit-distance near-dup, PII redaction, chunk
+  * planning, salted skew aggregation, sketch-vs-exact audit, and Markov
+  * transition counting.
+  *
+  * Determinism rules (same contract as Relational.scala): every double
+  * that reaches the output is either a single IEEE-754 operation on
+  * exact inputs (correctly rounded identically by Spark and DuckDB) or
+  * integer-exact; every window carries a total order; booleans compare
+  * quantities whose error margins are orders of magnitude away from the
+  * threshold.
+  */
+object WarehouseQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- TF-IDF term ranking: top token per doc by tf/df. The score is
+    // one double division of two small ints (exact same bits on both
+    // engines); ties break on token. df is a token-keyed shuffle whose
+    // result broadcasts back in at doc granularity — at 100 TB the df
+    // side is vocabulary-sized (millions), far smaller than the corpus.
+    "q65_tfidf_top" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("tok").asc)
+      tf.join(df, "tok")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"))
+    }),
+
+    // ---- CDC snapshot diff: row-level change feed between two table
+    // versions (added / removed / changed), the building block of
+    // incremental ingestion audits. Full outer join on the key; at scale
+    // both sides shuffle once on the key and AQE handles skew.
+    "q66_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val neu = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("v"))
+      old.select(col("k"), col("v").as("v_old"))
+        .join(neu.select(col("k"), col("v").as("v_new")), Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("v_old").isNull, lit("added"))
+            .when(col("v_new").isNull, lit("removed"))
+            .when(col("v_old") =!= col("v_new"), lit("changed")))
+        .filter(col("change").isNotNull)
+        .select(col("k"), col("change"), col("v_old"), col("v_new"))
+    }),
+
+    // ---- SCD2 point-in-time lookup: year-end headcount snapshots probed
+    // against a validity-interval dim with NULL-open rows. The probe side
+    // is tiny (reporting dates) -> broadcast nested-loop, the at-scale
+    // shape for calendar-vs-interval joins; the dim never re-shuffles.
+    "q67_scd2_snapshot" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val dim = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("emp_id"))
+        .agg(min(to_date(col("o_orderdate"))).as("start_date"))
+        .join(o.filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey").as("emp_id"))
+          .agg(min(to_date(col("o_orderdate"))).as("end_date")),
+          Seq("emp_id"), "left_outer")
+      val probes = (1995 to 2000).map(y => s"$y-12-31").toDF("p")
+        .select(to_date(col("p")).as("p"))
+      dim.join(broadcast(probes),
+          col("start_date") <= col("p")
+            && (col("end_date").isNull || col("p") < col("end_date")))
+        .groupBy(col("p").as("snapshot_date"))
+        .agg(count(lit(1)).as("headcount"))
+    }),
+
+    // ---- funnel: signup -> click -> purchase with strict event-time
+    // ordering per user. Three conditional-min aggregations, each a
+    // map-side-combinable shuffle on user_id; no window over raw events.
+    "q68_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // ---- cohort retention: users grouped by first-activity week,
+    // counted per later active week. Two shuffles (user-grain min, then
+    // cohort-cell count) — both map-side combinable.
+    "q69_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      ev.distinct().join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+        .groupBy(unix_micros(col("cohort_wk")).as("cohort_us"),
+          col("week_offset"))
+        .agg(count(lit(1)).as("users"))
+    }),
+
+    // ---- bounded edit-distance near-dup: blocked candidate pairs
+    // (lang, source) compared on a 40-char prefix — the quadratic stays
+    // inside blocks and the per-pair cost is capped by the prefix bound,
+    // the standard trick that keeps Levenshtein feasible corpus-scale.
+    "q70_edit_distance" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("p"))
+      val a = doc.select(col("lang"), col("source"),
+        col("doc_id").as("id_a"), col("p").as("p_a"))
+      val b = doc.select(col("lang"), col("source"),
+        col("doc_id").as("id_b"), col("p").as("p_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("p_a"), col("p_b")))
+        .filter(col("dist") <= 20)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
+    // ---- PII-style redaction: digit runs masked, leak count reported.
+    // Pure per-row codegen'd regex — no shuffle at all.
+    "q71_pii_redact" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("redacted"),
+        (length(col("c_name"))
+          - length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .as("n_digits"))
+    }),
+
+    // ---- training-chunk planning: ceil(tokens/16) context windows per
+    // doc, budgeted per source. Integer arithmetic end-to-end.
+    "q72_chunk_plan" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          ceil(size(split(col("text"), " ")) / lit(16.0)).as("chunks"))
+        .groupBy(col("source"))
+        .agg(sum(col("chunks")).as("total_chunks"),
+          max(col("chunks")).as("max_chunks"),
+          count(lit(1)).as("docs"))
+    }),
+
+    // ---- salted skew aggregation: Skew.saltedSum's two-phase plan must
+    // reproduce the plain group-by exactly (algebraic recombination) —
+    // the oracle IS the unsalted aggregation.
+    "q73_salted_agg" -> ((s, d) => {
+      Skew.saltedSum(Tables.lineitem(s, d), Seq("l_suppkey"), "l_quantity",
+        "sum_qty", saltBuckets = 16)
+    }),
+
+    // ---- sketch audit: HLL++ approximate distinct vs exact, with the
+    // tolerance check materialized as a column. HLL register-merge is
+    // order-independent, so the approximation is partitioning-stable.
+    "q74_hll_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.1).as("within_10pct"))
+    }),
+
+    // ---- Markov transitions: (prev event -> event) counts over each
+    // user's totally-ordered history — the sequence-model feature
+    // extraction shape (lag window keyed by user, then a cell count).
+    "q75_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q65_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+        |SELECT doc_id, tok, tf, df FROM (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok ASC) AS rn
+        |  FROM tf JOIN df ON tf.tok = df.tok)
+        |WHERE rn = 1""".stripMargin,
+
+    "q66_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v_old FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS v_new
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT COALESCE(old.k, neu.k) AS k,
+        |  CASE WHEN old.k IS NULL THEN 'added'
+        |       WHEN neu.k IS NULL THEN 'removed'
+        |       WHEN v_old <> v_new THEN 'changed' END AS change,
+        |  v_old, v_new
+        |FROM old FULL OUTER JOIN neu ON old.k = neu.k
+        |WHERE CASE WHEN old.k IS NULL THEN 'added'
+        |       WHEN neu.k IS NULL THEN 'removed'
+        |       WHEN v_old <> v_new THEN 'changed' END IS NOT NULL""".stripMargin,
+
+    "q67_scd2_snapshot" ->
+      """WITH dim AS (
+        |  SELECT f.emp_id, f.start_date, o.end_date FROM
+        |    (SELECT o_custkey AS emp_id,
+        |       min(CAST(o_orderdate AS DATE)) AS start_date
+        |     FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+        |  LEFT JOIN
+        |    (SELECT o_custkey AS emp_id,
+        |       min(CAST(o_orderdate AS DATE)) AS end_date
+        |     FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+        |  ON f.emp_id = o.emp_id),
+        |probes AS (SELECT CAST(unnest([
+        |  '1995-12-31', '1996-12-31', '1997-12-31', '1998-12-31',
+        |  '1999-12-31', '2000-12-31']) AS DATE) AS p)
+        |SELECT p AS snapshot_date, count(*) AS headcount
+        |FROM dim JOIN probes
+        |  ON start_date <= p AND (end_date IS NULL OR p < end_date)
+        |GROUP BY p""".stripMargin,
+
+    "q68_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev
+        |  JOIN s1 ON ev.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND ts_us > t1 GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev
+        |  JOIN s2 ON ev.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY ev.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_click,
+        |  (SELECT count(*) FROM s3) AS n_purchase""".stripMargin,
+
+    "q69_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev
+        |  GROUP BY user_id)
+        |SELECT epoch_us(cohort_wk) AS cohort_us,
+        |  CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE))
+        |    // 7 AS INT) AS week_offset,
+        |  count(*) AS users
+        |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q70_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, source, substr(text, 1, 40) AS p
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 20""".stripMargin,
+
+    "q71_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS redacted,
+        |  CAST(length(c_name)
+        |    - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT)
+        |    AS n_digits
+        |FROM customer""".stripMargin,
+
+    "q72_chunk_plan" ->
+      """SELECT source,
+        |  CAST(sum(chunks) AS BIGINT) AS total_chunks,
+        |  max(chunks) AS max_chunks, count(*) AS docs
+        |FROM (SELECT source,
+        |    CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT)
+        |      AS chunks
+        |  FROM documents)
+        |GROUP BY source""".stripMargin,
+
+    "q73_salted_agg" ->
+      """SELECT l_suppkey, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    // the oracle asserts the tolerance HOLDS — a sketch drifting past
+    // 10% on 150-cardinality groups would be a real defect
+    "q74_hll_audit" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_10pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q75_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n FROM seq
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin
+  )
+}
