@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Pass the forked process's stdout straight through (no [info] prefix)
 // so Bench's single JSON result line stays machine-parseable.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1,0 +1,14 @@
+package graft
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val s = Engine.session("timeq", "32")
+    try SparkEntry.entry(s).count() catch { case _: Throwable => () }
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(args(0))(s, sfDir).count()
+      println(f"run$i ${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    s.stop()
+  }
+}

@@ -138,8 +138,11 @@ object WarehouseQueries {
         col("doc_id").as("id_b"), col("p").as("p_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("p_a"), col("p_b")))
-        .filter(col("dist") <= 20)
+        // threshold form runs the banded O(n·k) DP and returns -1 past
+        // the bound — distances <= 20 are exact, so results match the
+        // oracle's unbounded levenshtein filtered to <= 20
+        .withColumn("dist", levenshtein(col("p_a"), col("p_b"), 20))
+        .filter(col("dist") >= 0)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
 
