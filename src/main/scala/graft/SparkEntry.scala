@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.SamplingQueries.queries ++
-      graft.queries.WarehouseQueries.queries
+      graft.queries.WarehouseQueries.queries ++
+      graft.queries.IncrementalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TextQueries.oracle ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.SamplingQueries.oracle ++
-      graft.queries.WarehouseQueries.oracle
+      graft.queries.WarehouseQueries.oracle ++
+      graft.queries.IncrementalQueries.oracle
 }
