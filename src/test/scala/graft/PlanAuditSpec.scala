@@ -20,6 +20,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  // formatted explain lists every operator once in the details section
+  // as "(n) Exchange" — count those, not the tree glyph lines
+  private def countExchanges(p: String): Int =
+    p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+
   test("q01: status filter is pushed to the parquet scan") {
     val p = plan("q01_filter_group_count")
     assert(p.contains("PushedFilters"), p)
@@ -84,5 +89,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .mkString("\n")
     assert(!ex.contains("text#"),
       s"shuffle must be keyed on the digest, not carry text:\n$ex")
+  }
+
+  test("q67: probe dates broadcast against the interval dim") {
+    // the tiny probe calendar must be the broadcast side; the dim (the
+    // 100 TB side) must never re-shuffle for the interval join
+    val p = plan("q67_scd2_snapshot")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop for calendar-vs-interval join:\n$p")
+  }
+
+  test("q73: salted aggregation is two exchanges, both hash-keyed") {
+    val p = plan("q73_salted_agg")
+    val exchanges = countExchanges(p)
+    assert(exchanges == 2,
+      s"salted agg = partial shuffle on (key, salt) + final on key:\n$p")
+  }
+
+  test("q77: incremental recombination keeps partial aggregates") {
+    val p = plan("q77_incremental_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"history/delta partials must map-side combine:\n$p")
+  }
+
+  test("q79: histogram aggregates map-side before one exchange") {
+    val p = plan("q79_histogram")
+    assert(countExchanges(p) == 1, s"single-shuffle histogram expected:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q65: tf-idf scan reads only doc_id and text") {
+    val p = plan("q65_tfidf_top")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"tf-idf must not read unused document columns: $read")
   }
 }
