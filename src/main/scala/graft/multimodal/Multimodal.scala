@@ -60,4 +60,43 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions(decoder.decode _)
   }
+
+  /** One sampled frame: 100-byte payload stripe `frame_idx` of the
+    * asset (the video-frame analog; the last stripe may be short). */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame extraction standing in for a video codec: frame i is
+    * payload bytes [i*100, (i+1)*100). Frame COUNT matches FakeDecoder
+    * (n/100 + 1). The real surface is the plumbing: per-partition byte
+    * slicing with no payload shuffle, one typed row per kept frame.
+    */
+  def sampleFrames(spark: SparkSession, assets: Dataset[Asset],
+                   everyK: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    assets.mapPartitions(_.flatMap { a =>
+      val n = a.payload.length
+      (0 to n / 100 by everyK).iterator.map { i =>
+        val from = math.min(i * 100, n)
+        val until = math.min(from + 100, n)
+        Frame(a.doc_id, i, java.util.Arrays.copyOfRange(a.payload, from, until))
+      }
+    })
+  }
+
+  /** STUB resize standing in for an image scaler: output payload is
+    * exactly `w*h` bytes (truncated or 0x20-padded). Deterministic, so
+    * downstream feature extraction stays oracle-checkable.
+    */
+  def resize(spark: SparkSession, assets: Dataset[Asset],
+             w: Int, h: Int): Dataset[Asset] = {
+    import spark.implicits._
+    require(w > 0 && h > 0, s"resize dims must be positive, got ${w}x$h")
+    assets.mapPartitions(_.map { a =>
+      val out = java.util.Arrays.copyOf(a.payload, w * h)
+      java.util.Arrays.fill(out, math.min(a.payload.length, w * h), w * h,
+        ' '.toByte)
+      a.copy(payload = out)
+    })
+  }
 }

@@ -193,6 +193,32 @@ object WarehouseQueries {
     // ---- Markov transitions: (prev event -> event) counts over each
     // user's totally-ordered history — the sequence-model feature
     // extraction shape (lag window keyed by user, then a cell count).
+    // ---- multimodal frame sampling: every-2nd 100-byte stripe of the
+    // binary payload, checksummed. Slicing happens per-partition off the
+    // scan (no payload shuffle); only (id, idx, md5) flows downstream.
+    "q81_frame_sample" -> ((s, d) => {
+      val assets = graft.multimodal.Multimodal
+        .toAssets(s, Tables.documents(s, d))
+      graft.multimodal.Multimodal.sampleFrames(s, assets, everyK = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+    }),
+
+    // ---- SQL API surface: the same engine driven through spark.sql
+    // over registered views — proves the catalog/view path, not just the
+    // DataFrame DSL
+    "q82_sql_api" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty
+        FROM v_orders JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority""")
+    }),
+
     "q75_transitions" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
@@ -323,6 +349,19 @@ object WarehouseQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q81_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(i * 100 + 1 AS INT), 100)) AS frame_md5
+        |FROM documents,
+        |  unnest(generate_series(0, length(text) // 100, 2)) AS t(i)""".stripMargin,
+
+    "q82_sql_api" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q75_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
