@@ -44,4 +44,14 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** JSON-lines export — the interchange format for downstream tools
+    * that don't read parquet (labeling UIs, quick CLI inspection). */
+  def overwriteJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC alternative columnar store: same overwrite semantics as
+    * parquet; useful when a downstream warehouse is ORC-native. */
+  def overwriteOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -19,6 +19,17 @@ object Sources {
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON-lines scan with explicit schema (no inference scan) — the
+    * ingest twin of `Sinks.overwriteJson`. */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC scan — columnar alternative, same vectorized-read posture as
+    * parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S2: newest-file-wins — the path under `dir` with the max modification
     * time (the reference's LastModified sort, distributed-FS-agnostic).
     */

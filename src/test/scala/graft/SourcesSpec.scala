@@ -63,6 +63,19 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.option("header", "true").csv(csvOut).count() == 1)
   }
 
+  test("json-lines and orc round-trip with explicit schemas") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val jOut = tmpDir().toString + "/j"
+    Sinks.overwriteJson(df, jOut)
+    val back = Sources.jsonLines(spark, jOut, df.schema)
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    val oOut = tmpDir().toString + "/o"
+    Sinks.overwriteOrc(df, oOut)
+    assert(Sources.orc(spark, oOut).count() == 2)
+  }
+
   test("streaming csv ingest: drops become micro-batches") {
     val dir = tmpDir()
     Files.writeString(new java.io.File(dir, "d1.csv").toPath,

@@ -68,6 +68,37 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window agg matches the batch q76 semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Imp] // ad_id doubles as the session key
+    val sessions = input.toDS()
+      .withWatermark("ts", "1 hour")
+      .groupBy($"ad_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"ad_id", $"session_window.start".as("start"),
+        $"session_window.end".as("end"), $"n")
+    val q = sessions.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Imp(1, t("2024-01-01 10:00:00")),
+        Imp(1, t("2024-01-01 10:20:00")), // merges: gap < 30 min
+        Imp(1, t("2024-01-01 11:30:00"))) // new session: gap >= 30 min
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit both sessions
+      input.addData(Imp(9, t("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssess").filter($"ad_id" === 1)
+        .orderBy($"start")
+        .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3)))
+      assert(got.toSeq == Seq(
+        (t("2024-01-01 10:00:00"), t("2024-01-01 10:50:00"), 2L),
+        (t("2024-01-01 11:30:00"), t("2024-01-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert maintains a keyed dim incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
