@@ -30,6 +30,19 @@ object AnalyticsQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // ---- explicit GROUPING SETS (the general form behind ROLLUP q39 /
+    // CUBE q48): two hand-picked grouping combinations in one pass
+    "q83_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               sum(l_quantity) AS sum_qty, count(*) AS cnt
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus))""")
+    }),
+
     // ---- pivot: one column per linestatus value (wide report shape);
     // Spark's pivot emits NULL for empty cells, as does FILTER(...)
     "q49_pivot" -> ((s, d) => {
@@ -90,6 +103,14 @@ object AnalyticsQueries {
         |  sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q83_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus))""".stripMargin,
 
     "q49_pivot" ->
       """SELECT l_returnflag,

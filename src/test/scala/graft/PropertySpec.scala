@@ -72,4 +72,23 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(saltS == plainS)
     }
   }
+
+  test("L1 histogram bound is sound: levenshtein >= L1(hist)/2") {
+    // the q70 prefilter discards pairs with L1 > 2k; if this invariant
+    // ever broke, true near-dups would silently vanish from the result
+    import spark.implicits._
+    graft.plans.L1DistanceI.register(spark)
+    val strGen = Gen.listOfN(2,
+      Gen.stringOfN(24, Gen.oneOf(('a' to 'f') :+ ' ')))
+    val pairs = samples(strGen, 60).map { case List(a, b) => (a, b) }
+    val df = pairs.toDF("a", "b")
+      .withColumn("ha", expr("transform(sequence(97, 122), c -> " +
+        "cast(length(a) - length(replace(a, char(c), '')) as int))"))
+      .withColumn("hb", expr("transform(sequence(97, 122), c -> " +
+        "cast(length(b) - length(replace(b, char(c), '')) as int))"))
+      .select(levenshtein(col("a"), col("b")).as("lev"),
+        expr("l1i(ha, hb)").as("l1"))
+    val violations = df.filter(col("lev") * 2 < col("l1")).count()
+    assert(violations == 0)
+  }
 }
