@@ -81,6 +81,39 @@ object AnalyticsQueries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // ---- array aggregation: collect_set sorted into a deterministic
+    // array column (nested output type through the parity gate)
+    "q84_collect_sorted" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- scalar string-function family over a codegen'd projection
+    "q85_string_fns" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_u"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+        reverse(col("c_name")).as("name_rev"),
+        substring(col("c_name"), 1, 8).as("name_pre"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        length(col("c_name")).as("name_len"))
+    }),
+
+    // ---- FILTER-clause conditional aggregation (SQL surface; the
+    // DataFrame twin is sum(when(...)))
+    "q86_filtered_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_li_fa")
+      s.sql("""
+        SELECT l_returnflag,
+          count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+          sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+          count(*) AS n_all
+        FROM v_li_fa GROUP BY l_returnflag""")
+    }),
+
     // ---- unpivot (melt): wide aggregate back to long form — Spark's
     // Dataset.unpivot vs a DuckDB UNION ALL of measure rows
     "q58_unpivot" -> ((s, d) => {
@@ -142,6 +175,29 @@ object AnalyticsQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q84_collect_sorted" ->
+      """SELECT l_returnflag,
+        |  list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q85_string_fns" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_u,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        |  reverse(c_name) AS name_rev,
+        |  substr(c_name, 1, 8) AS name_pre,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined,
+        |  CAST(length(c_name) AS INT) AS name_len
+        |FROM customer""".stripMargin,
+
+    "q86_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+        |  count(*) AS n_all
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q58_unpivot" ->
       """WITH wide AS (
