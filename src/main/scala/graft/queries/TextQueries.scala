@@ -44,9 +44,15 @@ object TextQueries {
     // real scale (same caveat as any all-pairs similarity).
     "q22_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // hash each trigram to 8 bytes BEFORE the first shuffle — the
+      // dedup + group-by exchanges then move longs, not ~20-char
+      // strings. Set-semantics are collision-bounded: 64-bit hashes at
+      // corpus trigram cardinality give ~1e-10 merge probability.
       val tri = Text.wordShingles(docs, "doc_id", "text", 3,
-          carryCols = Seq("lang", "source"))
-        .withColumnRenamed("sh", "tri")
+          dedup = false, carryCols = Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          xxhash64(col("sh")).as("tri"))
+        .distinct()
       val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = tri
         .groupBy(col("lang"), col("source"), col("tri"))
