@@ -56,4 +56,35 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exactByHash(empty, "text", "doc_id").count() == 0)
   }
+
+  test("saltedSum on empty input is empty; single hot key recombines") {
+    import graft.operators.Skew
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(Skew.saltedSum(empty, Seq("k"), "v", "s").count() == 0)
+    // one key, many rows: every salt bucket holds a partial; the final
+    // combine must reassemble the exact total
+    val hot = Seq.fill(1000)((7L, 3L)).toDF("k", "v")
+    val got = Skew.saltedSum(hot, Seq("k"), "v", "s").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 3000L)
+  }
+
+  test("sampleFrames on an empty payload still emits frame 0") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.toAssets(spark,
+      Seq((5L, "")).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(spark, assets, 1).collect()
+    // n/100 + 1 = 1 frame of zero bytes — matches FakeDecoder's count
+    assert(frames.length == 1 && frames.head.frame.isEmpty)
+  }
+
+  test("connectedComponents with a self-loop-only vertex labels itself") {
+    import graft.operators.Components
+    import spark.implicits._
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
 }
