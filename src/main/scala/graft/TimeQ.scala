@@ -1,6 +1,14 @@
 package graft
+
+/** Scratch per-query timing probe (not part of the driver contract):
+  * `runMain graft.TimeQ <queryName> [sfDir]` — 3 timed runs in one warm
+  * session, separating first-touch cost from steady state.
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty && SparkEntry.queries.contains(args(0)),
+      s"usage: TimeQ <queryName> [sfDir]; known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val s = Engine.session("timeq", "32")
     try SparkEntry.entry(s).count() catch { case _: Throwable => () }

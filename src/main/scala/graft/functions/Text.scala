@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** SQL snippet: 26-bin lowercase-letter histogram (array<int>) of
+    * string column `c`. Single source of truth for the q70 edit-distance
+    * prefilter and the PropertySpec soundness test that justifies it
+    * (`levenshtein >= l1i(hist_a, hist_b) / 2`) — the bound proof and
+    * the production filter must never drift apart.
+    */
+  def charHistogramSql(c: String): String =
+    s"transform(sequence(97, 122), ch -> " +
+      s"cast(length($c) - length(replace($c, char(ch), '')) as int))"
+
   /** Distinct word n-gram "shingles" per document: (idCol, sh).
     * Out-of-range token positions yield NULL and are skipped by concat_ws
     * (same as DuckDB list indexing), so short docs produce partial

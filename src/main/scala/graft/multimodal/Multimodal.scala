@@ -92,6 +92,10 @@ object Multimodal {
              w: Int, h: Int): Dataset[Asset] = {
     import spark.implicits._
     require(w > 0 && h > 0, s"resize dims must be positive, got ${w}x$h")
+    // w*h in int silently overflows (65536x65536 -> 0 -> every payload
+    // truncated to empty); validate the product in long arithmetic
+    require(w.toLong * h <= Int.MaxValue,
+      s"resize payload ${w}x$h exceeds max array size")
     assets.mapPartitions(_.map { a =>
       val out = java.util.Arrays.copyOf(a.payload, w * h)
       java.util.Arrays.fill(out, math.min(a.payload.length, w * h), w * h,

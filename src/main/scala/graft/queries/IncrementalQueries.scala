@@ -44,7 +44,11 @@ object IncrementalQueries {
         df.groupBy(col("l_suppkey"))
           .agg(sum(col("l_quantity")).as("p_qty"),
             count(lit(1)).as("p_cnt"))
-      val history = partial(li.filter(year(col("l_shipdate")) < 2000))
+      // the two partitions must be EXHAUSTIVE: a NULL shipdate fails both
+      // year comparisons, so history takes the null branch explicitly —
+      // otherwise those rows silently vanish from the recombined view
+      val history = partial(li.filter(col("l_shipdate").isNull
+        || year(col("l_shipdate")) < 2000))
       val delta = partial(li.filter(year(col("l_shipdate")) >= 2000))
       history.unionByName(delta)
         .groupBy(col("l_suppkey"))

@@ -35,8 +35,9 @@ object WarehouseQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // tf already holds one row per distinct (doc, token) — df falls
+      // out of it without re-scanning the corpus or a second distinct
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy((col("tf").cast("double") / col("df")).desc, col("tok").asc)
       tf.join(df, "tok")
@@ -140,9 +141,7 @@ object WarehouseQueries {
       // 26-bin lowercase-letter histogram of the prefix; the pair join
       // carries ONLY (id, hist) — prefix strings rejoin after the filter
       val hist = doc
-        .withColumn("hist", expr(
-          "transform(sequence(97, 122), c -> " +
-            "cast(length(p) - length(replace(p, char(c), '')) as int))"))
+        .withColumn("hist", expr(graft.functions.Text.charHistogramSql("p")))
         .drop("p")
       val a = hist.select(col("lang"), col("source"),
         col("doc_id").as("id_a"), col("hist").as("h_a"))

@@ -39,9 +39,7 @@ class L1DistanceSpec extends AnyFunSuite with SparkSpec {
     L1DistanceI.register(spark)
     val doc = Tables.documents(spark, sf).limit(50)
       .select(col("doc_id"),
-        expr("transform(sequence(97, 122), c -> " +
-          "cast(length(text) - length(replace(text, char(c), '')) as int))")
-          .as("h"))
+        expr(graft.functions.Text.charHistogramSql("text")).as("h"))
     val pairs = doc.select(col("doc_id").as("ia"), col("h").as("ha"))
       .crossJoin(doc.select(col("doc_id").as("ib"), col("h").as("hb")))
     val diff = pairs.select(
@@ -55,14 +53,13 @@ class L1DistanceSpec extends AnyFunSuite with SparkSpec {
   test("l1i runs inside a WholeStageCodegen span") {
     L1DistanceI.register(spark)
     val df = Tables.documents(spark, sf)
-      .select(expr("transform(sequence(97, 122), c -> " +
-        "cast(length(text) - length(replace(text, char(c), '')) as int))")
-        .as("h"))
+      .select(expr(graft.functions.Text.charHistogramSql("text")).as("h"))
       .select(expr("l1i(h, h)").as("d"))
+    // strict: the l1distancei call must appear INSIDE a codegen'd
+    // Project — a fallback to interpreted eval must fail this test
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("l1distancei") || plan.contains("L1DistanceI")
-      || plan.contains("*(1)"),
-      s"expected l1i in a codegen stage in:\n$plan")
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[l1distancei.*"),
+      s"expected l1i inside a WholeStageCodegen Project in:\n$plan")
     assert(df.agg(max("d")).collect().head.getLong(0) == 0L)
   }
 }

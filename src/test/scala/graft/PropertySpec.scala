@@ -82,10 +82,8 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       Gen.stringOfN(24, Gen.oneOf(('a' to 'f') :+ ' ')))
     val pairs = samples(strGen, 60).map { case List(a, b) => (a, b) }
     val df = pairs.toDF("a", "b")
-      .withColumn("ha", expr("transform(sequence(97, 122), c -> " +
-        "cast(length(a) - length(replace(a, char(c), '')) as int))"))
-      .withColumn("hb", expr("transform(sequence(97, 122), c -> " +
-        "cast(length(b) - length(replace(b, char(c), '')) as int))"))
+      .withColumn("ha", expr(graft.functions.Text.charHistogramSql("a")))
+      .withColumn("hb", expr(graft.functions.Text.charHistogramSql("b")))
       .select(levenshtein(col("a"), col("b")).as("lev"),
         expr("l1i(ha, hb)").as("l1"))
     val violations = df.filter(col("lev") * 2 < col("l1")).count()
