@@ -81,6 +81,22 @@ object AnalyticsQueries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // ---- argmin/argmax aggregates: min_by/max_by with a composite
+    // (value, key) ordering struct for total-order determinism — one
+    // aggregation pass instead of the window + filter-rank idiom (q06)
+    "q89_argmax" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey")))
+            .as("top_order"),
+          min_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey")))
+            .as("bottom_order"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // ---- array aggregation: collect_set sorted into a deterministic
     // array column (nested output type through the parity gate)
     "q84_collect_sorted" -> ((s, d) => {
@@ -175,6 +191,19 @@ object AnalyticsQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q89_argmax" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rd,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC) AS ra
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN rd = 1 THEN l_orderkey END) AS top_order,
+        |  min(CASE WHEN ra = 1 THEN l_orderkey END) AS bottom_order,
+        |  max(l_extendedprice) AS max_price
+        |FROM r GROUP BY l_returnflag""".stripMargin,
 
     "q84_collect_sorted" ->
       """SELECT l_returnflag,

@@ -97,6 +97,26 @@ object SamplingQueries {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // ---- triangle counting on the near-dup candidate graph: pairs
+    // sharing all three edges (a<b<c) — the density signal that tells a
+    // dedup pipeline whether clusters are cliques (true dup groups) or
+    // chains (LSH noise). Two self-joins on the (small) pair set, never
+    // on the corpus.
+    "q87_triangles" -> ((s, d) => {
+      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3,
+        dedup = false)
+      val sig = Text.minhashSignature(sh, "doc_id", 16)
+      val pairs = Text.lshCandidatePairs(
+        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e1 = pairs
+      val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("triangles"))
+    }),
+
     // ---- domain mixture report: token share per source and cumulative
     // share in contribution order — the "what fraction of the corpus do
     // the top-k domains supply" curve
@@ -184,6 +204,13 @@ object SamplingQueries {
         |    CAST(3000.0 AS DOUBLE) / src_tokens) * src_tokens) AS BIGINT)
         |    AS kept_tokens
         |FROM s""".stripMargin,
+
+    "q87_triangles" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql})
+        |SELECT count(*) AS triangles
+        |FROM pairs e1
+        |JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        |JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b""".stripMargin,
 
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),

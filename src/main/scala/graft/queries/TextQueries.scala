@@ -164,6 +164,34 @@ object TextQueries {
 
     // ---- document fingerprinting: exact digest + min-shingle (winnowing
     // -style) robust fingerprint
+    // ---- collocation mining: top-20 bigrams by lift (the PMI argument
+    // without the log — (cxy·N)/(cx·cy), a single division of exact
+    // integers, so ordering is bit-stable cross-engine). Corpus-scale
+    // shape: bigram emit is linear, all three count tables shuffle on
+    // token keys, the final ranking sees only cxy >= 5 survivors.
+    "q88_bigram_lift" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(tk) - 1, 1)), " +
+            "p -> struct(try_element_at(tk, p) AS w1, " +
+            "try_element_at(tk, p + 1) AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
+      val cxy = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cxy"))
+      val cx = bi.groupBy(col("w1")).agg(count(lit(1)).as("cx"))
+      val cy = bi.groupBy(col("w2")).agg(count(lit(1)).as("cy"))
+      val n = bi.agg(count(lit(1)).as("nn"))
+      cxy.filter(col("cxy") >= 5)
+        .join(cx, "w1").join(cy, "w2").crossJoin(broadcast(n))
+        .withColumn("lift",
+          (col("cxy") * col("nn")).cast("double") / (col("cx") * col("cy")))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+        .select(col("w1"), col("w2"), col("cxy"), col("lift"))
+    }),
+
     "q27_fingerprint" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val minSh = Text.charShingles(docs, "doc_id", "text", 8)
@@ -312,6 +340,24 @@ object TextQueries {
         |    + (uniq_tokens / n_tokens) * 0.3
         |    + (stop_hits / n_tokens) * 0.2) AS score
         |FROM t""".stripMargin,
+
+    "q88_bigram_lift" ->
+      """WITH bi AS (
+        |  SELECT tk[p] AS w1, tk[p+1] AS w2
+        |  FROM (SELECT tk, unnest(generate_series(1,
+        |      greatest(len(tk) - 1, 1))) AS p
+        |    FROM (SELECT string_split(text, ' ') AS tk FROM documents))
+        |  WHERE tk[p] IS NOT NULL AND tk[p+1] IS NOT NULL),
+        |cxy AS (SELECT w1, w2, count(*) AS cxy FROM bi GROUP BY 1, 2),
+        |cx AS (SELECT w1, count(*) AS cx FROM bi GROUP BY 1),
+        |cy AS (SELECT w2, count(*) AS cy FROM bi GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM bi)
+        |SELECT w1, w2, cxy,
+        |  CAST(cxy * nn AS DOUBLE) / (cx * cy) AS lift
+        |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2), n
+        |WHERE cxy >= 5
+        |ORDER BY lift DESC, w1 ASC, w2 ASC
+        |LIMIT 20""".stripMargin,
 
     "q27_fingerprint" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, p, 8) AS sh
