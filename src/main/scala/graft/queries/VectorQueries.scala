@@ -110,16 +110,21 @@ object VectorQueries {
     // candidate set; exact cosine filters inside buckets. The shuffle key
     // is a small int; vectors move once.
     "q30_embedding_neardup" -> ((s, d) => {
+      // norms precomputed per VECTOR (linear), not per pair (quadratic):
+      // sqrt(dotf(e,e)) yields the same double either way, so the
+      // division below is bit-identical to the all-per-pair oracle form
       val e = Tables.embeddings(s, d)
         .withColumn("bucket", Vectors.signBucket("embedding", 8))
+        .withColumn("nrm", Vectors.norm("embedding"))
       val a = e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("bucket"))
+        col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
       val b = e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("bucket").as("bucket_b"))
+        col("embedding").as("eb"), col("nrm").as("nb"),
+        col("bucket").as("bucket_b"))
       a.join(b, col("bucket") === col("bucket_b")
           && col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          Vectors.cosine("ea", "eb").as("cosine"))
+          (Vectors.dot("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.2)
     })
   )
