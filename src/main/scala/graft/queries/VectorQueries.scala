@@ -29,12 +29,16 @@ object VectorQueries {
     // broadcast 1-row query side, one codegen'd pass, no shuffle
     "q28_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // query norm computed ONCE in the broadcast 1-row frame — not per
+      // corpus row; dot/(norm*qn) is bit-identical to Vectors.cosine
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm("qe"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          Vectors.cosine("embedding", "qe").as("cosine"))
+          (Vectors.dot("embedding", "qe")
+            / (Vectors.norm("embedding") * col("qn"))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -46,10 +50,12 @@ object VectorQueries {
         .withColumn("bucket", Vectors.signBucket("embedding", 4))
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+        .withColumn("qn", Vectors.norm("qe"))
       e.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          Vectors.cosine("embedding", "qe").as("cosine"))
+          (Vectors.dot("embedding", "qe")
+            / (Vectors.norm("embedding") * col("qn"))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
@@ -67,6 +73,7 @@ object VectorQueries {
       val assign = Vectors.ivfAssign(e, "embedding", "vec_id", cents)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm("qe"))
       val qCluster = assign.filter(col("vec_id") === 0)
         .select(col("cid").as("qcid"))
       e.join(assign, "vec_id")
@@ -74,7 +81,8 @@ object VectorQueries {
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("cid"),
-          Vectors.cosine("embedding", "qe").as("cosine"))
+          (Vectors.dot("embedding", "qe")
+            / (Vectors.norm("embedding") * col("qn"))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
@@ -91,6 +99,7 @@ object VectorQueries {
       val assign = Vectors.ivfAssign(e, "embedding", "vec_id", cents)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm("qe"))
       val qprobe = q.crossJoin(broadcast(cents))
         .select(col("cid"), Vectors.dot("qe", "ce").as("dsim"))
         .orderBy(col("dsim").desc, col("cid").asc)
@@ -101,7 +110,8 @@ object VectorQueries {
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("cid"),
-          Vectors.cosine("embedding", "qe").as("cosine"))
+          (Vectors.dot("embedding", "qe")
+            / (Vectors.norm("embedding") * col("qn"))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(5)
     }),
