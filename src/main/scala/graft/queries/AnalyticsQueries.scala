@@ -81,6 +81,57 @@ object AnalyticsQueries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // ---- two-phase stats-then-apply: exact quartile edges computed
+    // once (percentile_disc — actual stored values, deterministic),
+    // broadcast to label every row. The 100 TB shape for data-driven
+    // binning: the stats pass aggregates to 1 row; the apply pass is
+    // map-only.
+    "q90_quantile_label" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val edges = o.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p75"))
+      o.crossJoin(broadcast(edges))
+        .select(col("o_totalprice"),
+          when(col("o_totalprice") <= col("p25"), "q1")
+            .when(col("o_totalprice") <= col("p50"), "q2")
+            .when(col("o_totalprice") <= col("p75"), "q3")
+            .otherwise("q4").as("quartile"))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // ---- NULL semantics end-to-end: NULL grouping keys form their own
+    // group, and the null-safe equality join (<=>) matches NULL to NULL
+    // — the cross-engine trap the determinism rules must survive
+    "q91_null_semantics" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"))
+      val left = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy(col("prio")).agg(count(lit(1)).as("nl"))
+      val right = o.filter(col("o_orderkey") % 2 === 1)
+        .groupBy(col("prio").as("prio_r")).agg(count(lit(1)).as("nr"))
+      left.join(right, col("prio") <=> col("prio_r"))
+        .select(col("prio"), col("nl"), col("nr"))
+    }),
+
+    // ---- regexp capture groups: split the customer key out of the
+    // formatted name with one codegen'd regexp_extract
+    "q92_regex_extract" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 1)
+          .as("name_part"),
+        regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 2)
+          .cast("long").as("key_part"))
+    }),
+
     // ---- argmin/argmax aggregates: min_by/max_by with a composite
     // (value, key) ordering struct for total-order determinism — one
     // aggregation pass instead of the window + filter-rank idiom (q06)
@@ -191,6 +242,43 @@ object AnalyticsQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    // quartile edge rule mirrors percentile_disc: smallest v with
+    // cume_dist >= p, via integer threshold arithmetic
+    "q90_quantile_label" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice) AS k,
+        |    count(*) OVER () AS n
+        |  FROM orders),
+        |e AS (SELECT
+        |    min(CASE WHEN k * 4 >= n * 1 THEN o_totalprice END) AS p25,
+        |    min(CASE WHEN k * 4 >= n * 2 THEN o_totalprice END) AS p50,
+        |    min(CASE WHEN k * 4 >= n * 3 THEN o_totalprice END) AS p75
+        |  FROM r)
+        |SELECT CASE WHEN o_totalprice <= p25 THEN 'q1'
+        |            WHEN o_totalprice <= p50 THEN 'q2'
+        |            WHEN o_totalprice <= p75 THEN 'q3'
+        |            ELSE 'q4' END AS quartile,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders, e
+        |GROUP BY 1""".stripMargin,
+
+    "q91_null_semantics" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders),
+        |l AS (SELECT prio, count(*) AS nl FROM o
+        |  WHERE o_orderkey % 2 = 0 GROUP BY prio),
+        |r AS (SELECT prio AS prio_r, count(*) AS nr FROM o
+        |  WHERE o_orderkey % 2 = 1 GROUP BY prio)
+        |SELECT prio, nl, nr FROM l JOIN r
+        |  ON prio IS NOT DISTINCT FROM prio_r""".stripMargin,
+
+    "q92_regex_extract" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 1) AS name_part,
+        |  CAST(regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 2) AS BIGINT)
+        |    AS key_part
+        |FROM customer""".stripMargin,
 
     "q89_argmax" ->
       """WITH r AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
