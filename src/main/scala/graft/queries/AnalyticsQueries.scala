@@ -148,6 +148,20 @@ object AnalyticsQueries {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // ---- frame-boundary value functions: first/last/nth over an
+    // explicit unbounded ROWS frame (last_value needs the full frame —
+    // the default frame stops at CURRENT ROW and silently returns the
+    // current row's value, a classic window pitfall)
+    "q94_frame_values" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        first(col("doc_id")).over(w).as("first_doc"),
+        last(col("doc_id")).over(w).as("last_doc"),
+        nth_value(col("doc_id"), 3).over(w).as("third_doc"))
+    }),
+
     // ---- array aggregation: collect_set sorted into a deterministic
     // array column (nested output type through the parity gate)
     "q84_collect_sorted" -> ((s, d) => {
@@ -292,6 +306,15 @@ object AnalyticsQueries {
         |  min(CASE WHEN ra = 1 THEN l_orderkey END) AS bottom_order,
         |  max(l_extendedprice) AS max_price
         |FROM r GROUP BY l_returnflag""".stripMargin,
+
+    "q94_frame_values" ->
+      """SELECT doc_id, source,
+        |  first_value(doc_id) OVER w AS first_doc,
+        |  last_value(doc_id) OVER w AS last_doc,
+        |  nth_value(doc_id, 3) OVER w AS third_doc
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "q84_collect_sorted" ->
       """SELECT l_returnflag,

@@ -67,6 +67,20 @@ object SamplingQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // ---- length-weighted deterministic sampling: P(keep) proportional
+    // to n_chars/max(n_chars). The uniform is an independent md5 digest
+    // window; the comparison is integer cross-multiplication (no
+    // division, no doubles). Stats pass -> broadcast max -> map-only
+    // keep decision, reproducible on any cluster.
+    "q93_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .filter(hashBucket(col("doc_id"), 17, 1000000) * col("mx")
+          < col("n_chars") * 1000000L)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // ---- domain token budgeting: cap every source at a fixed token
     // budget; rate = min(1, budget/tokens) is the per-source sampling
     // probability, kept_tokens its floor'd expectation — the "data
@@ -204,6 +218,12 @@ object SamplingQueries {
         |    CAST(3000.0 AS DOUBLE) / src_tokens) * src_tokens) AS BIGINT)
         |    AS kept_tokens
         |FROM s""".stripMargin,
+
+    "q93_weighted_sample" ->
+      s"""WITH mx AS (SELECT max(n_chars) AS mx FROM documents)
+        |SELECT doc_id, n_chars FROM documents, mx
+        |WHERE ${hashBucketSql("doc_id", 17, 1000000)} * mx
+        |  < n_chars * 1000000""".stripMargin,
 
     "q87_triangles" ->
       s"""WITH pairs AS (${TextQueries.minhashPairsSql})
