@@ -119,6 +119,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("join strategy hints are honored: shuffle_hash and merge") {
+    // at 100 TB the optimizer's stats can be wrong; hints are the
+    // escape hatch and must survive our session config (AQE on)
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val sh = li.join(o.hint("shuffle_hash"),
+      li("l_orderkey") === o("o_orderkey"))
+    assert(sh.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    val sm = li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+    assert(sm.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"), "merge hint ignored")
+  }
+
   test("q65: tf-idf scan reads only doc_id and text") {
     val p = plan("q65_tfidf_top")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

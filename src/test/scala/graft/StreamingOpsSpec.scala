@@ -99,6 +99,40 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null match after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val joined = imps.toDS().withWatermark("ts", "10 minutes")
+      .join(clks.toDS().withColumnRenamed("ad_id", "c_ad_id")
+          .withWatermark("cts", "10 minutes"),
+        expr("""ad_id = c_ad_id AND
+                cts >= ts AND cts <= ts + interval 30 minutes"""),
+        "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    try {
+      imps.addData(Imp(1, t("2024-01-01 10:00:00")), // will match
+        Imp(2, t("2024-01-01 10:00:00")))            // never matches
+      clks.addData(Clk(1, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // watermark must pass ts+30min on BOTH streams before the
+      // unmatched left row can be finalized as (imp, null)
+      imps.addData(Imp(9, t("2024-01-01 12:00:00")))
+      clks.addData(Clk(9, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      imps.addData(Imp(8, t("2024-01-01 13:00:00")))
+      clks.addData(Clk(8, t("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssleft")
+        .filter($"ad_id" === 1 || $"ad_id" === 2)
+        .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+      assert(got == Map(1L -> false, 2L -> true),
+        s"expected ad 1 matched, ad 2 null-finalized; got $got")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no dup/loss") {
     import graft.sources.Sources
     val base = java.nio.file.Files.createTempDirectory("ckpt")
