@@ -73,6 +73,41 @@ object CorpusQueries {
         .filter(col("n_docs") > 1)
     }),
 
+    // ---- the full curation pipeline composed end-to-end in ONE lazy
+    // plan: near-dup removal (LSH canonical survivors) → quality gate
+    // (repetition ratio, min length) → reproducible split assignment →
+    // per-split/source budget report. This is the actual 100 TB corpus
+    // job; every stage is an operator already verified in isolation
+    // (q38 / q54 / q59), so this asserts they COMPOSE.
+    "q95_corpus_pipeline" -> ((s, d) => {
+      import graft.functions.Text
+      val docs = Tables.documents(s, d)
+      // stage 1: canonical docs = those never appearing as the higher
+      // id of an LSH candidate pair
+      val sh = Text.wordShingles(docs, "doc_id", "text", 3, dedup = false)
+      val sig = Text.minhashSignature(sh, "doc_id", 16)
+      val pairs = Text.lshCandidatePairs(
+        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      val canonical = docs.join(pairs.select(col("doc_b")),
+        docs("doc_id") === col("doc_b"), "left_anti")
+      // stage 2: quality gate on token stats
+      val stats = canonical
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("n_tokens"))
+        .filter(col("n_tokens") >= 10
+          && col("mx") * 5 <= col("n_tokens")) // repetition <= 20%
+      // stage 3: reproducible split + budget report
+      canonical.join(stats, "doc_id")
+        .select(col("source"), col("n_tokens"),
+          when(expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) " +
+            "AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100") < 90,
+            lit("train")).otherwise(lit("eval")).as("split"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // ---- reserved-token scrub: count + redact configured tokens
     // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
     // real PII). Spark regexp_replace replaces all matches; DuckDB needs
@@ -131,6 +166,26 @@ object CorpusQueries {
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM documents
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q95_corpus_pipeline" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |canonical AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+        |stats AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS n_tokens FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM canonical) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id
+        |  HAVING sum(c) >= 10 AND max(c) * 5 <= sum(c))
+        |SELECT CASE WHEN CAST(concat('0x',
+        |    substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 100 < 90 THEN 'train' ELSE 'eval' END AS split,
+        |  c.source, count(*) AS n_docs,
+        |  CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+        |FROM canonical c JOIN stats s ON c.doc_id = s.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q56_scrub" ->
       """SELECT doc_id,
