@@ -28,6 +28,32 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSpec {
       .count(_.startsWith("kind=")) == 2)
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-dpp").toString + "/fact"
+    // partition values round-trip through directory names as INT — the
+    // dim key must match exactly, or the inserted cast defeats DPP
+    val fact = (1 to 1000).map(i => (i.toLong, i % 10))
+      .toDF("id", "part_key")
+    Sinks.overwritePartitioned(fact, path, Seq("part_key"))
+    // dim is filtered at runtime; the fact side has NO static filter on
+    // part_key — only DPP can avoid scanning all 10 partitions. The
+    // filtering side must itself be a file relation (DPP does not fire
+    // for in-memory LocalRelations), matching the real dim-table shape.
+    val dimPath = Files.createTempDirectory("graft-dpp").toString + "/dim"
+    (0 to 9).map(i => (i, s"d$i")).toDF("dk", "name")
+      .write.parquet(dimPath)
+    val joined = spark.read.parquet(path)
+      .join(spark.read.parquet(dimPath).filter($"name" === "d3"),
+        $"part_key" === $"dk")
+    // execute THIS frame (count() would plan a separate query), then
+    // inspect the finalized adaptive plan for the pruning subquery
+    assert(joined.collect().length == 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in:\n$plan")
+  }
+
   test("co-bucketed tables join without a shuffle") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
