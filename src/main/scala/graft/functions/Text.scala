@@ -113,6 +113,20 @@ object Text {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** The engine's standard near-dup candidate-pair config — word
+    * trigrams → MinHash(16) → LSH(4 bands × 4 rows) — pinned in ONE
+    * place. Four queries (q21 pairs, q38/q95 canonical corpus, q62
+    * clusters, q87 triangles) and the shared DuckDB oracle
+    * (`TextQueries.minhashPairsSql`) all assume exactly these
+    * parameters; change them here and the oracle together, nowhere else.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, 3, dedup = false)
+    lshCandidatePairs(lshBands(minhashSignature(sh, idCol, 16),
+      idCol, 4, 4), idCol)
+  }
+
   /** SimHash fingerprint: per-token md5 once, then `bits` conditional
     * ±1 sums in a single aggregation (no per-bit row explosion, one
     * shuffle of `bits` small ints per doc). Bit j of the digest is hex

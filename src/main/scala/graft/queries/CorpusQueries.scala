@@ -80,14 +80,10 @@ object CorpusQueries {
     // job; every stage is an operator already verified in isolation
     // (q38 / q54 / q59), so this asserts they COMPOSE.
     "q95_corpus_pipeline" -> ((s, d) => {
-      import graft.functions.Text
       val docs = Tables.documents(s, d)
       // stage 1: canonical docs = those never appearing as the higher
       // id of an LSH candidate pair
-      val sh = Text.wordShingles(docs, "doc_id", "text", 3, dedup = false)
-      val sig = Text.minhashSignature(sh, "doc_id", 16)
-      val pairs = Text.lshCandidatePairs(
-        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      val pairs = Text.candidatePairs(docs, "doc_id", "text")
       val canonical = docs.join(pairs.select(col("doc_b")),
         docs("doc_id") === col("doc_b"), "left_anti")
       // stage 2: quality gate on token stats
@@ -98,11 +94,12 @@ object CorpusQueries {
         .agg(max(col("c")).as("mx"), sum(col("c")).as("n_tokens"))
         .filter(col("n_tokens") >= 10
           && col("mx") * 5 <= col("n_tokens")) // repetition <= 20%
-      // stage 3: reproducible split + budget report
-      canonical.join(stats, "doc_id")
+      // stage 3: reproducible split + budget report. stats' doc_ids are
+      // already the canonical survivors, so joining the RAW docs table
+      // is row-identical and avoids planning the LSH subtree twice.
+      docs.join(stats, "doc_id")
         .select(col("source"), col("n_tokens"),
-          when(expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) " +
-            "AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100") < 90,
+          when(SamplingQueries.hashBucket(col("doc_id"), 1, 100) < 90,
             lit("train")).otherwise(lit("eval")).as("split"))
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))

@@ -32,11 +32,11 @@ object SamplingQueries {
     * string. `off` selects a digest window so different decisions (split
     * vs sample) use independent bits of the same digest.
     */
-  private def hashBucket(id: Column, off: Int, mod: Int): Column =
+  private[queries] def hashBucket(id: Column, off: Int, mod: Int): Column =
     expr(s"CAST(conv(substr(md5(CAST(CAST(${id} AS STRING) AS BINARY)), " +
       s"$off, 8), 16, 10) AS BIGINT) % $mod")
 
-  private def hashBucketSql(id: String, off: Int, mod: Int): String =
+  private[queries] def hashBucketSql(id: String, off: Int, mod: Int): String =
     s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), $off, 8)) " +
       s"AS BIGINT) % $mod"
 
@@ -102,11 +102,8 @@ object SamplingQueries {
     // when A,C never share a band — the grouping exact/pairwise dedup
     // cannot express. cluster = min doc_id of the group.
     "q62_dup_clusters" -> ((s, d) => {
-      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3,
-        dedup = false)
-      val sig = Text.minhashSignature(sh, "doc_id", 16)
-      val pairs = Text.lshCandidatePairs(
-        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      val pairs = Text.candidatePairs(Tables.documents(s, d), "doc_id",
+        "text")
       Components.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster"))
     }),
@@ -117,11 +114,8 @@ object SamplingQueries {
     // chains (LSH noise). Two self-joins on the (small) pair set, never
     // on the corpus.
     "q87_triangles" -> ((s, d) => {
-      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3,
-        dedup = false)
-      val sig = Text.minhashSignature(sh, "doc_id", 16)
-      val pairs = Text.lshCandidatePairs(
-        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      val pairs = Text.candidatePairs(Tables.documents(s, d), "doc_id",
+        "text")
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val e1 = pairs
       val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))

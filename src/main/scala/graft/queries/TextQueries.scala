@@ -27,12 +27,8 @@ object TextQueries {
 
     // ---- MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs
     // over word-trigram shingles
-    "q21_minhash_pairs" -> ((s, d) => {
-      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 3,
-        dedup = false)
-      val sig = Text.minhashSignature(sh, "doc_id", 16)
-      Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
-    }),
+    "q21_minhash_pairs" -> ((s, d) =>
+      Text.candidatePairs(Tables.documents(s, d), "doc_id", "text")),
 
     // ---- exact n-gram Jaccard within (lang, source) blocks. Instead of
     // a trigram self-join (sort-merge on wide string keys, two shuffles
@@ -97,10 +93,7 @@ object TextQueries {
     // (greedy keep-lowest; ids only, bodies untouched)
     "q38_neardup_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = Text.wordShingles(docs, "doc_id", "text", 3, dedup = false)
-      val sig = Text.minhashSignature(sh, "doc_id", 16)
-      val pairs = Text.lshCandidatePairs(
-        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+      val pairs = Text.candidatePairs(docs, "doc_id", "text")
       docs.join(pairs.select(col("doc_b")),
           docs("doc_id") === col("doc_b"), "left_anti")
         .select("doc_id", "lang", "source")
@@ -162,13 +155,12 @@ object TextQueries {
         .limit(20)
     }),
 
-    // ---- document fingerprinting: exact digest + min-shingle (winnowing
-    // -style) robust fingerprint
     // ---- collocation mining: top-20 bigrams by lift (the PMI argument
     // without the log — (cxy·N)/(cx·cy), a single division of exact
-    // integers, so ordering is bit-stable cross-engine). Corpus-scale
-    // shape: bigram emit is linear, all three count tables shuffle on
-    // token keys, the final ranking sees only cxy >= 5 survivors.
+    // integers, so ordering is bit-stable cross-engine). The corpus is
+    // scanned and exploded ONCE: marginals cx, cy, and the total nn are
+    // re-aggregations of the (small) bigram-count table, not fresh
+    // corpus passes.
     "q88_bigram_lift" -> ((s, d) => {
       val bi = Tables.documents(s, d)
         .select(split(col("text"), " ").as("tk"))
@@ -180,9 +172,9 @@ object TextQueries {
         .filter(col("w1").isNotNull && col("w2").isNotNull)
       val cxy = bi.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("cxy"))
-      val cx = bi.groupBy(col("w1")).agg(count(lit(1)).as("cx"))
-      val cy = bi.groupBy(col("w2")).agg(count(lit(1)).as("cy"))
-      val n = bi.agg(count(lit(1)).as("nn"))
+      val cx = cxy.groupBy(col("w1")).agg(sum(col("cxy")).as("cx"))
+      val cy = cxy.groupBy(col("w2")).agg(sum(col("cxy")).as("cy"))
+      val n = cxy.agg(sum(col("cxy")).as("nn"))
       cxy.filter(col("cxy") >= 5)
         .join(cx, "w1").join(cy, "w2").crossJoin(broadcast(n))
         .withColumn("lift",
@@ -192,6 +184,8 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("cxy"), col("lift"))
     }),
 
+    // ---- document fingerprinting: exact digest + min-shingle (winnowing
+    // -style) robust fingerprint
     "q27_fingerprint" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val minSh = Text.charShingles(docs, "doc_id", "text", 8)
