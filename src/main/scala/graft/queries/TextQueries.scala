@@ -184,6 +184,31 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("cxy"), col("lift"))
     }),
 
+    // ---- INCREMENTAL near-dup: probe only the incoming batch
+    // (doc_id % 10 == 0 stands in for today's drop) against the
+    // existing corpus via shared LSH band buckets. The at-scale daily
+    // path: new×corpus candidate pairs instead of corpus×corpus — the
+    // existing side's bands are a precomputed index in production, so
+    // per-day cost is proportional to the batch, not the corpus.
+    "q96_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bands = Text.lshBands(
+        Text.minhashSignature(
+          Text.wordShingles(docs, "doc_id", "text", 3, dedup = false),
+          "doc_id", 16),
+        "doc_id", 4, 4)
+      val incoming = bands.filter(col("doc_id") % 10 === 0)
+        .select(col("band"), col("h"), col("doc_id").as("new_id"))
+      val existing = bands.filter(col("doc_id") % 10 =!= 0)
+        .select(col("band").as("band_e"), col("h").as("h_e"),
+          col("doc_id").as("old_id"))
+      incoming.join(existing,
+          col("band") === col("band_e") && col("h") === col("h_e"))
+        .select(col("new_id"), col("old_id")).distinct()
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
+    }),
+
     // ---- document fingerprinting: exact digest + min-shingle (winnowing
     // -style) robust fingerprint
     "q27_fingerprint" -> ((s, d) => {
@@ -254,6 +279,29 @@ object TextQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q21_minhash_pairs" -> minhashPairsSql,
+
+    "q96_incremental_dedup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+        |    FROM toks)),
+        |hashed AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
+        |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
+        |  FROM sh),
+        |wide AS (SELECT doc_id,
+        |  ${minCols(16)}
+        |  FROM hashed GROUP BY doc_id),
+        |bh AS (
+        |  ${bandRows(4, 4)}),
+        |pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |  FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+        |SELECT new_id, count(*) AS n_dups, min(old_id) AS first_dup
+        |FROM pairs GROUP BY new_id""".stripMargin,
 
     "q38_neardup_dedup" ->
       s"""WITH pairs AS ($minhashPairsSql)
