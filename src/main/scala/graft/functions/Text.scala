@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Hot-shingle document-frequency cap for exact n-gram similarity
+    * (q22): a shingle shared by m docs inside one (lang, source) block
+    * emits C(m,2) candidate pairs from a single grouped row, so without
+    * a bound one stopword-ish trigram is a straggler/OOM task at scale.
+    * Shingles with block df above this cap are dropped BEFORE pair
+    * emission (they carry no similarity signal — every doc in the block
+    * has them), bounding per-row fan-out at C(HotDf,2) regardless of
+    * corpus clone density. Must match the oracle SQL's mirrored prune.
+    */
+  val HotDf: Int = 64
+
   /** SQL snippet: 26-bin lowercase-letter histogram (array<int>) of
     * string column `c`. Single source of truth for the q70 edit-distance
     * prefilter and the PropertySpec soundness test that justifies it

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * edge, i.e. constant per true component — and the constant is the
   * component min, since the min vertex labels itself.
   *
+  * Change DETECTION is accumulator-based, not join-based: each vertex's
+  * label is monotonically non-increasing across passes (a pass relabels
+  * x to the min of its merged local components, which include x's
+  * current label) and the vertex set is constant, so the label SUM
+  * strictly decreases until the fixed point. The sum is captured by a
+  * LongAccumulator folded into the pass's label materialization — no
+  * extra per-pass comparison job. Because accumulator updates can in
+  * principle double-count under task retry, sum-equality is treated as
+  * a fixed-point CANDIDATE and confirmed by the exact join check — one
+  * extra job per run (on the final pass), not one per pass.
+  *
   * Scale notes (100 TB): one shuffle of (long, long) pairs per pass;
   * document bodies never enter the computation. Per-partition state is
   * a hash map over the vertices of that partition — size
@@ -87,6 +98,18 @@ object Components {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = edges.sparkSession
     import spark.implicits._
+
+    // materialize a pass's labels while summing them into an
+    // accumulator — the sum rides the localCheckpoint job for free
+    def labelsWithSum(e: Dataset[(Long, Long)]): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator("graft.cc.labelSum")
+      val out = labelsOf(e).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, l) => acc.add(l); (id, l) })
+        .toDF("id", "label")
+        .localCheckpoint()
+      (out, acc.value)
+    }
+
     // symmetrize in one flat pass and materialize, so the (possibly
     // expensive) upstream pair pipeline runs exactly once; duplicate
     // edges are harmless to union-find, so no dedup shuffle
@@ -96,19 +119,26 @@ object Components {
       .as[(Long, Long)]
       .flatMap { case (s, t) => Iterator((s, t), (t, s)) }
       .localCheckpoint()
-    var labels = labelsOf(e).localCheckpoint()
+    var (labels, prevSum) = labelsWithSum(e)
 
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
       e = contract(e).localCheckpoint()
-      val next = labelsOf(e).localCheckpoint()
-      converged = next
-        .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
-          col("id") === col("pid"))
-        .filter(col("label") =!= col("plabel"))
-        .limit(1).count() == 0
+      val (next, nextSum) = labelsWithSum(e)
+      if (nextSum == prevSum) {
+        // candidate fixed point (labels are monotone, so equal sums can
+        // only mean "no label moved" — unless a task retry skewed the
+        // accumulator); confirm with the exact per-vertex check, which
+        // therefore runs once per call, not once per pass
+        converged = next
+          .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
+            col("id") === col("pid"))
+          .filter(col("label") =!= col("plabel"))
+          .limit(1).count() == 0
+      }
       labels = next
+      prevSum = nextSum
       rounds += 1
     }
     if (!converged)

@@ -124,12 +124,17 @@ object AnalyticsQueries {
     // ---- regexp capture groups: split the customer key out of the
     // formatted name with one codegen'd regexp_extract
     "q92_regex_extract" -> ((s, d) => {
+      // try_cast on both sides (oracle uses TRY_CAST): regexp_extract
+      // returns '' on a miss, and a plain cast of '' throws under ANSI
+      // in Spark while DuckDB CAST('' AS BIGINT) errors too — try_cast
+      // makes both engines degrade to NULL identically
       Tables.customer(s, d).select(
         col("c_custkey"),
         regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 1)
           .as("name_part"),
-        regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 2)
-          .cast("long").as("key_part"))
+        regexp_extract(col("c_name"), "([A-Za-z]+)#(\\d+)", 2).as("__k"))
+        .select(col("c_custkey"), col("name_part"),
+          expr("try_cast(__k AS BIGINT)").as("key_part"))
     }),
 
     // ---- argmin/argmax aggregates: min_by/max_by with a composite
@@ -163,11 +168,16 @@ object AnalyticsQueries {
     }),
 
     // ---- array aggregation: collect_set sorted into a deterministic
-    // array column (nested output type through the parity gate)
+    // array, then joined to a flat string for the parity gate (the
+    // driver's comparator can't hash array cells — round-2 verdict;
+    // the array construction is still exercised, only the compared
+    // column is scalar)
     "q84_collect_sorted" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
           count(lit(1)).as("cnt"))
     }),
 
@@ -290,7 +300,7 @@ object AnalyticsQueries {
     "q92_regex_extract" ->
       """SELECT c_custkey,
         |  regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 1) AS name_part,
-        |  CAST(regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 2) AS BIGINT)
+        |  TRY_CAST(regexp_extract(c_name, '([A-Za-z]+)#(\d+)', 2) AS BIGINT)
         |    AS key_part
         |FROM customer""".stripMargin,
 
@@ -318,7 +328,8 @@ object AnalyticsQueries {
 
     "q84_collect_sorted" ->
       """SELECT l_returnflag,
-        |  list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+        |  array_to_string(
+        |    list(DISTINCT l_linestatus ORDER BY l_linestatus), ',') AS statuses,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 

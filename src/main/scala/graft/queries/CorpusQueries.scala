@@ -99,7 +99,7 @@ object CorpusQueries {
       // is row-identical and avoids planning the LSH subtree twice.
       docs.join(stats, "doc_id")
         .select(col("source"), col("n_tokens"),
-          when(SamplingQueries.hashBucket(col("doc_id"), 1, 100) < 90,
+          when(SamplingQueries.hashBucket("doc_id", 1, 100) < 90,
             lit("train")).otherwise(lit("eval")).as("split"))
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))

@@ -68,13 +68,15 @@ object IncrementalQueries {
       val dupKeys = o.groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("c")).filter(col("c") > 1)
         .agg(count(lit(1)).as("dup_orderkeys"))
+      // coalesce matches the oracle's coalesce(sum(...), 0): on an empty
+      // table both engines emit 0, not a NULL/0 parity break
       val domain = li.agg(
-        sum(when(col("l_quantity") <= 0, 1).otherwise(0))
-          .as("bad_quantity"),
-        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
-          .otherwise(0)).as("bad_discount"),
-        sum(when(col("l_shipdate").isNull, 1).otherwise(0))
-          .as("null_shipdate"))
+        coalesce(sum(when(col("l_quantity") <= 0, 1).otherwise(0)),
+          lit(0L)).as("bad_quantity"),
+        coalesce(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
+          .otherwise(0)), lit(0L)).as("bad_discount"),
+        coalesce(sum(when(col("l_shipdate").isNull, 1).otherwise(0)),
+          lit(0L)).as("null_shipdate"))
       domain.crossJoin(orphans).crossJoin(dupKeys)
     }),
 

@@ -28,12 +28,24 @@ import graft.operators.Components
 object SamplingQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Degree cap for q87 triangle counting: vertices with more candidate
+    * edges than this are excluded (with their edges) before the wedge
+    * self-joins, bounding join fan-out at C(cap,2) per vertex instead
+    * of growing cubically with duplicate-cluster size. Mirrored in the
+    * oracle SQL.
+    */
+  val MaxTriangleDegree: Int = 30
+
   /** 0..99 bucket from 32 md5 bits of the id rendered as a decimal
     * string. `off` selects a digest window so different decisions (split
     * vs sample) use independent bits of the same digest.
+    *
+    * Takes a plain column NAME (mirroring [[hashBucketSql]]): the SQL
+    * fragment is built by string interpolation, and a derived Column's
+    * toString is not valid SQL — a name keeps the contract honest.
     */
-  private[queries] def hashBucket(id: Column, off: Int, mod: Int): Column =
-    expr(s"CAST(conv(substr(md5(CAST(CAST(${id} AS STRING) AS BINARY)), " +
+  private[queries] def hashBucket(id: String, off: Int, mod: Int): Column =
+    expr(s"CAST(conv(substr(md5(CAST(CAST($id AS STRING) AS BINARY)), " +
       s"$off, 8), 16, 10) AS BIGINT) % $mod")
 
   private[queries] def hashBucketSql(id: String, off: Int, mod: Int): String =
@@ -47,8 +59,8 @@ object SamplingQueries {
     "q59_split_assign" -> ((s, d) => {
       Tables.documents(s, d)
         .select(
-          when(hashBucket(col("doc_id"), 1, 100) < 80, lit("train"))
-            .when(hashBucket(col("doc_id"), 1, 100) < 90, lit("val"))
+          when(hashBucket("doc_id", 1, 100) < 80, lit("train"))
+            .when(hashBucket("doc_id", 1, 100) < 90, lit("val"))
             .otherwise(lit("test")).as("split"),
           size(split(col("text"), " ")).as("toks"))
         .groupBy(col("split"))
@@ -61,7 +73,7 @@ object SamplingQueries {
     // independent hash window. Emits the sampled docs themselves.
     "q60_stratified_sample" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("__b", hashBucket(col("doc_id"), 9, 10))
+        .withColumn("__b", hashBucket("doc_id", 9, 10))
         .filter(col("__b") <
           when(col("lang") === "en", lit(2)).otherwise(lit(5)))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -76,7 +88,7 @@ object SamplingQueries {
       val docs = Tables.documents(s, d)
       val mx = docs.agg(max(col("n_chars")).as("mx"))
       docs.crossJoin(broadcast(mx))
-        .filter(hashBucket(col("doc_id"), 17, 1000000) * col("mx")
+        .filter(hashBucket("doc_id", 17, 1000000) * col("mx")
           < col("n_chars") * 1000000L)
         .select(col("doc_id"), col("n_chars"))
     }),
@@ -111,16 +123,30 @@ object SamplingQueries {
     // ---- triangle counting on the near-dup candidate graph: pairs
     // sharing all three edges (a<b<c) — the density signal that tells a
     // dedup pipeline whether clusters are cliques (true dup groups) or
-    // chains (LSH noise). Two self-joins on the (small) pair set, never
-    // on the corpus.
+    // chains (LSH noise). The self-join fan-out is BOUNDED before it
+    // happens: vertices whose degree exceeds MaxTriangleDegree are
+    // dropped with all their edges (a hub that hot is LSH noise or a
+    // mega-clone cluster — its density verdict is already known without
+    // enumerating C(deg,2) wedges), so the wedge join emits at most
+    // MaxTriangleDegree wedges per (edge, vertex) instead of growing
+    // cubically with clone multiplicity. Degrees are a tiny per-vertex
+    // aggregate of the pair set — both prune joins broadcast.
     "q87_triangles" -> ((s, d) => {
       val pairs = Text.candidatePairs(Tables.documents(s, d), "doc_id",
         "text")
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val e1 = pairs
-      val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))
-      val e3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
-      e1.join(e2, col("b") === col("b2"))
+      val deg = pairs.select(col("a").as("v"))
+        .unionAll(pairs.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = broadcast(
+        deg.filter(col("deg") <= MaxTriangleDegree).select(col("v")))
+      val e = pairs
+        .join(keep.select(col("v").as("a")), "a")
+        .join(keep.select(col("v").as("b")), "b")
+        .select(col("a"), col("b"))
+      val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+      e.join(e2, col("b") === col("b2"))
         .join(e3, col("a") === col("a3") && col("c") === col("c3"))
         .agg(count(lit(1)).as("triangles"))
     }),
@@ -220,11 +246,18 @@ object SamplingQueries {
         |  < n_chars * 1000000""".stripMargin,
 
     "q87_triangles" ->
-      s"""WITH pairs AS (${TextQueries.minhashPairsSql})
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |    SELECT doc_a AS v FROM pairs
+        |    UNION ALL SELECT doc_b FROM pairs) GROUP BY v),
+        |keep AS (SELECT v FROM deg WHERE deg <= $MaxTriangleDegree),
+        |e AS (SELECT doc_a, doc_b FROM pairs
+        |  JOIN keep ka ON ka.v = pairs.doc_a
+        |  JOIN keep kb ON kb.v = pairs.doc_b)
         |SELECT count(*) AS triangles
-        |FROM pairs e1
-        |JOIN pairs e2 ON e1.doc_b = e2.doc_a
-        |JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b""".stripMargin,
+        |FROM e e1
+        |JOIN e e2 ON e1.doc_b = e2.doc_a
+        |JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b""".stripMargin,
 
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),

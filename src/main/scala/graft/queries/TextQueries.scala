@@ -34,25 +34,42 @@ object TextQueries {
     // a trigram self-join (sort-merge on wide string keys, two shuffles
     // of the exploded frame), group each trigram's doc list once and
     // emit ordered pairs in-row: one shuffle of the trigrams, then a
-    // shuffle of id-pairs only. Skew note: a trigram shared by m docs in
-    // a block emits C(m,2) pairs from one row — identical pair volume to
-    // the join, but hot trigrams should be stopword-pruned upstream at
-    // real scale (same caveat as any all-pairs similarity).
+    // shuffle of id-pairs only. Skew bound is ENFORCED, not advisory:
+    // a trigram shared by m docs in a block emits C(m,2) pairs from one
+    // grouped row, so trigrams with block document-frequency > HotDf are
+    // dropped before pair emission (stopword-ish shingles carry no
+    // similarity signal anyway). Per-doc counts `n` are taken over the
+    // same pruned universe, so the Jaccard stays internally consistent —
+    // and the worst per-row fan-out is C(HotDf,2), independent of corpus
+    // clone density. The oracle mirrors the prune exactly.
     "q22_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // hash each trigram to 8 bytes BEFORE the first shuffle — the
       // dedup + group-by exchanges then move longs, not ~20-char
-      // strings. Set-semantics are collision-bounded: 64-bit hashes at
-      // corpus trigram cardinality give ~1e-10 merge probability.
+      // strings. Collision caveat: with ~1e12 distinct trigrams at
+      // 100 TB, 64-bit hashing expects tens of thousands of colliding
+      // trigram PAIRS by the birthday bound (~n^2/2^65) — vanishing as
+      // a fraction of set sizes (any one doc's Jaccard moves by at most
+      // a few shingles) but not "probability ~0"; switch `tri` to
+      // md5(sh) (128-bit) if exact set semantics at full scale matter
+      // more than shuffling 8-byte keys.
       val tri = Text.wordShingles(docs, "doc_id", "text", 3,
           dedup = false, carryCols = Seq("lang", "source"))
         .select(col("doc_id"), col("lang"), col("source"),
           xxhash64(col("sh")).as("tri"))
         .distinct()
-      val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = tri
+      // one grouped pass serves both the df prune and pair emission;
+      // `n` re-derives per-doc set sizes from the pruned groups (ids
+      // are longs — re-exploding them is cheaper than a second shuffle
+      // of the full trigram frame)
+      val grouped = tri
         .groupBy(col("lang"), col("source"), col("tri"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= Text.HotDf)
+      val n = grouped
+        .select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = grouped
         .filter(size(col("ids")) > 1)
         .select(explode(expr(
           """flatten(transform(ids, (a, i) ->
@@ -309,13 +326,18 @@ object TextQueries {
         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin,
 
     "q22_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, lang, source,
+      s"""WITH toks AS (SELECT doc_id, lang, source,
         |    string_split(text, ' ') AS tk FROM documents),
-        |tri AS (SELECT DISTINCT doc_id, lang, source,
+        |tri0 AS (SELECT DISTINCT doc_id, lang, source,
         |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS tri
         |  FROM (SELECT doc_id, lang, source, tk,
         |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
         |    FROM toks)),
+        |df AS (SELECT lang, source, tri, count(*) AS df
+        |  FROM tri0 GROUP BY 1, 2, 3),
+        |tri AS (SELECT t.doc_id, t.lang, t.source, t.tri
+        |  FROM tri0 t JOIN df USING (lang, source, tri)
+        |  WHERE df.df <= ${graft.functions.Text.HotDf}),
         |n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    count(*) AS inter
