@@ -307,6 +307,27 @@ object Relational {
           col("asof_event_id"))
     }),
 
+    // ---- batch twin of the STREAMING as-of enrichment
+    // (graft.streaming.AsOfEnrich): each purchase carries the VALUE of
+    // the latest prior click by the same user — the "current dim
+    // version at event time" lookup, with a payload column instead of
+    // an id. AsOfEnrich's flatMapGroupsWithState path is asserted
+    // equal to this operator in StreamingOpsSpec; this row gives the
+    // semantics a DuckDB oracle. value is emitted raw (no arithmetic),
+    // so the double survives the hash gate.
+    "q98_asof_value" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value"))
+      graft.operators.AsOf.join(purchases, clicks, "user_id", "ts_us",
+          "value", "event_id")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_value"))
+    }),
+
     // ---- non-equi range join: quantity binned against an interval
     // table (tiny side broadcast -> nested-loop; the at-scale shape for
     // band/bin joins)
@@ -550,6 +571,22 @@ object Relational {
         |      ORDER BY sg.ts_us DESC, sg.event_id DESC) AS rn
         |  FROM p LEFT JOIN sg
         |    ON p.user_id = sg.user_id AND sg.ts_us <= p.ts_us)
+        |WHERE rn = 1""".stripMargin,
+
+    "q98_asof_value" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT user_id, ts_us, event_id FROM ev
+        |  WHERE event_type = 'purchase'),
+        |dm AS (SELECT user_id, ts_us, event_id, value FROM ev
+        |  WHERE event_type = 'click')
+        |SELECT user_id, event_id, ts_us, asof_value FROM (
+        |  SELECT p.user_id, p.event_id, p.ts_us,
+        |    dm.value AS asof_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY dm.ts_us DESC, dm.event_id DESC) AS rn
+        |  FROM p LEFT JOIN dm
+        |    ON p.user_id = dm.user_id AND dm.ts_us <= p.ts_us)
         |WHERE rn = 1""".stripMargin,
 
     "q44_range_join" ->

@@ -151,6 +151,35 @@ object SamplingQueries {
         .agg(count(lit(1)).as("triangles"))
     }),
 
+    // ---- weighted mixture SAMPLING to a target distribution: where
+    // q61/q63 only report the mix, this materializes it — every source
+    // is sampled down to an equal token share of a fixed total budget
+    // (uniform target; a non-uniform target is the same plan with a
+    // broadcast weights table in place of n_src). Per-doc keep decision
+    // is the q93 idiom: md5-bucket cross-multiplied against the
+    // per-source rate in INTEGER arithmetic — rate_s = min(1,
+    // budget/(n_src·tokens_s)), keep iff bucket·n_src·tokens_s <
+    // budget·1e6, no doubles, no rand(), same doc kept on any cluster.
+    // Stats pass aggregates to one row per source (tiny, broadcast);
+    // the keep decision is then a stateless map over the corpus — the
+    // actual training-mix materialization shape at 100 TB.
+    "q99_mixture_sample" -> ((s, d) => {
+      val budget = 50000L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("toks"))
+      val srcTok = docs.groupBy(col("source"))
+        .agg(sum(col("toks")).as("src_tokens"))
+      val nSrc = srcTok.agg(count(lit(1)).as("n_src"))
+      docs.join(broadcast(srcTok), "source")
+        .crossJoin(broadcast(nSrc))
+        .filter(hashBucket("doc_id", 25, 1000000)
+          * col("n_src") * col("src_tokens") < lit(budget) * 1000000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("toks")).as("kept_tokens"))
+    }),
+
     // ---- domain mixture report: token share per source and cumulative
     // share in contribution order — the "what fraction of the corpus do
     // the top-k domains supply" curve
@@ -244,6 +273,19 @@ object SamplingQueries {
         |SELECT doc_id, n_chars FROM documents, mx
         |WHERE ${hashBucketSql("doc_id", 17, 1000000)} * mx
         |  < n_chars * 1000000""".stripMargin,
+
+    "q99_mixture_sample" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS toks FROM documents),
+        |s AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens
+        |  FROM t GROUP BY source),
+        |n AS (SELECT count(*) AS n_src FROM s)
+        |SELECT t.source, count(*) AS n_docs_kept,
+        |  CAST(sum(t.toks) AS BIGINT) AS kept_tokens
+        |FROM t JOIN s ON t.source = s.source, n
+        |WHERE ${hashBucketSql("doc_id", 25, 1000000)}
+        |  * n.n_src * s.src_tokens < CAST(50000 AS BIGINT) * 1000000
+        |GROUP BY t.source""".stripMargin,
 
     "q87_triangles" ->
       s"""WITH pairs AS (${TextQueries.minhashPairsSql}),

@@ -139,8 +139,12 @@ object WarehouseQueries {
         .select(col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 40).as("p"))
       // 26-bin lowercase-letter histogram of the prefix; the pair join
-      // carries ONLY (id, hist) — prefix strings rejoin after the filter
+      // carries ONLY (id, hist) — prefix strings rejoin after the filter.
+      // Repartitioned by block key first so the quadratic l1i stage runs
+      // at full parallelism even off a single-file scan (a broadcast
+      // pair join would otherwise inherit the scan's 1-2 partitions)
       val hist = doc
+        .repartition(col("lang"), col("source"))
         .withColumn("hist", expr(graft.functions.Text.charHistogramSql("p")))
         .drop("p")
       val a = hist.select(col("lang"), col("source"),
@@ -157,7 +161,81 @@ object WarehouseQueries {
           "id_a")
         .join(doc.select(col("doc_id").as("id_b"), col("p").as("p_b")),
           "id_b")
-        .withColumn("dist", levenshtein(col("p_a"), col("p_b"), 10))
+        // equality fast-path: lev(a,a)=0, so identical prefixes (the
+        // bulk of survivors on duplicate-heavy corpora) skip the DP
+        .withColumn("dist",
+          when(col("p_a") === col("p_b"), lit(0))
+            .otherwise(levenshtein(col("p_a"), col("p_b"), 10)))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
+    // ---- q70 generalized: edit-distance near-dup over FULL texts with
+    // length-band blocking instead of a fixed 40-char prefix. Soundness
+    // of the banding: levenshtein(a,b) >= |len(a)-len(b)|, so pairs
+    // within k=10 edits differ by <= 10 chars of length; with band
+    // width 16 > 10 such pairs sit in the same or adjacent bands, and
+    // replicating ONE side to bands {b-1, b, b+1} covers both cases.
+    // Each unordered pair matches in exactly one (left, right) role
+    // after the id_a < id_b filter — same-band pairs match in both
+    // roles (the id filter keeps one), adjacent-band pairs match in one
+    // role per direction (ditto) — so no dedup shuffle is needed. The
+    // L1-histogram prefilter (levenshtein >= l1i/2, PropertySpec) then
+    // prunes survivors before any DP; the pair join carries (id, hist)
+    // only, texts rejoin last. This is the 100 TB shape: blocks bound
+    // pair volume by (block size)², and band width tracks the edit
+    // budget rather than a corpus-specific prefix length.
+    "q97_edit_banded" -> ((s, d) => {
+      val bw = 16 // band width; must exceed the edit budget k=10
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          length(col("text")).as("len"),
+          expr(s"length(text) div $bw").as("band"))
+      // repartition by block key BEFORE the per-doc histogram: the
+      // 26-replace histogram and the downstream per-pair work then run
+      // at full parallelism even when the scan is a single small file
+      // (a broadcast join would otherwise inherit the scan's 1-2
+      // partitions and serialize the whole pipeline), and blocks are
+      // co-located for the join
+      val hist = doc
+        .repartition(col("lang"), col("source"), col("band"))
+        .withColumn("hist",
+          expr(graft.functions.Text.charHistogramSql("text")))
+        .select(col("doc_id"), col("lang"), col("source"), col("len"),
+          col("band"), col("hist"))
+      // rename EVERY column on each side: self-join column refs like
+      // a("lang") === b("lang") resolve to the same attribute and
+      // silently become trivially-true predicates
+      val a = hist.select(col("lang").as("lang_a"),
+        col("source").as("src_a"),
+        col("doc_id").as("id_a"), col("len").as("len_a"),
+        col("band").as("band_a"), col("hist").as("h_a"))
+      val b = hist
+        .select(col("lang").as("lang_b"), col("source").as("src_b"),
+          col("doc_id").as("id_b"),
+          col("len").as("len_b"), col("hist").as("h_b"),
+          explode(array(col("band") - 1, col("band"),
+            col("band") + 1)).as("probe"))
+      val candidates = a
+        .join(b, col("lang_a") === col("lang_b")
+          && col("src_a") === col("src_b")
+          && col("band_a") === col("probe"))
+        .filter(col("id_a") < col("id_b")
+          && abs(col("len_a") - col("len_b")) <= 10)
+        .filter(expr("l1i(h_a, h_b)") <= 20)
+        .select(col("id_a"), col("id_b"))
+      // equality fast-path before the DP: on a high-duplicate corpus
+      // most survivors are byte-identical clones (225k of 226k at the
+      // 10× smoke), and lev(a,a)=0 by definition — one memcmp replaces
+      // an O(n·k) DP for those, leaving the DP only for true near-dups
+      candidates
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+        .withColumn("dist",
+          when(col("t_a") === col("t_b"), lit(0))
+            .otherwise(levenshtein(col("t_a"), col("t_b"), 10)))
         .filter(col("dist") >= 0)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
@@ -336,6 +414,21 @@ object WarehouseQueries {
         |FROM d a JOIN d b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 10""".stripMargin,
+
+    "q97_edit_banded" ->
+      """WITH d AS (SELECT doc_id, lang, source, text, length(text) AS len,
+        |    length(text) // 16 AS band FROM documents),
+        |r AS (SELECT doc_id, lang, source, text, len,
+        |    unnest([band - 1, band, band + 1]) AS probe FROM d),
+        |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |    l.text AS t_a, r.text AS t_b
+        |  FROM d l JOIN r
+        |    ON l.lang = r.lang AND l.source = r.source
+        |      AND l.band = r.probe
+        |      AND l.doc_id < r.doc_id AND abs(l.len - r.len) <= 10)
+        |SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INT) AS dist
+        |FROM cand
+        |WHERE levenshtein(t_a, t_b) <= 10""".stripMargin,
 
     "q71_pii_redact" ->
       """SELECT c_custkey,

@@ -8,11 +8,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * (`clean_load_2_tf_staging.py:92-100`); dims are appends. Here the
   * primary store is parquet (columnar, vectorized reads, partition
   * pruning); `SaveMode.Overwrite` subsumes the explicit TRUNCATE step
-  * (S9). JDBC remains the same `df.write.format("jdbc")` call shape —
-  * not constructable in this container (no database), so parquet/csv are
-  * the tested paths.
+  * (S9). JDBC keeps the same `df.write.format("jdbc")` call shape as the
+  * reference and is integration-tested against embedded Derby (JdbcSpec)
+  * — the same code path a Postgres deployment uses, minus the network.
   */
 object Sinks {
+
+  /** JDBC truncate-and-reload (the reference's staging-table write,
+    * `clean_load_2_tf_staging.py:92-100`): drop/recreate (or truncate,
+    * when the dialect supports it) then load. One connection per
+    * partition — size `df` partitions to the DB's write concurrency.
+    */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .save()
+
+  /** JDBC append (dim accretion, `merge2_tf_dim_staging.py:58`). */
+  def jdbcAppend(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .save()
 
   /** S5: overwrite (staging truncate-and-reload semantics). */
   def overwriteParquet(df: DataFrame, path: String): Unit =

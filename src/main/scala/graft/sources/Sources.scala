@@ -74,8 +74,9 @@ object Sources {
   /** S3: JDBC scan. Same call shape as the reference's `read.jdbc`
     * (`merge2_tf_dim_staging.py:27,30`) but with partitioned reads — the
     * reference's single-partition whole-table pulls serialize on one
-    * executor. No database ships in this container, so this is the
-    * documented wiring (compile-checked, not integration-tested).
+    * executor. Integration-tested against embedded Derby (JdbcSpec):
+    * write → partitioned read → upsert → read round-trip, the exact
+    * path a Postgres deployment exercises.
     */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,

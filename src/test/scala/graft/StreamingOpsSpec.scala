@@ -17,6 +17,8 @@ import graft.operators.Merge
 case class Imp(ad_id: Long, ts: Timestamp)
 case class Clk(ad_id: Long, cts: Timestamp)
 case class Upd(emp_id: Long, salary: Long, ts: Timestamp)
+case class DimU(key: Long, ts: Timestamp, value: Double)
+case class EvT(key: Long, ts: Timestamp, eventId: Long)
 
 class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
 
@@ -130,6 +132,59 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
       assert(got == Map(1L -> false, 2L -> true),
         s"expected ad 1 matched, ad 2 null-finalized; got $got")
+    } finally q.stop()
+  }
+
+  test("streaming as-of enrichment: latest dim version at event time") {
+    import spark.implicits._
+    import graft.streaming.AsOfEnrich
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[EvT]
+    val dms = MemoryStream[DimU]
+    val out = AsOfEnrich.enrich(
+      evs.toDF().withColumnRenamed("eventId", "eventId"),
+      dms.toDF(), "10 seconds")
+    val q = out.writeStream.format("memory").queryName("asofenr")
+      .outputMode("append").start()
+    try {
+      // batch 1: one version, one event after it, one before any version
+      dms.addData(DimU(1, t("2024-01-01 10:00:00"), 100.0))
+      evs.addData(EvT(1, t("2024-01-01 10:05:00"), 1),
+        EvT(1, t("2024-01-01 09:55:00"), 0))
+      q.processAllAvailable()
+      // batch 2: out-of-order version (10:06 after 10:10 is seen in the
+      // same batch) plus an event between them; e1 must NOT see 10:06
+      dms.addData(DimU(1, t("2024-01-01 10:10:00"), 200.0),
+        DimU(1, t("2024-01-01 10:06:00"), 150.0))
+      evs.addData(EvT(1, t("2024-01-01 10:12:00"), 2),
+        EvT(1, t("2024-01-01 10:07:00"), 4))
+      q.processAllAvailable()
+      // flush: push the watermark past every pending event
+      dms.addData(DimU(1, t("2024-01-01 10:30:00"), 300.0))
+      q.processAllAvailable()
+      val got = spark.table("asofenr")
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(got == Map(0L -> None, 1L -> Some(100.0),
+        4L -> Some(150.0), 2L -> Some(200.0)), s"got $got")
+
+      // batch twin: AsOf.join over the same rows must agree event-wise
+      val evB = Seq((1L, t("2024-01-01 10:05:00").getTime, 1L),
+        (1L, t("2024-01-01 09:55:00").getTime, 0L),
+        (1L, t("2024-01-01 10:12:00").getTime, 2L),
+        (1L, t("2024-01-01 10:07:00").getTime, 4L))
+        .toDF("key", "tm", "eventId")
+      val dmB = Seq((1L, t("2024-01-01 10:00:00").getTime, 100.0),
+        (1L, t("2024-01-01 10:10:00").getTime, 200.0),
+        (1L, t("2024-01-01 10:06:00").getTime, 150.0),
+        (1L, t("2024-01-01 10:30:00").getTime, 300.0))
+        .toDF("key", "tm", "value")
+      val batch = graft.operators.AsOf
+        .join(evB, dmB, "key", "tm", "value", "value")
+        .collect().map(r => r.getLong(r.fieldIndex("eventId")) ->
+          (if (r.isNullAt(r.fieldIndex("asof_value"))) None
+           else Some(r.getDouble(r.fieldIndex("asof_value"))))).toMap
+      assert(batch == got, s"streaming $got != batch $batch")
     } finally q.stop()
   }
 
