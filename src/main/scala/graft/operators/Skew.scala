@@ -45,4 +45,25 @@ object Skew {
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 outCol: String, saltBuckets: Int = 16): DataFrame =
     salted(df, keys, outCol, saltBuckets, sum(col(valueCol)), sum)
+
+  /** Skew-resilient equi-join: the fact side is salted into
+    * `saltBuckets` sub-keys, the dim side replicated once per salt, and
+    * the join runs on (key, salt) — so a hot key's rows spread over
+    * `saltBuckets` reducers instead of pinning one. Row-identical to
+    * the plain join (every fact row still meets every same-key dim row,
+    * exactly once, at its own salt). Use when AQE's skew split can't
+    * see the skew (e.g. the hot key emerges mid-plan); costs a
+    * saltBuckets× blow-up of the DIM side, so keep that side small.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, saltBuckets: Int = 16): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val sd = dim.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(i => lit(i)): _*)))
+    sf.join(sd, sf(factKey) === sd(dimKey)
+        && sf("__salt") === sd("__salt"))
+      .drop(sf("__salt")).drop(sd("__salt"))
+  }
 }

@@ -180,6 +180,26 @@ object SamplingQueries {
           sum(col("toks")).as("kept_tokens"))
     }),
 
+    // ---- shard-plan audit: hash docs into 32 output shards and report
+    // the token balance per shard (balance = shard share × 32; 1.0 =
+    // perfectly even). Hash-mod sharding is the only assignment that
+    // needs NO global coordination at 100 TB — each writer task decides
+    // rows locally — and this report is the check that the cheap
+    // assignment is balanced enough before committing to it. The ratio
+    // is exact-int × 32 over one IEEE division, hash-gate-stable.
+    "q100_shard_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("toks"),
+          hashBucket("doc_id", 13, 32).as("shard"))
+      val per = docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"))
+      val tot = per.agg(sum(col("shard_tokens")).as("total_tokens"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("shard_tokens"),
+          ((col("shard_tokens") * 32).cast("double") / col("total_tokens"))
+            .as("balance"))
+    }),
+
     // ---- domain mixture report: token share per source and cumulative
     // share in contribution order — the "what fraction of the corpus do
     // the top-k domains supply" curve
@@ -273,6 +293,19 @@ object SamplingQueries {
         |SELECT doc_id, n_chars FROM documents, mx
         |WHERE ${hashBucketSql("doc_id", 17, 1000000)} * mx
         |  < n_chars * 1000000""".stripMargin,
+
+    "q100_shard_plan" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS toks,
+        |    ${hashBucketSql("doc_id", 13, 32)} AS shard FROM documents),
+        |p AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS shard_tokens
+        |  FROM t GROUP BY shard),
+        |tot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens
+        |  FROM p)
+        |SELECT shard, n_docs, shard_tokens,
+        |  CAST(shard_tokens * 32 AS DOUBLE) / total_tokens AS balance
+        |FROM p, tot""".stripMargin,
 
     "q99_mixture_sample" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -116,6 +116,41 @@ object VectorQueries {
         .limit(5)
     }),
 
+    // ---- ANN recall audit: recall@5 of the IVF nprobe=1 index (q35)
+    // against the brute-force top-5 ground truth (q28) for the same
+    // query vector — the measurement that decides whether an index
+    // config is trustworthy BEFORE it replaces exact search at 100 TB
+    // (the sketch-audit pattern of q64, applied to vectors). Both sides
+    // are tiny ranked frames; the intersection is a 5-row join.
+    "q102_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm("qe"))
+      def score(df: DataFrame): DataFrame = df
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (Vectors.dot("embedding", "qe")
+            / (Vectors.norm("embedding") * col("qn"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"))
+      val brute = score(e.filter(col("vec_id") =!= 0))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("ce"))
+      val assign = Vectors.ivfAssign(e, "embedding", "vec_id", cents)
+      val qCluster = assign.filter(col("vec_id") === 0)
+        .select(col("cid").as("qcid"))
+      val ivf = score(e.join(assign, "vec_id")
+        .join(broadcast(qCluster), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= 0))
+      brute.join(ivf, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(5).as("k"), col("n_hits"),
+          (col("n_hits") / lit(5)).as("recall"))
+    }),
+
     // ---- embedding near-duplicate pairs: 8-bit sign buckets bound the
     // candidate set; exact cosine filters inside buckets. The shuffle key
     // is a small int; vectors move once.
@@ -222,6 +257,44 @@ object VectorQueries {
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC
         |LIMIT 5""".stripMargin,
+
+    "q102_ann_recall" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |brute AS (SELECT e.vec_id FROM (
+        |    SELECT e.vec_id, row_number() OVER (ORDER BY
+        |      ${dotSql("e.embedding", "q.qe")}
+        |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+        |           * sqrt(${dotSql("q.qe", "q.qe")})) DESC,
+        |      e.vec_id ASC) AS rn
+        |    FROM embeddings e, q WHERE e.vec_id <> 0) e
+        |  WHERE rn <= 5),
+        |cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |scored AS (SELECT e.vec_id, c.cid,
+        |    ${dotSql("e.embedding", "c.ce")} AS dsim
+        |  FROM embeddings e, cents c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dsim DESC, cid ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |qc AS (SELECT cid AS qcid FROM assign WHERE vec_id = 0),
+        |ivf AS (SELECT vec_id FROM (
+        |    SELECT e.vec_id, row_number() OVER (ORDER BY
+        |      ${dotSql("e.embedding", "q.qe")}
+        |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+        |           * sqrt(${dotSql("q.qe", "q.qe")})) DESC,
+        |      e.vec_id ASC) AS rn
+        |    FROM embeddings e
+        |    JOIN assign a ON e.vec_id = a.vec_id
+        |    JOIN qc ON a.cid = qc.qcid, q
+        |    WHERE e.vec_id <> 0)
+        |  WHERE rn <= 5)
+        |SELECT CAST(5 AS INT) AS k,
+        |  count(*) AS n_hits,
+        |  count(*) / 5 AS recall
+        |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
 
     "q30_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,

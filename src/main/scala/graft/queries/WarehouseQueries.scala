@@ -271,6 +271,40 @@ object WarehouseQueries {
         "sum_qty", saltBuckets = 16)
     }),
 
+    // ---- salted skew JOIN: fact salted into 8 sub-keys, dim replicated
+    // per salt, joined on (key, salt) — a hot orderkey's lineitems
+    // spread over 8 reducers instead of pinning one. The oracle is the
+    // PLAIN join + aggregate: the salt must be invisible in the result,
+    // which is the operator's whole contract.
+    "q101_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
+    // ---- chunk EMISSION with stride (q72 only counts): size-16 token
+    // windows every 12 tokens (4-token overlap), materialized as rows
+    // with the chunk text — the map-only projection that feeds a
+    // tokenizer at 100 TB (explode of a bounded sequence; no shuffle,
+    // no state; the final chunk may be short by design)
+    "q103_chunk_emit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      docs
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, size(tk), 12)")).as("tok_start"))
+        .select(col("doc_id"),
+          expr("(tok_start - 1) div 12").as("chunk_idx"),
+          col("tok_start"),
+          least(col("tok_start") + 15, size(col("tk"))).as("tok_end"),
+          expr("array_join(slice(tk, tok_start, 16), ' ')").as("chunk"))
+    }),
+
     // ---- sketch audit: HLL++ approximate distinct vs exact, with the
     // tolerance check materialized as a column. HLL register-merge is
     // order-independent, so the approximation is partitioning-stable.
@@ -451,6 +485,27 @@ object WarehouseQueries {
     "q73_salted_agg" ->
       """SELECT l_suppkey, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    // the PLAIN join: the salt must be invisible in the result
+    "q101_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q103_chunk_emit" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |st AS (SELECT doc_id, tk,
+        |    unnest(generate_series(1, len(tk), 12)) AS tok_start
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST((tok_start - 1) // 12 AS BIGINT) AS chunk_idx,
+        |  CAST(tok_start AS INT) AS tok_start,
+        |  CAST(least(tok_start + 15, len(tk)) AS INT) AS tok_end,
+        |  array_to_string(list_slice(tk, tok_start, tok_start + 15), ' ')
+        |    AS chunk
+        |FROM st""".stripMargin,
 
     // the oracle asserts the tolerance HOLDS — a sketch drifting past
     // 10% on 150-cardinality groups would be a real defect
