@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audit: the properties the 100 TB design depends on,
@@ -131,6 +132,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val sm = li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
     assert(sm.queryExecution.executedPlan.toString
       .contains("SortMergeJoin"), "merge hint ignored")
+  }
+
+  test("runtime bloom filter injects into a selective shuffle join") {
+    // Spark's runtime row-level filter: a selective predicate on the
+    // dim side of a shuffle join materializes a bloom filter that is
+    // pushed into the fact scan, pruning rows BEFORE the shuffle — at
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the matching slice. Default thresholds gate
+    // it to 10 GB application sides, so they're lowered here to prove
+    // the wiring; production scale meets the real thresholds.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter in the optimized plan:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   test("q65: tf-idf scan reads only doc_id and text") {
