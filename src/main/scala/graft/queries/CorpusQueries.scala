@@ -105,6 +105,50 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }),
 
+    // ---- repeated-span copy detection: 64-char windows sampled every
+    // 32 chars (stride halves the window so any >=96-char copied run is
+    // guaranteed to align in at least one window), grouped by digest —
+    // spans seen in 2+ distinct docs are copied boilerplate/templates.
+    // The substring-granularity complement to doc-level dedup (q20/q21):
+    // finds partial copies those can't. Group keys are 16-byte digests;
+    // the span text itself survives as a map-side-combined min, so the
+    // shuffle carries at most one 64-char example per (partition, key).
+    "q104_repeated_spans" -> ((s, d) => {
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1),
+            greatest(length(col("text")) - 63, lit(1)),
+            lit(32))).as("p"))
+        .select(col("doc_id"), expr("substr(text, p, 64)").as("sh"))
+      sp.select(col("doc_id"), col("sh"),
+          md5(col("sh").cast("binary")).as("span_hash"))
+        .groupBy(col("span_hash"))
+        .agg(min(col("sh")).as("span"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("span_hash").asc)
+        .limit(20)
+    }),
+
+    // ---- cross-source contamination matrix: shared distinct 8-gram
+    // count for every source pair — the diagnostic that tells a mix
+    // designer whether two "independent" sources are actually mirrors.
+    // Join fan-out is structurally bounded: the join key set is
+    // DISTINCT (source, digest), so a digest emits at most
+    // C(n_sources, 2) pairs however often it repeats inside sources.
+    "q105_source_overlap" -> ((s, d) => {
+      val gs = Text.wordShingles(Tables.documents(s, d), "source",
+          "text", 8)
+        .select(col("source"), md5(col("sh").cast("binary")).as("h"))
+        .distinct()
+      val a = gs.select(col("source").as("src_a"), col("h"))
+      val b = gs.select(col("source").as("src_b"), col("h").as("h_b"))
+      a.join(b, col("h") === col("h_b") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_8grams"))
+    }),
+
     // ---- reserved-token scrub: count + redact configured tokens
     // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
     // real PII). Spark regexp_replace replaces all matches; DuckDB needs
@@ -182,6 +226,33 @@ object CorpusQueries {
         |  c.source, count(*) AS n_docs,
         |  CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
         |FROM canonical c JOIN stats s ON c.doc_id = s.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q104_repeated_spans" ->
+      """WITH sp AS (SELECT doc_id, substr(text, p, 64) AS sh
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(1, greatest(length(text) - 63, 1),
+        |        32)) AS p
+        |    FROM documents))
+        |SELECT md5(sh) AS span_hash, min(sh) AS span,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM sp
+        |GROUP BY md5(sh)
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, span_hash ASC
+        |LIMIT 20""".stripMargin,
+
+    "q105_source_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |    md5(concat_ws(' ', ${gram8("tk")})) AS h
+        |  FROM (SELECT source, tk,
+        |      unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS p
+        |    FROM toks))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS shared_8grams
+        |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
 
     "q56_scrub" ->
