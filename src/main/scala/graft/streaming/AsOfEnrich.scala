@@ -74,16 +74,20 @@ object AsOfEnrich {
         GroupStateTimeout.EventTimeTimeout)(resolve)
   }
 
-  private def resolve(key: Long, rows: Iterator[In],
-                      state: GroupState[St]): Iterator[Out] = {
-    val st = state.getOption.getOrElse(St(Nil, Nil))
+  /** Pure transition shared with [[TwsAsOfEnrich]]: fold new rows into
+    * the state, resolve every event the watermark `wm` has finalized,
+    * compact expired versions. Returns (emissions in (ts, id) order,
+    * next state — empty means droppable, wake-up timestamp for the
+    * earliest still-pending event).
+    */
+  private[streaming] def step(key: Long, st: St, rows: Iterator[In],
+                              wm: Long): (List[Out], St, Option[Long]) = {
     var versions = st.versions
     var pending = st.pending
     rows.foreach { r =>
       if (r.isDim) versions = (r.ts.getTime, r.value) :: versions
       else pending = (r.ts.getTime, r.eventId) :: pending
     }
-    val wm = state.getCurrentWatermarkMs()
     val (ready, rest) = pending.partition(_._1 <= wm)
     // sort once per invocation; version count is compacted below so the
     // sort is over the in-delay window, not history
@@ -96,12 +100,20 @@ object AsOfEnrich {
     // before wm only the latest can ever match again
     val (expired, live) = sorted.partition(_._1 <= wm)
     val kept = expired.lastOption.toList ++ live
-    if (rest.isEmpty && kept.isEmpty) state.remove()
+    (out, St(kept, rest), rest.map(_._1).minOption)
+  }
+
+  private def resolve(key: Long, rows: Iterator[In],
+                      state: GroupState[St]): Iterator[Out] = {
+    val (out, next, wake) =
+      step(key, state.getOption.getOrElse(St(Nil, Nil)), rows,
+        state.getCurrentWatermarkMs())
+    if (next.versions.isEmpty && next.pending.isEmpty) state.remove()
     else {
-      state.update(St(kept, rest))
+      state.update(next)
       // wake when the watermark passes the earliest unresolved event,
       // even if this key never sees another row
-      if (rest.nonEmpty) state.setTimeoutTimestamp(rest.map(_._1).min)
+      wake.foreach(state.setTimeoutTimestamp)
     }
     out.iterator
   }

@@ -188,6 +188,44 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState as-of enrichment matches the fMGWS twin") {
+    import spark.implicits._
+    import graft.streaming.{TwsAsOfEnrich, TwsStrikeMonitor}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(TwsStrikeMonitor.rocksdbConf._1)
+    spark.conf.set(TwsStrikeMonitor.rocksdbConf._1,
+      TwsStrikeMonitor.rocksdbConf._2)
+    try {
+      val evs = MemoryStream[EvT]
+      val dms = MemoryStream[DimU]
+      val out = TwsAsOfEnrich.enrich(evs.toDF(), dms.toDF(), "10 seconds")
+      val q = out.writeStream.format("memory").queryName("twsasof")
+        .outputMode("append").start()
+      try {
+        // same input as the AsOfEnrich test — output must be identical
+        dms.addData(DimU(1, t("2024-01-01 10:00:00"), 100.0))
+        evs.addData(EvT(1, t("2024-01-01 10:05:00"), 1),
+          EvT(1, t("2024-01-01 09:55:00"), 0))
+        q.processAllAvailable()
+        dms.addData(DimU(1, t("2024-01-01 10:10:00"), 200.0),
+          DimU(1, t("2024-01-01 10:06:00"), 150.0))
+        evs.addData(EvT(1, t("2024-01-01 10:12:00"), 2),
+          EvT(1, t("2024-01-01 10:07:00"), 4))
+        q.processAllAvailable()
+        dms.addData(DimU(1, t("2024-01-01 10:30:00"), 300.0))
+        q.processAllAvailable()
+        val got = spark.table("twsasof")
+          .collect().map(r => r.getLong(1) ->
+            (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+        assert(got == Map(0L -> None, 1L -> Some(100.0),
+          4L -> Some(150.0), 2L -> Some(200.0)), s"got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(TwsStrikeMonitor.rocksdbConf._1, v)
+      case None => spark.conf.unset(TwsStrikeMonitor.rocksdbConf._1)
+    }
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no dup/loss") {
     import graft.sources.Sources
     val base = java.nio.file.Files.createTempDirectory("ckpt")
