@@ -1,9 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted}
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.nio.charset.StandardCharsets
+import scala.collection.concurrent.TrieMap
 
 object Bench {
+
+  /** Per-query shuffle accounting: stages are attributed to the query
+    * whose job group was active when their job started, so BENCH_LOCAL
+    * records measured shuffle write/read and spill bytes per query —
+    * the numbers that predict 100 TB behavior better than wall-clock at
+    * toy scale (a fast query that shuffles the corpus is still wrong).
+    */
+  private class ShuffleMetricsListener extends SparkListener {
+    private val stageToGroup = TrieMap.empty[Int, String]
+    val agg = TrieMap.empty[String, (Long, Long, Long)]
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val group = Option(js.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (group != null && group.startsWith("q"))
+        js.stageIds.foreach(id => stageToGroup.put(id, group))
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      stageToGroup.get(si.stageId).foreach { g =>
+        val m = si.taskMetrics
+        val p = agg.getOrElse(g, (0L, 0L, 0L))
+        agg.put(g, (p._1 + m.shuffleWriteMetrics.bytesWritten,
+          p._2 + m.shuffleReadMetrics.totalBytesRead,
+          p._3 + m.diskBytesSpilled + m.memoryBytesSpilled))
+      }
+    }
+  }
   // Headline subset for the stdout line: the driver's tail-capture window
   // is small (~4 KB) and the full 96-query map overflows it, which is why
   // BENCH_r01/r02 recorded "parsed": null. The stdout line stays short;
@@ -28,25 +58,35 @@ object Bench {
       catch { case _: Throwable => () }
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+    val metrics = new ShuffleMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // deterministic name order: per-query numbers comparable across runs
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}")
                  false
                }
+      spark.sparkContext.clearJobGroup()
       // a crashed query must not masquerade as a fast one: report -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // the listener bus is async; give it a moment to drain before dumping
+    Thread.sleep(1500)
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel — exclude them from the total
     // so a broken run can never look faster than a healthy one
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
+    val shuffle = results.map { case (name, _) =>
+      val (w, r, sp) = metrics.agg.getOrElse(name, (0L, 0L, 0L))
+      s"\"" + name + s"\":{\"write\":$w,\"read\":$r,\"spill\":$sp}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     Files.write(Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,

@@ -19,6 +19,40 @@ object Sources {
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** CSV scan with malformed-row quarantine: rows that fail the schema
+    * land in a `_corrupt` column (raw line preserved) instead of
+    * silently becoming all-NULL rows or failing the job. Returns
+    * (good rows in the declared schema, quarantined raw lines). The
+    * production ingest posture at scale: one bad upstream export must
+    * neither kill a 100 TB load (FAILFAST) nor silently poison a dim
+    * (plain PERMISSIVE) — quarantine, count, alert, continue.
+    *
+    * Both frames derive from ONE scan plan (PERMISSIVE + corrupt-column
+    * capture); Spark requires the corrupt-record frame to be cached or
+    * re-derived, so callers should persist `bad` before counting it in
+    * multi-action jobs.
+    */
+  def csvQuarantine(spark: SparkSession, path: String,
+                    schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // one materialization serves both filters (Spark requires
+               // referencing _corrupt only after materialization anyway)
+    val good = raw.filter(col("_corrupt").isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val bad = raw.filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw_line"))
+    (good, bad)
+  }
+
   /** JSON-lines scan with explicit schema (no inference scan) — the
     * ingest twin of `Sinks.overwriteJson`. */
   def jsonLines(spark: SparkSession, path: String,

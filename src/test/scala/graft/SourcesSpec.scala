@@ -27,6 +27,23 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 2L)
   }
 
+  test("csv quarantine: bad rows isolated, good rows typed") {
+    val dir = tmpDir()
+    val f = new java.io.File(dir, "feed.csv")
+    // row 2 has a non-numeric age; row 3 is fine
+    Files.writeString(f.toPath,
+      "emp_id,emp_name,emp_age\n1,ann,30\n2,bob,not_a_number\n3,cyd,40\n")
+    val (good, bad) = Sources.csvQuarantine(spark, f.toString,
+      Schemas.empDataRaw)
+    assert(good.schema == Schemas.empDataRaw)
+    assert(good.count() == 2)
+    assert(good.select("emp_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length == 1 && badLines.head.contains("not_a_number"),
+      badLines.mkString("; "))
+  }
+
   test("file-arrival gate window check") {
     val dir = tmpDir()
     val f = new java.io.File(dir, "feed.csv")
