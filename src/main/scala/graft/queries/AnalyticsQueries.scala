@@ -67,6 +67,28 @@ object AnalyticsQueries {
             .as("p90_price"))
     }),
 
+    // ---- percentile-sketch audit (the q74 pattern for quantiles):
+    // approx_percentile's KLL-style sketch vs the exact discrete median,
+    // emitted as a tolerance boolean — approx sketches are partition-
+    // order dependent, so the raw approx value can never be a compared
+    // column; the within-tolerance verdict is stable (accuracy 10000 on
+    // ~20k-row groups gives rank error ~2, orders of magnitude inside
+    // the 1% band). This is the check run before trusting
+    // approx_percentile on 100 TB where the exact quantile is a full
+    // sort away.
+    "q106_percentile_audit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("exact_median"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("approx_median"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("approx_median") - col("exact_median"))
+            <= col("exact_median") * 0.01).as("within_1pct"))
+    }),
+
     // ---- analytic window family: lead/lag/ntile/cume_dist over a total
     // order (o_orderdate, o_orderkey); cume_dist is a single k/n division
     // of exact ints — identical doubles on both engines
@@ -255,6 +277,20 @@ object AnalyticsQueries {
         |SELECT l_returnflag,
         |  min(CASE WHEN k * 10 >= n * 5 THEN v END) AS median_price,
         |  min(CASE WHEN k * 10 >= n * 9 THEN v END) AS p90_price
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+
+    // the oracle asserts the tolerance HOLDS (the q74 idiom): a sketch
+    // off by >1% of the median on these group sizes would be a defect
+    "q106_percentile_audit" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS k,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN k * 10 >= n * 5 THEN v END) AS exact_median,
+        |  TRUE AS within_1pct
         |FROM r GROUP BY l_returnflag""".stripMargin,
 
     "q52_window_analytics" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsOf, Calendar, Dedup, Merge}
+import graft.operators.{AsOf, Calendar, Dedup, Merge, Skew}
 
 /** Edge-case coverage for the operator library (empty sides, degenerate
   * groups, boundary dates).
@@ -18,6 +18,34 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     val out = AsOf.join(left, right, "user_id", "ts_us", "event_id",
       "event_id").collect()
     assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
+  test("saltedJoin equals the plain join, including empty and hot keys") {
+    import spark.implicits._
+    val fact = (Seq.fill(100)((7L, 1.0)) ++ Seq((8L, 2.0), (9L, 3.0)))
+      .toDF("fk", "v") // key 7 is hot
+    val dim = Seq((7L, "hot"), (8L, "cold")).toDF("dk", "name")
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", saltBuckets = 4)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    assert(salted == Map("hot" -> ((100L, 100.0)), "cold" -> ((1L, 2.0))))
+    // unmatched fact key 9 drops (inner); empty dim -> empty output
+    val empty = Skew.saltedJoin(fact,
+      Seq.empty[(Long, String)].toDF("dk", "name"), "fk", "dk", 4)
+    assert(empty.count() == 0)
+  }
+
+  test("csvQuarantine: all-bad file yields empty good side, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("qtest")
+    val f = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(f,
+      "emp_id,emp_name,emp_age\nx,y,z\nnope,also,bad\n")
+    val (good, bad) = graft.sources.Sources.csvQuarantine(spark,
+      f.toString, Schemas.empDataRaw)
+    assert(good.count() == 0)
+    assert(bad.count() == 2)
   }
 
   test("dateRange spans leap day; workingDays drops weekends") {
