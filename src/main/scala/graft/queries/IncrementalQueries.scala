@@ -56,6 +56,35 @@ object IncrementalQueries {
           sum(col("p_cnt")).as("cnt"))
     }),
 
+    // ---- CDC APPLY: the q66 snapshot diff replayed onto the old
+    // snapshot — upsert added+changed rows, anti-join the removed keys —
+    // must reproduce the new snapshot EXACTLY, and the oracle IS the
+    // new snapshot (the q101 idiom: the mechanism must be invisible in
+    // the result). This is incremental dim maintenance at scale: ship
+    // and apply the (small) diff instead of re-loading the snapshot.
+    "q108_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val neu = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("v"))
+      val diff = old.select(col("k"), col("v").as("v_old"))
+        .join(neu.select(col("k"), col("v").as("v_new")), Seq("k"),
+          "full_outer")
+        .withColumn("change",
+          when(col("v_old").isNull, lit("added"))
+            .when(col("v_new").isNull, lit("removed"))
+            .when(col("v_old") =!= col("v_new"), lit("changed")))
+        .filter(col("change").isNotNull)
+      val upserts = diff.filter(col("change") =!= "removed")
+        .select(col("k"), col("v_new").as("v"))
+      val deletes = diff.filter(col("change") === "removed").select(col("k"))
+      graft.operators.Merge.upsert(old, upserts, Seq("k"))
+        .join(deletes, Seq("k"), "left_anti")
+    }),
+
     // ---- data-quality audit: referential integrity (orphan facts),
     // key uniqueness, domain violations — one row of counters. Each
     // check is a shuffle-light aggregate or broadcast-able anti-join.
@@ -127,6 +156,13 @@ object IncrementalQueries {
     "q77_incremental_agg" ->
       """SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    // the new snapshot itself: applying the diff must be invisible
+    "q108_cdc_apply" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS v
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin,
 
     "q78_dq_audit" ->
       """SELECT

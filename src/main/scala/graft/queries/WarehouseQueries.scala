@@ -287,6 +287,25 @@ object WarehouseQueries {
           round(sum(col("l_extendedprice")), 2).as("revenue"))
     }),
 
+    // ---- join-key skew diagnostics: the report run BEFORE choosing a
+    // join strategy at scale — per-key row counts for the top hot keys
+    // plus each key's skew factor (share × n_keys; 1.0 = uniform). If
+    // the top factor is large, pre-salt (q101) or lean on AQE skew
+    // split; if flat, a plain shuffle join is safe. One map-side-
+    // combinable aggregation + a 2-row broadcast of the global stats.
+    "q107_skew_diag" -> ((s, d) => {
+      val keyed = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val tot = keyed.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      keyed.crossJoin(broadcast(tot))
+        .select(col("l_orderkey"), col("n"),
+          ((col("n") * col("n_keys")).cast("double") / col("total"))
+            .as("skew_factor"))
+        .orderBy(col("n").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // ---- chunk EMISSION with stride (q72 only counts): size-16 token
     // windows every 12 tokens (4-token overlap), materialized as rows
     // with the chunk text — the map-only projection that feeds a
@@ -492,6 +511,17 @@ object WarehouseQueries {
         |  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q107_skew_diag" ->
+      """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+        |  GROUP BY l_orderkey),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    count(*) AS n_keys FROM k)
+        |SELECT l_orderkey, n,
+        |  CAST(n * n_keys AS DOUBLE) / total AS skew_factor
+        |FROM k, t
+        |ORDER BY n DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
 
     "q103_chunk_emit" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
