@@ -16,6 +16,7 @@ object Bench {
     */
   private class ShuffleMetricsListener extends SparkListener {
     private val stageToGroup = TrieMap.empty[Int, String]
+    private val counted = TrieMap.empty[Int, Unit]
     val agg = TrieMap.empty[String, (Long, Long, Long)]
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val group = Option(js.properties)
@@ -25,14 +26,20 @@ object Bench {
     }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
-      stageToGroup.get(si.stageId).foreach { g =>
-        val m = si.taskMetrics
-        val p = agg.getOrElse(g, (0L, 0L, 0L))
-        agg.put(g, (p._1 + m.shuffleWriteMetrics.bytesWritten,
-          p._2 + m.shuffleReadMetrics.totalBytesRead,
-          p._3 + m.diskBytesSpilled + m.memoryBytesSpilled))
-      }
+      // count each stage ONCE: a retried stage completes once per
+      // attempt and would otherwise double its bytes
+      if (counted.putIfAbsent(si.stageId, ()).isEmpty)
+        stageToGroup.get(si.stageId).foreach { g =>
+          val m = si.taskMetrics
+          val p = agg.getOrElse(g, (0L, 0L, 0L))
+          agg.put(g, (p._1 + m.shuffleWriteMetrics.bytesWritten,
+            p._2 + m.shuffleReadMetrics.totalBytesRead,
+            p._3 + m.diskBytesSpilled + m.memoryBytesSpilled))
+        }
     }
+    /** Sum over all groups — stable once the listener bus has drained. */
+    def checksum(): Long =
+      agg.values.map(t => t._1 + t._2 + t._3).sum + agg.size
   }
   // Headline subset for the stdout line: the driver's tail-capture window
   // is small (~4 KB) and the full 96-query map overflows it, which is why
@@ -73,8 +80,18 @@ object Bench {
       // a crashed query must not masquerade as a fast one: report -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // the listener bus is async; give it a moment to drain before dumping
-    Thread.sleep(1500)
+    // the listener bus is async: poll until the aggregate stops moving
+    // (two consecutive stable reads) instead of hoping one fixed sleep
+    // outruns a loaded bus; bounded at ~10 s
+    var stable = 0
+    var last = -1L
+    var polls = 0
+    while (stable < 2 && polls < 20) {
+      Thread.sleep(500)
+      val c = metrics.checksum()
+      if (c == last) stable += 1 else { stable = 0; last = c }
+      polls += 1
+    }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel — exclude them from the total

@@ -57,6 +57,11 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, saltBuckets: Int = 16): DataFrame = {
+    // withColumn would silently REPLACE a caller's __salt column and
+    // corrupt the join — refuse instead of clobbering
+    require(!fact.columns.contains("__salt")
+        && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the inputs")
     val sf = fact.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltBuckets)))

@@ -138,8 +138,12 @@ object CorpusQueries {
     // DISTINCT (source, digest), so a digest emits at most
     // C(n_sources, 2) pairs however often it repeats inside sources.
     "q105_source_overlap" -> ((s, d) => {
+      // dedup = false: wordShingles' default distinct would shuffle the
+      // raw 50+-char shingle strings only for the digest-level distinct
+      // below to shuffle again — one exchange over 16-byte digests is
+      // the whole set-semantics cost (the q22 precedent)
       val gs = Text.wordShingles(Tables.documents(s, d), "source",
-          "text", 8)
+          "text", 8, dedup = false)
         .select(col("source"), md5(col("sh").cast("binary")).as("h"))
         .distinct()
       val a = gs.select(col("source").as("src_a"), col("h"))

@@ -171,10 +171,15 @@ object SamplingQueries {
       val srcTok = docs.groupBy(col("source"))
         .agg(sum(col("toks")).as("src_tokens"))
       val nSrc = srcTok.agg(count(lit(1)).as("n_src"))
+      // decimal(38,0) product: bucket(6 digits) × n_src × src_tokens
+      // can pass Int64 at real corpus scale (1e6 × 10 × 1e12 ≈ 1e19);
+      // 38-digit decimal keeps the comparison exact and overflow-free,
+      // mirrored by HUGEINT in the oracle
       docs.join(broadcast(srcTok), "source")
         .crossJoin(broadcast(nSrc))
-        .filter(hashBucket("doc_id", 25, 1000000)
-          * col("n_src") * col("src_tokens") < lit(budget) * 1000000L)
+        .filter(hashBucket("doc_id", 25, 1000000).cast("decimal(38,0)")
+          * col("n_src") * col("src_tokens")
+          < lit(budget * 1000000L).cast("decimal(38,0)"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("toks")).as("kept_tokens"))
@@ -316,8 +321,8 @@ object SamplingQueries {
         |SELECT t.source, count(*) AS n_docs_kept,
         |  CAST(sum(t.toks) AS BIGINT) AS kept_tokens
         |FROM t JOIN s ON t.source = s.source, n
-        |WHERE ${hashBucketSql("doc_id", 25, 1000000)}
-        |  * n.n_src * s.src_tokens < CAST(50000 AS BIGINT) * 1000000
+        |WHERE CAST(${hashBucketSql("doc_id", 25, 1000000)} AS HUGEINT)
+        |  * n.n_src * s.src_tokens < CAST(50000 AS HUGEINT) * 1000000
         |GROUP BY t.source""".stripMargin,
 
     "q87_triangles" ->

@@ -27,10 +27,12 @@ object Sources {
     * neither kill a 100 TB load (FAILFAST) nor silently poison a dim
     * (plain PERMISSIVE) — quarantine, count, alert, continue.
     *
-    * Both frames derive from ONE scan plan (PERMISSIVE + corrupt-column
-    * capture); Spark requires the corrupt-record frame to be cached or
-    * re-derived, so callers should persist `bad` before counting it in
-    * multi-action jobs.
+    * Both frames derive from ONE materialized scan (PERMISSIVE +
+    * corrupt-column capture): Spark disallows referencing only the
+    * corrupt column on a lazy file scan, and `localCheckpoint` both
+    * satisfies that and lets the ContextCleaner release the blocks
+    * automatically once the returned frames are unreferenced (a cache()
+    * here would leak storage memory across repeated feed loads).
     */
   def csvQuarantine(spark: SparkSession, path: String,
                     schema: StructType): (DataFrame, DataFrame) = {
@@ -44,8 +46,7 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .schema(withCorrupt)
       .csv(path)
-      .cache() // one materialization serves both filters (Spark requires
-               // referencing _corrupt only after materialization anyway)
+      .localCheckpoint()
     val good = raw.filter(col("_corrupt").isNull)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val bad = raw.filter(col("_corrupt").isNotNull)

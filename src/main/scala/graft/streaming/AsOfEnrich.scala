@@ -20,13 +20,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (both inputs feed one union with one watermark), so the answer is
   * final and the output is clean Append mode.
   *
-  * Emission timing: an event buffers until the watermark (driven by
-  * BOTH streams, min across them) reaches its event time, i.e. results
-  * trail the slower input by the watermark delay — the price of exact
-  * out-of-order correctness, identical to Spark's own stream-stream
-  * outer-join semantics. An event-time timeout is armed at the earliest
-  * pending event so resolution fires even when the key receives no
-  * further rows.
+  * Emission timing and the delay contract: both inputs feed ONE union
+  * with one watermark, so the watermark advances with the max event
+  * time seen across EITHER stream minus `delay` (a union cannot take
+  * the per-stream min that Spark's two-input joins use). `delay` must
+  * therefore budget for out-of-orderness WITHIN a stream plus skew
+  * BETWEEN the streams: if one input runs ahead by more than `delay`,
+  * the lagging input's rows arrive behind the watermark and are
+  * dropped as late. Size `delay` to the worst cross-stream lag you
+  * tolerate; an event-time timeout is armed at the earliest pending
+  * event so resolution fires even when the key receives no further
+  * rows.
   *
   * State bound (the 100 TB concern): per key, pending events are capped
   * by the watermark delay (resolved and dropped as the watermark

@@ -59,8 +59,10 @@ object TwsAsOfEnrich {
       run(key, Iterator.empty, timerValues.getCurrentWatermarkInMs())
   }
 
-  /** Same contract as [[AsOfEnrich.enrich]]; the session must run the
-    * RocksDB state-store provider.
+  /** Same contract as [[AsOfEnrich.enrich]] — including the delay
+    * caveat: the union watermark tracks the FASTER input, so `delay`
+    * must cover cross-stream skew, not just out-of-orderness. The
+    * session must run the RocksDB state-store provider.
     */
   def enrich(events: DataFrame, dims: DataFrame,
              delay: String): Dataset[Out] = {

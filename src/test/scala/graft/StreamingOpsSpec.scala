@@ -141,9 +141,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val evs = MemoryStream[EvT]
     val dms = MemoryStream[DimU]
-    val out = AsOfEnrich.enrich(
-      evs.toDF().withColumnRenamed("eventId", "eventId"),
-      dms.toDF(), "10 seconds")
+    val out = AsOfEnrich.enrich(evs.toDF(), dms.toDF(), "10 seconds")
     val q = out.writeStream.format("memory").queryName("asofenr")
       .outputMode("append").start()
     try {
