@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
   SparkListenerStageCompleted}
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -16,30 +15,43 @@ object Bench {
     */
   private class ShuffleMetricsListener extends SparkListener {
     private val stageToGroup = TrieMap.empty[Int, String]
-    private val counted = TrieMap.empty[Int, Unit]
-    val agg = TrieMap.empty[String, (Long, Long, Long)]
+    // best completed attempt per stage: a stage retried after a fetch
+    // failure completes once per attempt; keeping only the first would
+    // record a failed attempt's partial bytes and drop the real ones.
+    // We skip attempts that completed WITH a failure reason and, among
+    // successful attempts, keep the one with the larger byte total.
+    private val perStage = TrieMap.empty[Int, (Long, Long, Long)]
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val group = Option(js.properties)
         .map(_.getProperty("spark.jobGroup.id")).orNull
+      // stages shared across jobs keep their first attribution
       if (group != null && group.startsWith("q"))
-        js.stageIds.foreach(id => stageToGroup.put(id, group))
+        js.stageIds.foreach(id => stageToGroup.putIfAbsent(id, group))
     }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
-      // count each stage ONCE: a retried stage completes once per
-      // attempt and would otherwise double its bytes
-      if (counted.putIfAbsent(si.stageId, ()).isEmpty)
-        stageToGroup.get(si.stageId).foreach { g =>
-          val m = si.taskMetrics
-          val p = agg.getOrElse(g, (0L, 0L, 0L))
-          agg.put(g, (p._1 + m.shuffleWriteMetrics.bytesWritten,
-            p._2 + m.shuffleReadMetrics.totalBytesRead,
-            p._3 + m.diskBytesSpilled + m.memoryBytesSpilled))
-        }
+      if (si.failureReason.isEmpty && stageToGroup.contains(si.stageId)) {
+        val m = si.taskMetrics
+        val cur = (m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.diskBytesSpilled + m.memoryBytesSpilled)
+        val prev = perStage.getOrElse(si.stageId, (0L, 0L, 0L))
+        if (cur._1 + cur._2 + cur._3 >= prev._1 + prev._2 + prev._3)
+          perStage.put(si.stageId, cur)
+      }
     }
-    /** Sum over all groups — stable once the listener bus has drained. */
+    /** Per-group aggregate, computed after the bus has drained. */
+    def agg: Map[String, (Long, Long, Long)] =
+      perStage.toSeq.flatMap { case (sid, m) =>
+        stageToGroup.get(sid).map(g => g -> m)
+      }.groupBy(_._1).map { case (g, ms) =>
+        g -> ms.map(_._2).foldLeft((0L, 0L, 0L)) { (a, b) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+        }
+      }
+    /** Sum over all stages — stable once the listener bus has drained. */
     def checksum(): Long =
-      agg.values.map(t => t._1 + t._2 + t._3).sum + agg.size
+      perStage.values.map(t => t._1 + t._2 + t._3).sum + perStage.size
   }
   // Headline subset for the stdout line: the driver's tail-capture window
   // is small (~4 KB) and the full 96-query map overflows it, which is why
@@ -53,6 +65,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // one-shot numbers on a shared box swing well past the ±20% the docs
+    // assume (round-3 q34/q21/q105 all looked inflated); per-query MEDIAN
+    // of n reps is the recorded number. Reps run back-to-back per query
+    // so a box-load spike hits one query's reps, not the whole suite.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Engine.session("graft-bench", cpus)
     // warm up JVM/codegen/parquet paths on the tiny sf so the first timed
     // query doesn't absorb session startup
@@ -69,16 +87,26 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
     // deterministic name order: per-query numbers comparable across runs
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
-                 false
-               }
-      spark.sparkContext.clearJobGroup()
-      // a crashed query must not masquerade as a fast one: report -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { rep =>
+        // shuffle bytes are deterministic across reps (each rep builds a
+        // fresh plan and re-shuffles the same data), so only rep 1 is
+        // attributed to the query group; later reps use a non-"q" group
+        // the listener ignores, keeping recorded bytes single-run.
+        spark.sparkContext.setJobGroup(
+          if (rep == 1) name else s"rep$rep:$name", name)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                   false
+                 }
+        spark.sparkContext.clearJobGroup()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // a crashed query must not masquerade as a fast one: any failed rep
+      // poisons the query with the -1 sentinel
+      name -> (if (times.exists(_ < 0)) -1.0
+               else times.sorted.apply(times.size / 2))
     }
     // the listener bus is async: poll until the aggregate stops moving
     // (two consecutive stable reads) instead of hoping one fixed sleep
@@ -98,19 +126,20 @@ object Bench {
     // so a broken run can never look faster than a healthy one
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
+    val aggregated = metrics.agg
     val shuffle = results.map { case (name, _) =>
-      val (w, r, sp) = metrics.agg.getOrElse(name, (0L, 0L, 0L))
+      val (w, r, sp) = aggregated.getOrElse(name, (0L, 0L, 0L))
       s"\"" + name + s"\":{\"write\":$w,\"read\":$r,\"spill\":$sp}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     Files.write(Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
     val head = results.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":${jsonMap(head)},"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(head)},"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

@@ -155,8 +155,11 @@ object TextQueries {
     // ---- simhash near-dup ranking via the custom codegen'd Catalyst
     // expression hamming64 (graft.plans.HammingDistance): top-20 closest
     // fingerprints to doc 0
+    // hamming64 is installed session-wide by GraftExtensions
+    // (Engine.session sets spark.sql.extensions); re-registering here
+    // per-call forced a registry replace + fresh codegen inside the
+    // timed window and showed up as a 4x bench regression in round 3.
     "q34_simhash_knn" -> ((s, d) => {
-      graft.plans.HammingDistance.register(s)
       val docs = Tables.documents(s, d)
       val fp = Text.simhash(docs, "doc_id", "text", 32)
       // query fingerprint from a doc_id=0-filtered scan: the predicate
