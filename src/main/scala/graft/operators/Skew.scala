@@ -18,14 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: a hash of EVERY column, not
+    * spark_partition_id()+monotonically_increasing_id(). The latter is
+    * recompute-unstable: if a map stage is retried after a fetch failure
+    * with different upstream row order, rows can land in different
+    * reduce partitions than the ones already consumed — the classic
+    * SPARK-23207 nondeterministic-shuffle-key duplication/loss hazard,
+    * and stage retries are routine on a 1000-executor run. A full-row
+    * hash re-derives the same salt on recompute. Caveat: byte-identical
+    * duplicate rows share a salt; include a unique id column in the
+    * frame when the hot key's rows are exact duplicates.
+    */
+  private def saltCol(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets))
+
   /** Two-phase scaffold shared by the salted aggregates: partial agg on
     * (keys, salt), then recombine on keys. */
   private def salted(df: DataFrame, keys: Seq[String], outCol: String,
                      saltBuckets: Int, partialAgg: Column,
                      combine: Column => Column): DataFrame = {
-    val saltedDf = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
+    val saltedDf = df.withColumn("__salt", saltCol(df, saltBuckets))
     saltedDf
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partialAgg.as("__p"))
@@ -62,13 +74,56 @@ object Skew {
     require(!fact.columns.contains("__salt")
         && !dim.columns.contains("__salt"),
       "saltedJoin reserves the __salt column; rename it on the inputs")
-    val sf = fact.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
+    val sf = fact.withColumn("__salt", saltCol(fact, saltBuckets))
     val sd = dim.withColumn("__salt",
       explode(array((0 until saltBuckets).map(i => lit(i)): _*)))
     sf.join(sd, sf(factKey) === sd(dimKey)
         && sf("__salt") === sd("__salt"))
       .drop(sf("__salt")).drop(sd("__salt"))
+  }
+
+  /** What the skew-join planner measured and decided. */
+  case class SkewDecision(skewFactor: Double, topKeyRows: Long,
+                          nKeys: Long, salted: Boolean)
+
+  /** Measure join-key skew on `df(key)`: skew factor = hottest key's
+    * share × number of keys (1.0 = perfectly uniform; N = one key owns
+    * everything). The q107 diagnostic as a planning primitive: one
+    * map-side-combinable count per key (only key bytes shuffle) and a
+    * 1-row collect — cheap relative to the join it sizes, even at
+    * 100 TB, and a price you pay once per pipeline, not per run, if the
+    * caller caches the decision.
+    */
+  def measureKeySkew(df: DataFrame, key: String): (Double, Long, Long) = {
+    val row = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_n"), sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      .collect()(0)
+    if (row.isNullAt(0) || row.getLong(1) == 0L) (1.0, 0L, 0L)
+    else {
+      val (maxN, total, nKeys) =
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      (maxN.toDouble * nKeys / total, maxN, nKeys)
+    }
+  }
+
+  /** Measure-then-choose skew-join planner (reference analog: the
+    * per-employee hot-key risk in leave data,
+    * clean_load_3_ld_staging.py:54-63). Measures the FACT key's skew
+    * factor; at or above `skewThreshold` the join runs salted
+    * (`saltedJoin`), below it plain — AQE's runtime skew split already
+    * covers mild skew, and salting uniform data just replicates the dim
+    * for nothing. Output rows are identical either way (the salted
+    * join's contract), so callers can treat this as a drop-in join.
+    */
+  def planJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+               dimKey: String, skewThreshold: Double = 4.0,
+               saltBuckets: Int = 16): (DataFrame, SkewDecision) = {
+    val (factor, topRows, nKeys) = measureKeySkew(fact, factKey)
+    val useSalt = factor >= skewThreshold
+    val joined =
+      if (useSalt) saltedJoin(fact, dim, factKey, dimKey, saltBuckets)
+      else fact.join(dim, fact(factKey) === dim(dimKey))
+    (joined, SkewDecision(factor, topRows, nKeys, useSalt))
   }
 }

@@ -306,6 +306,29 @@ object WarehouseQueries {
         .limit(10)
     }),
 
+    // ---- measure-then-choose skew-join PLANNER (q107 composed into a
+    // decision): Skew.planJoin measures the fact key's skew factor and
+    // picks salted vs plain. documents.lang is genuinely skewed
+    // (factor ≈ 2.2: one language dominates), so with threshold 2.0 the
+    // salted path runs — and must stay invisible: the oracle is the
+    // PLAIN join + aggregate, with the decision surfaced as a column
+    // the oracle recomputes from the same counts.
+    "q109_skew_planner" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val dim = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+        .withColumnRenamed("lang", "dim_lang")
+      val (joined, dec) = graft.operators.Skew.planJoin(
+        docs, dim, "lang", "dim_lang",
+        skewThreshold = 2.0, saltBuckets = 8)
+      joined.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("lang_docs")).as("lang_docs"))
+        .withColumn("salted", lit(dec.salted))
+    }),
+
     // ---- chunk EMISSION with stride (q72 only counts): size-16 token
     // windows every 12 tokens (4-token overlap), materialized as rows
     // with the chunk text — the map-only projection that feeds a
@@ -522,6 +545,20 @@ object WarehouseQueries {
         |FROM k, t
         |ORDER BY n DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    // the PLAIN join; `salted` recomputed from the same per-key counts
+    // (max(n)·n_keys/total is a double product of exact ints + one
+    // division — bit-stable cross-engine below 2^53)
+    "q109_skew_planner" ->
+      """WITH k AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |t AS (SELECT CAST(max(n) AS DOUBLE) * count(*) / sum(n) >= 2.0
+        |    AS salted FROM k)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |  max(k.n) AS lang_docs, t.salted AS salted
+        |FROM documents d JOIN k ON d.lang = k.lang, t
+        |GROUP BY d.lang, t.salted""".stripMargin,
 
     "q103_chunk_emit" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -37,6 +37,31 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("planJoin salts skewed input, stays plain on uniform, rows equal") {
+    import spark.implicits._
+    val dim = (1L to 10L).map(k => (k, s"d$k")).toDF("dk", "name")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("fk"), col("v"), col("name"))
+        .collect().map(_.mkString("|")).toSeq.sorted
+    // hot key 7 owns 101 of 109 rows (100 clones + its 1..9 row):
+    // factor = (101/109)*9 ≈ 8.3
+    val skewed = (Seq.fill(100)((7L, 1.0)) ++
+      (1L to 9L).map(k => (k, k.toDouble))).toDF("fk", "v")
+    val (sj, sd) = Skew.planJoin(skewed, dim, "fk", "dk",
+      skewThreshold = 4.0, saltBuckets = 4)
+    assert(sd.salted && sd.skewFactor > 4.0 && sd.topKeyRows == 101L)
+    assert(canon(sj) == canon(skewed.join(dim, $"fk" === $"dk")))
+    // uniform: factor 1.0 -> plain join, same rows
+    val uniform = (1L to 10L).map(k => (k, k.toDouble)).toDF("fk", "v")
+    val (uj, ud) = Skew.planJoin(uniform, dim, "fk", "dk")
+    assert(!ud.salted && math.abs(ud.skewFactor - 1.0) < 1e-9)
+    assert(canon(uj) == canon(uniform.join(dim, $"fk" === $"dk")))
+    // empty fact: no keys, plain path, empty output
+    val (ej, ed) = Skew.planJoin(
+      Seq.empty[(Long, Double)].toDF("fk", "v"), dim, "fk", "dk")
+    assert(!ed.salted && ed.nKeys == 0L && ej.count() == 0)
+  }
+
   test("csvQuarantine: all-bad file yields empty good side, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("qtest")
     val f = dir.resolve("bad.csv")
