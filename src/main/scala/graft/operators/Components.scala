@@ -42,8 +42,9 @@ import org.apache.spark.sql.functions._
   * `spark.sql.shuffle.partitions` so a partition's edges fit in task
   * memory. Intermediate fragment labels depend on the partitioning,
   * but the fixed point (component-min labels) does not.
-  * `localCheckpoint` truncates lineage between passes (use reliable
-  * checkpointing on a cluster if executors may be lost mid-job).
+  * Lineage is truncated between passes: `localCheckpoint` by default,
+  * or reliable `checkpoint` (survives executor loss) via the
+  * `reliableCheckpoint` parameter.
   */
 object Components {
 
@@ -94,49 +95,69 @@ object Components {
     * cluster = min vertex id reachable. Deterministic by construction.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = edges.sparkSession
     import spark.implicits._
+    // localCheckpoint stores blocks on executors: lineage-truncating and
+    // cheap, but a lost executor loses blocks that can no longer be
+    // recomputed — fine on local[n], fatal on a preemptible cluster.
+    // reliableCheckpoint=true writes each pass to the (HDFS/S3)
+    // checkpoint dir instead, surviving executor loss at the cost of a
+    // persisted write per pass.
+    if (reliableCheckpoint)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true requires sparkContext.setCheckpointDir")
+    def ckpt[T](ds: Dataset[T]): Dataset[T] =
+      if (reliableCheckpoint) ds.checkpoint() else ds.localCheckpoint()
+
+    // exact per-vertex fixed-point check: true iff no label moved
+    def unchanged(next: DataFrame, prev: DataFrame): Boolean = next
+      .join(prev.select(col("id").as("pid"), col("label").as("plabel")),
+        col("id") === col("pid"))
+      .filter(col("label") =!= col("plabel"))
+      .limit(1).count() == 0
 
     // materialize a pass's labels while summing them into an
-    // accumulator — the sum rides the localCheckpoint job for free
+    // accumulator — the sum rides the checkpoint job for free
     def labelsWithSum(e: Dataset[(Long, Long)]): (DataFrame, Long) = {
       val acc = spark.sparkContext.longAccumulator("graft.cc.labelSum")
-      val out = labelsOf(e).as[(Long, Long)]
+      val out = ckpt(labelsOf(e).as[(Long, Long)]
         .mapPartitions(_.map { case (id, l) => acc.add(l); (id, l) })
-        .toDF("id", "label")
-        .localCheckpoint()
+        .toDF("id", "label"))
       (out, acc.value)
     }
 
     // symmetrize in one flat pass and materialize, so the (possibly
     // expensive) upstream pair pipeline runs exactly once; duplicate
     // edges are harmless to union-find, so no dedup shuffle
-    var e = edges
+    var e = ckpt(edges
       .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"))
       .as[(Long, Long)]
-      .flatMap { case (s, t) => Iterator((s, t), (t, s)) }
-      .localCheckpoint()
+      .flatMap { case (s, t) => Iterator((s, t), (t, s)) })
     var (labels, prevSum) = labelsWithSum(e)
 
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      e = contract(e).localCheckpoint()
+      e = ckpt(contract(e))
       val (next, nextSum) = labelsWithSum(e)
-      if (nextSum == prevSum) {
-        // candidate fixed point (labels are monotone, so equal sums can
-        // only mean "no label moved" — unless a task retry skewed the
-        // accumulator); confirm with the exact per-vertex check, which
-        // therefore runs once per call, not once per pass
-        converged = next
-          .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
-            col("id") === col("pid"))
-          .filter(col("label") =!= col("plabel"))
-          .limit(1).count() == 0
-      }
+      // candidate fixed point: labels are monotone non-increasing, so
+      // absent accumulator noise the sum strictly decreases until the
+      // fixed point. >= (not ==) because speculative/retried tasks can
+      // only INFLATE a pass's sum — at a true fixed point the inflated
+      // nextSum may persistently exceed prevSum, and gating on equality
+      // alone would spin to maxIter despite having converged. Healthy
+      // mid-run passes strictly decrease, so the exact join check still
+      // runs ~once per call, not once per pass. The final allowed pass
+      // ALWAYS runs the exact check: an inflated previous sum can mask
+      // a fixed point (clean nextSum < inflated prevSum with labels
+      // unchanged), and non-convergence must never be declared on the
+      // noisy signal alone.
+      if (nextSum >= prevSum || rounds == maxIter - 1)
+        converged = unchanged(next, labels)
       labels = next
       prevSum = nextSum
       rounds += 1

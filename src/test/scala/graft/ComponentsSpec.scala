@@ -53,6 +53,36 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("giant star: 100k-vertex hub component fits in one task's memory") {
+    import spark.implicits._
+    // star around vertex 0: symmetrization lands ALL 100k edges of the
+    // hub in a single partition (repartition by source), so the
+    // partition-local union-find must hold a ~200k-entry map — the
+    // worst per-task state a hot template/boilerplate cluster produces
+    // at corpus scale. Must converge, label everything 0, not OOM.
+    val n = 100000L
+    val edges = spark.range(1, n + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val out = Components.connectedComponents(edges, "a", "b")
+    assert(out.filter(col("cluster") =!= 0L).limit(1).count() == 0)
+    assert(out.count() == n + 1)
+  }
+
+  test("reliableCheckpoint requires a checkpoint dir, then works") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assertThrows[IllegalArgumentException] {
+      Components.connectedComponents(edges, "a", "b",
+        reliableCheckpoint = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val c = Components.connectedComponents(edges, "a", "b",
+        reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("maxIter <= 0 rejected up front") {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("a", "b")
