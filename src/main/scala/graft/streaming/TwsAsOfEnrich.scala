@@ -30,21 +30,45 @@ object TwsAsOfEnrich {
   class AsOfProcessor extends StatefulProcessor[Long, In, Out] {
 
     @transient private var state: ValueState[St] = _
+    // timestamp of the currently registered timer, so re-arming can
+    // deleteTimer the old one: re-registering for every batch's
+    // earliest-pending event without cleanup leaves a trail of stale
+    // timers on keys with a long-lived backlog — each fires a no-op
+    // pass and re-arms, avoidable state + wake-ups on hot keys
+    @transient private var timerTs: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[St]("asof", Encoders.product[St],
         TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("asofTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def run(key: Long, rows: Iterator[In],
                     wm: Long): Iterator[Out] = {
       val st = if (state.exists()) state.get() else St(Nil, Nil)
       val (out, next, wake) = AsOfEnrich.step(key, st, rows, wm)
-      if (next.versions.isEmpty && next.pending.isEmpty) state.clear()
-      else {
+      // deleteTimer on an already-fired/absent timestamp is a no-op,
+      // so clearing the bookkeeping from inside handleExpiredTimer
+      // (where the firing timer was auto-removed) is safe
+      val prev = if (timerTs.exists()) Some(timerTs.get()) else None
+      if (next.versions.isEmpty && next.pending.isEmpty) {
+        state.clear()
+        prev.foreach(getHandle.deleteTimer)
+        timerTs.clear()
+      } else {
         state.update(next)
-        // stale timers from earlier registrations are harmless: an
-        // expiry with nothing ready emits nothing and re-arms
-        wake.foreach(getHandle.registerTimer)
+        wake match {
+          case Some(w) if !prev.contains(w) =>
+            prev.foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(w)
+            timerTs.update(w)
+          case Some(_) => () // same wake-up already armed
+          case None =>
+            // nothing pending: no wake-up needed, drop any stale timer
+            prev.foreach(getHandle.deleteTimer)
+            timerTs.clear()
+        }
       }
       out.iterator
     }
