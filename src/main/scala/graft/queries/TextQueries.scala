@@ -44,19 +44,28 @@ object TextQueries {
     // clone density. The oracle mirrors the prune exactly.
     "q22_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // hash each trigram to 8 bytes BEFORE the first shuffle — the
-      // dedup + group-by exchanges then move longs, not ~20-char
-      // strings. Collision caveat: with ~1e12 distinct trigrams at
-      // 100 TB, 64-bit hashing expects tens of thousands of colliding
-      // trigram PAIRS by the birthday bound (~n^2/2^65) — vanishing as
-      // a fraction of set sizes (any one doc's Jaccard moves by at most
-      // a few shingles) but not "probability ~0"; switch `tri` to
-      // md5(sh) (128-bit) if exact set semantics at full scale matter
-      // more than shuffling 8-byte keys.
+      // hash each trigram BEFORE the first shuffle — the dedup +
+      // group-by exchanges then move fixed-width keys, not ~20-char
+      // strings. Default: xxhash64 (8 bytes). Collision caveat: with
+      // ~1e12 distinct trigrams at 100 TB, 64-bit hashing expects tens
+      // of thousands of colliding trigram PAIRS by the birthday bound
+      // (~n^2/2^65) — vanishing as a fraction of set sizes (any one
+      // doc's Jaccard moves by at most a few shingles) but not
+      // "probability ~0". Opt-in exact mode
+      // (spark.graft.text.exactTrigrams=true) keys on unhex(md5) —
+      // 128 bits, where the same bound is ~n^2/2^129 ≈ never — for
+      // pipelines that need exact set semantics at full scale, at the
+      // cost of 16-byte instead of 8-byte shuffle keys. The oracle
+      // compares exact STRINGS either way, so both modes must (and do)
+      // produce identical pairs at test scale.
+      val exactMode = s.conf.getOption("spark.graft.text.exactTrigrams")
+        .exists(_.toBoolean)
+      val triKey =
+        if (exactMode) unhex(md5(col("sh"))) else xxhash64(col("sh"))
       val tri = Text.wordShingles(docs, "doc_id", "text", 3,
           dedup = false, carryCols = Seq("lang", "source"))
         .select(col("doc_id"), col("lang"), col("source"),
-          xxhash64(col("sh")).as("tri"))
+          triKey.as("tri"))
         .distinct()
       // one grouped pass serves both the df prune and pair emission;
       // `n` re-derives per-doc set sizes from the pruned groups (ids

@@ -28,6 +28,16 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
+    def pairs(): Set[String] =
+      SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
+        .collect().map(_.mkString("|")).toSet
+    val hashed = pairs()
+    spark.conf.set("spark.graft.text.exactTrigrams", "true")
+    try assert(pairs() == hashed && hashed.nonEmpty)
+    finally spark.conf.unset("spark.graft.text.exactTrigrams")
+  }
+
   test("q05 dedup output is unique per (user_id, event_type)") {
     val df = SparkEntry.queries("q05_dedup_keep_latest")(spark, sf)
     assert(df.groupBy("user_id", "event_type").count()
