@@ -50,6 +50,61 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(new String(out(2L)) == "y" * 20)        // truncate
   }
 
+  test("PPM codec round-trips real pixels through the Spark plumbing") {
+    import spark.implicits._
+    // 2x2 image: red, green / blue, white
+    val px = Array[Byte](
+      -1, 0, 0,    0, -1, 0,
+      0, 0, -1,   -1, -1, -1)
+    val payload = Multimodal.Ppm.encode(2, 2, px)
+    val decoded = Multimodal.Ppm.decode(payload)
+    assert(decoded.exists { case (w, h, b) =>
+      w == 2 && h == 2 && b.sameElements(px) })
+    // comments + extra whitespace in the header are part of the format
+    val weird = ("P6\n# a comment\n 2\t2\n255\n").getBytes("US-ASCII") ++ px
+    assert(Multimodal.Ppm.decode(weird).exists(_._3.sameElements(px)))
+    // through Spark: PpmDecoder reads dims from the HEADER, and a
+    // malformed payload is dropped, not crashed on
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/x-portable-pixmap", payload),
+      Multimodal.Asset(2L, "image/x-portable-pixmap",
+        "not an image".getBytes)).toDS()
+    val feats = Multimodal.extractFeatures(spark, assets,
+      Multimodal.PpmDecoder).collect()
+    assert(feats.map(_.doc_id).toSeq == Seq(1L))
+    assert(feats.head.width == 2 && feats.head.height == 2)
+  }
+
+  test("resizePpm resamples real pixels (nearest neighbor)") {
+    import spark.implicits._
+    // 2x1 image: left red, right green -> upscale to 4x2
+    val payload = Multimodal.Ppm.encode(2, 1,
+      Array[Byte](-1, 0, 0, 0, -1, 0))
+    val assets = Seq(Multimodal.Asset(7L, "image/x-portable-pixmap",
+      payload)).toDS()
+    val out = Multimodal.resizePpm(spark, assets, 4, 2).collect().head
+    val Some((w, h, px)) = Multimodal.Ppm.decode(out.payload)
+    assert(w == 4 && h == 2)
+    // columns 0-1 sample source pixel 0 (red), columns 2-3 pixel 1
+    // (green), identical in both rows
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val i = (y * 4 + x) * 3
+      val expected: Seq[Byte] =
+        if (x < 2) Seq[Byte](-1, 0, 0) else Seq[Byte](0, -1, 0)
+      assert(Seq(px(i), px(i + 1), px(i + 2)) == expected, s"($x,$y)")
+    }
+    // features downstream see the new dims
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.resizePpm(spark, assets, 4, 2),
+      Multimodal.PpmDecoder).collect().head
+    assert(feats.width == 4 && feats.height == 2)
+    // non-PPM payloads pass through untouched
+    val raw = Seq(Multimodal.Asset(8L, "text/plain",
+      "hello".getBytes)).toDS()
+    val passed = Multimodal.resizePpm(spark, raw, 4, 2).collect().head
+    assert(new String(passed.payload) == "hello")
+  }
+
   test("decoder is pluggable (stub swap point)") {
     import spark.implicits._
     val custom = new Multimodal.Decoder {
