@@ -85,8 +85,14 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     val metrics = new ShuffleMetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // optional subset run (scale smokes over partial-table clone dirs):
+    // SPARK_GRAFT_BENCH_ONLY=q22_ngram_jaccard,q87_triangles
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // deterministic name order: per-query numbers comparable across runs
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
       val times = (1 to reps).map { rep =>
         // shuffle bytes are deterministic across reps (each rep builds a
         // fresh plan and re-shuffles the same data), so only rep 1 is

@@ -123,18 +123,38 @@ object SamplingQueries {
     // ---- triangle counting on the near-dup candidate graph: pairs
     // sharing all three edges (a<b<c) — the density signal that tells a
     // dedup pipeline whether clusters are cliques (true dup groups) or
-    // chains (LSH noise). The self-join fan-out is BOUNDED before it
-    // happens: vertices whose degree exceeds MaxTriangleDegree are
-    // dropped with all their edges (a hub that hot is LSH noise or a
-    // mega-clone cluster — its density verdict is already known without
-    // enumerating C(deg,2) wedges), so the wedge join emits at most
-    // MaxTriangleDegree wedges per (edge, vertex) instead of growing
-    // cubically with clone multiplicity. Degrees are a tiny per-vertex
-    // aggregate of the pair set — both prune joins broadcast.
+    // chains (LSH noise). TWO caps bound the work, both mirrored in the
+    // oracle:
+    //  1. bucket cap at pair GENERATION: an LSH bucket of m members
+    //     makes every member's degree ≥ m−1, so buckets with
+    //     m > MaxTriangleDegree+1 emit no pairs at all — a mega-clone
+    //     bucket's density verdict is already known without
+    //     enumerating its C(m,2) pairs. Without this, 100× clone
+    //     density meant ~100M join rows and ~100 GB of spill BEFORE
+    //     the degree filter could see them (round-4 measurement).
+    //  2. degree cap on the surviving pair set: vertices whose degree
+    //     across (small) buckets still exceeds MaxTriangleDegree are
+    //     dropped with their edges, so the wedge join emits at most
+    //     C(cap,2) wedges per vertex.
+    // Contract note: the candidate graph for triangles is DEFINED as
+    // pairs from buckets of ≤ cap+1 members — mega-bucket pairs never
+    // enter it, not even toward degrees.
     "q87_triangles" -> ((s, d) => {
-      val pairs = Text.candidatePairs(Tables.documents(s, d), "doc_id",
-        "text")
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val docs = Tables.documents(s, d)
+      val bands = Text.lshBands(
+        Text.minhashSignature(
+          Text.wordShingles(docs, "doc_id", "text", 3, dedup = false),
+          "doc_id", 16),
+        "doc_id", 4, 4)
+      val pairs = bands
+        .groupBy(col("band"), col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, MaxTriangleDegree + 1))
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a"), col("p.b")).distinct()
       val deg = pairs.select(col("a").as("v"))
         .unionAll(pairs.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -325,8 +345,18 @@ object SamplingQueries {
         |  * n.n_src * s.src_tokens < CAST(50000 AS HUGEINT) * 1000000
         |GROUP BY t.source""".stripMargin,
 
+    // bucket cap first (buckets of > cap+1 members emit no pairs),
+    // then the degree cap — the exact double-filter the Spark plan runs
     "q87_triangles" ->
-      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+      s"""WITH bh AS (${TextQueries.minhashBandsSql}),
+        |small AS (SELECT band, h FROM bh GROUP BY band, h
+        |  HAVING count(DISTINCT doc_id)
+        |    BETWEEN 2 AND ${MaxTriangleDegree + 1}),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bh a
+        |  JOIN small s ON a.band = s.band AND a.h = s.h
+        |  JOIN bh b ON a.band = b.band AND a.h = b.h
+        |    AND a.doc_id < b.doc_id),
         |deg AS (SELECT v, count(*) AS deg FROM (
         |    SELECT doc_a AS v FROM pairs
         |    UNION ALL SELECT doc_b FROM pairs) GROUP BY v),

@@ -279,8 +279,10 @@ object TextQueries {
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS h FROM wide"
     }.mkString("\n  UNION ALL ")
 
-  // shared with SamplingQueries (q62 clusters over the same pair set)
-  private[queries] lazy val minhashPairsSql: String =
+  // the (doc_id, band, h) LSH band rows — shared by the pair set below
+  // and SamplingQueries' q87, whose oracle applies a bucket-size cap
+  // BEFORE pairing (DuckDB accepts a nested WITH in a CTE body)
+  private[queries] lazy val minhashBandsSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id,
@@ -294,9 +296,13 @@ object TextQueries {
       |  FROM sh),
       |wide AS (SELECT doc_id,
       |  ${minCols(16)}
-      |  FROM hashed GROUP BY doc_id),
-      |bh AS (
-      |  ${bandRows(4, 4)})
+      |  FROM hashed GROUP BY doc_id)
+      |${bandRows(4, 4)}""".stripMargin
+
+  // shared with SamplingQueries (q62 clusters over the same pair set)
+  private[queries] lazy val minhashPairsSql: String =
+    s"""WITH bh AS (
+      |${minhashBandsSql})
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bh a JOIN bh b
       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
