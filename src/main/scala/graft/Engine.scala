@@ -27,6 +27,14 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOT set: adaptive.coalescePartitions.initialPartitionNum. Tried
+      // at 8× cores in round 4 to chase q22's 271 MB memory-spill at
+      // the 100× smoke; measured WORSE (q22 median 17.4 s → 21.8 s,
+      // spill 271 MB → 4.2 GB at 100×): the collect_list aggregation is
+      // object-hash/sort-based, and many small sorters spill more than
+      // 32 fat ones under the same 32-thread memory pool. On a real
+      // cluster initialPartitionNum scales with executors; locally the
+      // static 32 is the measured optimum.
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as epoch-nanos long and convert in Tables.events.

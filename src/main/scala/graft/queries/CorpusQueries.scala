@@ -153,6 +153,31 @@ object CorpusQueries {
         .agg(count(lit(1)).as("shared_8grams"))
     }),
 
+    // ---- sequence PACKING (concat-and-cut): per source, documents in
+    // doc_id order are concatenated into one token stream and cut into
+    // 2048-token context windows; each doc learns its start offset,
+    // first bin, and last bin — the physical training-batch layout
+    // step after curation. One window (total order: source, doc_id —
+    // doc_id is unique) + integer div; no second shuffle. Scale note:
+    // the per-source running total is sequential by construction, so a
+    // mega-source pins one partition; production packs per
+    // (source, shard) — q100's shard assignment — resetting bins at
+    // shard boundaries to bound partition size. The semantics here are
+    // the within-shard step.
+    "q110_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = 2048
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs.withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("tok_offset"),
+          expr(s"(cum - n_toks) div $win").as("bin_first"),
+          expr(s"(cum - 1) div $win").as("bin_last"))
+    }),
+
     // ---- reserved-token scrub: count + redact configured tokens
     // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
     // real PII). Spark regexp_replace replaces all matches; DuckDB needs
@@ -171,6 +196,22 @@ object CorpusQueries {
     (0 until 8).map(i => s"tk[p + $i]").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // DuckDB windowed sum(BIGINT) is HUGEINT: cast every derived column
+    // back to BIGINT to match Spark's long arithmetic
+    "q110_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_toks,
+        |  CAST(cum - n_toks AS BIGINT) AS tok_offset,
+        |  CAST((cum - n_toks) // 2048 AS BIGINT) AS bin_first,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS bin_last
+        |FROM c""".stripMargin,
+
     "q51_decontam" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |    FROM documents),
