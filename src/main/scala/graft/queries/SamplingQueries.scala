@@ -120,6 +120,32 @@ object SamplingQueries {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // ---- CANONICAL SELECTION per duplicate cluster: q62's clusters,
+    // but the keeper is the LONGEST member (token count, min-doc_id
+    // tiebreak) instead of the min id — the curation policy that keeps
+    // the most complete version of a near-dup group. One map-side-
+    // combinable aggregate does the argmax: max(struct(n_toks,
+    // -doc_id)) is lexicographic, so ties resolve to the smallest
+    // doc_id — no window, ONE shuffle on cluster after the join.
+    // Integer-only compare keys (length, id), so ordering is
+    // bit-deterministic cross-engine.
+    "q111_canonical_by_length" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Text.candidatePairs(docs, "doc_id", "text")
+      val cl = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      cl.join(toks, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_toks"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("cluster"), col("cluster_size"),
+          (-col("best.neg_id")).as("canonical_id"),
+          col("best.n_toks").as("n_toks"))
+    }),
+
     // ---- triangle counting on the near-dup candidate graph: pairs
     // sharing all three edges (a<b<c) — the density signal that tells a
     // dedup pipeline whether clusters are cliques (true dup groups) or
@@ -368,6 +394,32 @@ object SamplingQueries {
         |FROM e e1
         |JOIN e e2 ON e1.doc_b = e2.doc_a
         |JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b""".stripMargin,
+
+    // same recursive-CTE clusters as q62; the keeper is computed with
+    // an explicit window here (oracle clarity over oracle speed) —
+    // identical (n_toks DESC, doc_id ASC) order as the Spark argmax
+    "q111_canonical_by_length" ->
+      s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.node = e.t),
+        |cl AS (SELECT node AS doc_id, min(r) AS cluster
+        |  FROM reach GROUP BY node),
+        |t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |m AS (SELECT cl.cluster, cl.doc_id, t.n_toks,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY t.n_toks DESC, cl.doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cl.cluster) AS cs
+        |  FROM cl JOIN t ON cl.doc_id = t.doc_id)
+        |SELECT cluster, CAST(cs AS BIGINT) AS cluster_size,
+        |  doc_id AS canonical_id, n_toks
+        |FROM m WHERE rn = 1""".stripMargin,
 
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),
