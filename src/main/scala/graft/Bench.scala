@@ -111,8 +111,11 @@ object Bench {
       }
       // a crashed query must not masquerade as a fast one: any failed rep
       // poisons the query with the -1 sentinel
-      name -> (if (times.exists(_ < 0)) -1.0
-               else times.sorted.apply(times.size / 2))
+      val sorted = times.sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      name -> (if (times.exists(_ < 0)) -1.0 else median)
     }
     // the listener bus is async: poll until the aggregate stops moving
     // (two consecutive stable reads) instead of hoping one fixed sleep
@@ -139,13 +142,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
-    Files.write(Paths.get("BENCH_LOCAL.json"),
+    // subset runs must not clobber the canonical full-suite record
+    val outFile =
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
+    Files.write(Paths.get(outFile),
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
     val head = results.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(head)},"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(head)},"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
   }
 }

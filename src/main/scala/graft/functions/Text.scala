@@ -132,10 +132,18 @@ object Text {
     * parameters; change them here and the oracle together, nowhere else.
     */
   def candidatePairs(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    lshCandidatePairs(candidateBands(docs, idCol, textCol), idCol)
+
+  /** The (id, band, h) band rows under the same pinned config — for
+    * consumers that cap or filter buckets BEFORE pairing (q87's
+    * bucket-size cap), so the parameters stay pinned here even when
+    * the pair step differs.
+    */
+  def candidateBands(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     val sh = wordShingles(docs, idCol, textCol, 3, dedup = false)
-    lshCandidatePairs(lshBands(minhashSignature(sh, idCol, 16),
-      idCol, 4, 4), idCol)
+    lshBands(minhashSignature(sh, idCol, 16), idCol, 4, 4)
   }
 
   /** SimHash fingerprint: per-token md5 once, then `bits` conditional

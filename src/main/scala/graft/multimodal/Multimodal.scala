@@ -77,12 +77,15 @@ object Multimodal {
       }
       def int(): Int = {
         skipSpaceAndComments()
-        var v = -1
+        // accumulate in Long: 32-bit wrap would let an oversized header
+        // token (e.g. 4294967297 -> 1) parse as valid small dimensions
+        var v = -1L
         while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
-          v = math.max(v, 0) * 10 + (bytes(p) - '0')
+          v = math.min(math.max(v, 0L) * 10 + (bytes(p) - '0'),
+            Int.MaxValue.toLong + 1)
           p += 1
         }
-        v
+        if (v > Int.MaxValue) -1 else v.toInt
       }
       if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') None
       else {

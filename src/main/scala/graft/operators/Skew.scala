@@ -25,12 +25,29 @@ object Skew {
     * reduce partitions than the ones already consumed — the classic
     * SPARK-23207 nondeterministic-shuffle-key duplication/loss hazard,
     * and stage retries are routine on a 1000-executor run. A full-row
-    * hash re-derives the same salt on recompute. Caveat: byte-identical
-    * duplicate rows share a salt; include a unique id column in the
-    * frame when the hot key's rows are exact duplicates.
+    * hash re-derives the same salt on recompute. Caveats: byte-identical
+    * duplicate rows share a salt (include a unique id column in the
+    * frame when the hot key's rows are exact duplicates), and MapType
+    * columns are skipped — xxhash64 rejects them (maps have no canonical
+    * entry order), and failing the whole operator for a payload column
+    * that doesn't influence correctness would be worse.
     */
-  private def saltCol(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets))
+  private def saltCol(df: DataFrame, saltBuckets: Int): Column = {
+    val hashable = df.schema.fields.filterNot(f =>
+      graft.operators.Skew.containsMap(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltCol needs at least one non-map column to derive a salt")
+    pmod(xxhash64(hashable: _*), lit(saltBuckets))
+  }
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
 
   /** Two-phase scaffold shared by the salted aggregates: partial agg on
     * (keys, salt), then recombine on keys. */

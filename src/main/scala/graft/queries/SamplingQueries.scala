@@ -166,12 +166,8 @@ object SamplingQueries {
     // pairs from buckets of ≤ cap+1 members — mega-bucket pairs never
     // enter it, not even toward degrees.
     "q87_triangles" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bands = Text.lshBands(
-        Text.minhashSignature(
-          Text.wordShingles(docs, "doc_id", "text", 3, dedup = false),
-          "doc_id", 16),
-        "doc_id", 4, 4)
+      val bands = Text.candidateBands(Tables.documents(s, d), "doc_id",
+        "text")
       val pairs = bands
         .groupBy(col("band"), col("h"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))

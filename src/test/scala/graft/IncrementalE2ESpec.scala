@@ -113,8 +113,11 @@ class IncrementalE2ESpec extends AnyFunSuite with SparkSpec {
         // against the digest index of everything already ingested —
         // per-day cost scales with the batch, never the corpus
         val batch = s.read.parquet(s"$root/ingested/$day")
-        val digest = md5(concat_ws("|",
-          batch.columns.map(c => col(c).cast("string")): _*))
+        // to_json is null-safe and delimiter-safe (concat_ws skips
+        // NULLs and collides on in-value delimiters — distinct rows
+        // could share a digest and be wrongly dropped)
+        val digest = md5(to_json(struct(batch.columns.map(col): _*))
+          .cast("binary"))
         val withDigest = batch.withColumn("__digest", digest)
         val fresh =
           if (Files.exists(Paths.get(s"$root/digests"))) {

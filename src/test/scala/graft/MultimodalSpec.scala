@@ -63,6 +63,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // comments + extra whitespace in the header are part of the format
     val weird = ("P6\n# a comment\n 2\t2\n255\n").getBytes("US-ASCII") ++ px
     assert(Multimodal.Ppm.decode(weird).exists(_._3.sameElements(px)))
+    // an oversized dimension token must reject, not wrap to a small
+    // int (4294967297 wraps to 1 in 32-bit arithmetic)
+    val huge = "P6\n4294967297 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0)
+    assert(Multimodal.Ppm.decode(huge).isEmpty)
     // through Spark: PpmDecoder reads dims from the HEADER, and a
     // malformed payload is dropped, not crashed on
     val assets = Seq(
