@@ -120,6 +120,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("q109: planner's salted join broadcasts the replicated dim") {
+    // the salt-exploded dim (5 langs × 8 salts) must be the broadcast
+    // side — salting must never turn a broadcast-able dim join into an
+    // all-to-all shuffle of the fact
+    val p = plan("q109_skew_planner")
+    assert(p.contains("BroadcastHashJoin"),
+      s"salted dim should broadcast:\n$p")
+  }
+
+  test("q110: sequence packing is one shuffle (the window), no join") {
+    val p = plan("q110_sequence_packing")
+    assert(countExchanges(p) == 1,
+      s"packing = scan + single window exchange:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q111: canonical selection aggregates without a Window operator") {
+    // the argmax is max(struct(n_toks, -doc_id)) — a partial-aggregable
+    // HashAggregate, NOT a row_number window (which would sort every
+    // cluster's rows in one task); a refactor to a window would silently
+    // lose map-side combine at 100 TB
+    val p = plan("q111_canonical_by_length")
+    assert(!p.contains("(1) Window") && !p.linesIterator.exists(
+        _.matches("\\(\\d+\\) Window.*")),
+      s"expected aggregate-based argmax, found a Window:\n$p")
+    // struct-valued max lands in SortAggregate (not hash-aggregable);
+    // what matters is partial+final: one aggregate BEFORE the exchange
+    // (map-side combine) and one after
+    val aggs = p.linesIterator.count(
+      _.matches("\\(\\d+\\) (Sort|Hash|ObjectHash)Aggregate.*"))
+    assert(aggs >= 2, s"expected partial+final aggregates:\n$p")
+  }
+
   test("join strategy hints are honored: shuffle_hash and merge") {
     // at 100 TB the optimizer's stats can be wrong; hints are the
     // escape hatch and must survive our session config (AQE on)
