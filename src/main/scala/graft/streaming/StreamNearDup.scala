@@ -75,20 +75,16 @@ object StreamNearDup {
       .select(col("bh.band"), col("bh.h"), col("doc_id"), col("ts"))
   }
 
-  private def process(retentionMs: Long)(
-      key: (Int, String), rows: Iterator[BandRow],
-      state: GroupState[BucketSt]): Iterator[Match] = {
-    if (state.hasTimedOut) {
-      state.remove()
-      return Iterator.empty
-    }
-    // batch iterator order is nondeterministic; (ts, doc_id) order makes
-    // ownership and every emitted match deterministic
-    val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-    if (sorted.isEmpty) return Iterator.empty
-    var st = state.getOption
+  /** The pure per-batch transition, shared with [[TwsStreamNearDup]]:
+    * fold a bucket's batch rows (any order) into (matches, new state).
+    * Rows are (ts, doc_id)-sorted here so ownership and every emitted
+    * match are deterministic regardless of iterator order.
+    */
+  private[streaming] def fold(band: Int, st0: Option[BucketSt],
+      rows: Seq[BandRow]): (Seq[Match], Option[BucketSt]) = {
+    var st = st0
     val out = Seq.newBuilder[Match]
-    sorted.foreach { r =>
+    rows.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
       st match {
         case None =>
           st = Some(BucketSt(r.doc_id, r.ts.getTime))
@@ -98,18 +94,31 @@ object StreamNearDup {
               (r.ts.getTime == s.ownerTsMs && r.doc_id < s.ownerId) =>
           // straggler pre-dates the owner: transfer ownership, flag the
           // displaced owner (it never emitted anything as owner)
-          out += Match(s.ownerId, key._1, r.doc_id)
+          out += Match(s.ownerId, band, r.doc_id)
           st = Some(BucketSt(r.doc_id, r.ts.getTime))
         case Some(s) =>
-          out += Match(r.doc_id, key._1, s.ownerId)
+          out += Match(r.doc_id, band, s.ownerId)
       }
     }
+    (out.result(), st)
+  }
+
+  private def process(retentionMs: Long)(
+      key: (Int, String), rows: Iterator[BandRow],
+      state: GroupState[BucketSt]): Iterator[Match] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val batch = rows.toSeq
+    if (batch.isEmpty) return Iterator.empty
+    val (out, st) = fold(key._1, state.getOption, batch)
     state.update(st.get)
     // expire the bucket `retentionMs` past the owner; the timestamp must
     // sit above the current watermark or Spark rejects it
     state.setTimeoutTimestamp(math.max(st.get.ownerTsMs + retentionMs,
       state.getCurrentWatermarkMs() + 1))
-    out.result().iterator
+    out.iterator
   }
 
   /** docs: (doc_id, ts, text). `delay` = watermark (out-of-orderness

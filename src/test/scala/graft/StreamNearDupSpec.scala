@@ -79,6 +79,39 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState twin emits exactly the fMGWS flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    spark.conf.set(graft.streaming.TwsStrikeMonitor.rocksdbConf._1,
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._2)
+    try {
+      val input = MemoryStream[NdDoc]
+      val q = graft.streaming.TwsStreamNearDup
+        .flag(input.toDF(), "10 minutes", 3600_000L)
+        .writeStream.format("memory").queryName("sndtws")
+        .outputMode("append").start()
+      try {
+        input.addData(corpus.take(2): _*)
+        q.processAllAvailable()
+        input.addData(corpus.drop(2): _*)
+        q.processAllAvailable()
+        val flagged = spark.table("sndtws")
+          .select(col("doc_id"), col("band"), col("matched_id"))
+          .collect().map(_.mkString("|")).toSet
+        // same corpus as the fMGWS test: doc 3 flagged against doc 1 in
+        // every one of its 4 bands (identical text -> all bands match)
+        assert(flagged == (0 until 4).map(b => s"3|$b|1").toSet)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1, v)
+      case None => spark.conf.unset(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    }
+  }
+
   test("bucket state expires after retention: old clone not flagged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
