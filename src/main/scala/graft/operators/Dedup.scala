@@ -37,4 +37,36 @@ object Dedup {
   def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Incremental batch-vs-corpus EXACT dedup (the q96 pattern with row
+    * digests; the daily-ingest dedup step in IncrementalE2ESpec):
+    * `index` holds the digests of everything already ingested — probe
+    * today's `batch` against it and return
+    * (fresh rows, their digests to append to the index). Per-day cost
+    * scales with the batch (the index side of the anti-join is
+    * digest-only and broadcast-able when the batch is small), never the
+    * corpus.
+    *
+    * The digest is md5 over `to_json(struct(*))` — null-safe and
+    * delimiter-safe, where concat_ws would skip NULLs and collide on
+    * in-value separators. Within-batch duplicates also collapse (later
+    * copies of a row already seen this batch are dropped by the same
+    * digest, via keepFirst on the digest).
+    */
+  def incrementalByRowDigest(batch: DataFrame, index: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    require(!batch.columns.contains("__digest"),
+      "incrementalByRowDigest reserves the __digest column")
+    val digested = batch.withColumn("__digest",
+      md5(to_json(struct(batch.columns.map(col): _*)).cast("binary")))
+    val withinBatch = keepFirst(digested, Seq("__digest"),
+      batch.columns.map(c => col(c).asc))
+    val fresh = index match {
+      case Some(ix) =>
+        withinBatch.join(ix.select(col(ix.columns.head).as("__digest")),
+          Seq("__digest"), "left_anti")
+      case None => withinBatch
+    }
+    (fresh.drop("__digest"), fresh.select(col("__digest")))
+  }
 }

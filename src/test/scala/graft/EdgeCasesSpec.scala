@@ -62,6 +62,28 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(!ed.salted && ed.nKeys == 0L && ej.count() == 0)
   }
 
+  test("incrementalByRowDigest: null-safe, within-batch and vs-index") {
+    import spark.implicits._
+    // rows 1 and 2 would collide under concat_ws('|') digesting
+    // (NULL-skip shifts fields); they must BOTH survive
+    val day1 = Seq((1L, Option.empty[String], Some("eng")),
+      (2L, Some("eng"), Option.empty[String]),
+      (2L, Some("eng"), Option.empty[String])) // within-batch dup
+      .toDF("id", "a", "b")
+    val (fresh1, dig1) = Dedup.incrementalByRowDigest(day1, None)
+    assert(fresh1.count() == 2 && dig1.count() == 2)
+    // day 2 re-ships row 1 and adds a new row: only the new one is fresh
+    val day2 = Seq((1L, Option.empty[String], Some("eng")),
+      (3L, Some("ops"), Some("x"))).toDF("id", "a", "b")
+    val (fresh2, _) = Dedup.incrementalByRowDigest(day2, Some(dig1))
+    assert(fresh2.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // reserved column name refused, not clobbered
+    assertThrows[IllegalArgumentException] {
+      Dedup.incrementalByRowDigest(
+        day1.withColumnRenamed("a", "__digest"), None)
+    }
+  }
+
   test("csvQuarantine: all-bad file yields empty good side, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("qtest")
     val f = dir.resolve("bad.csv")

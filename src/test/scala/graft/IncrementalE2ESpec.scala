@@ -113,21 +113,15 @@ class IncrementalE2ESpec extends AnyFunSuite with SparkSpec {
         // against the digest index of everything already ingested —
         // per-day cost scales with the batch, never the corpus
         val batch = s.read.parquet(s"$root/ingested/$day")
-        // to_json is null-safe and delimiter-safe (concat_ws skips
-        // NULLs and collides on in-value delimiters — distinct rows
-        // could share a digest and be wrongly dropped)
-        val digest = md5(to_json(struct(batch.columns.map(col): _*))
-          .cast("binary"))
-        val withDigest = batch.withColumn("__digest", digest)
-        val fresh =
-          if (Files.exists(Paths.get(s"$root/digests"))) {
-            val index = s.read.parquet(s"$root/digests")
-            withDigest.join(index, Seq("__digest"), "left_anti")
-          } else withDigest
+        val index =
+          if (Files.exists(Paths.get(s"$root/digests")))
+            Some(s.read.parquet(s"$root/digests"))
+          else None
+        val (fresh, digests) =
+          graft.operators.Dedup.incrementalByRowDigest(batch, index)
         dedupDropped += day -> (batch.count() - fresh.count())
-        Sinks.appendParquet(fresh.select("__digest"), s"$root/digests")
-        Sinks.overwriteParquet(
-          EmployeePipeline.cleanTimeframe(fresh.drop("__digest")),
+        Sinks.appendParquet(digests, s"$root/digests")
+        Sinks.overwriteParquet(EmployeePipeline.cleanTimeframe(fresh),
           s"$root/staging/$day")
       }),
       Job("scd2_cdc_merge", Daily, (s: SparkSession, day: String) => {
