@@ -238,6 +238,23 @@ object TextQueries {
         .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
     }),
 
+    // ---- batch twin of streaming/StreamNearDup: per LSH band bucket,
+    // the owner is the minimum doc_id (the streaming arrival-order
+    // ownership with doc_id-ordered arrival) and every other member is
+    // flagged (doc, band, owner). Emission is LINEAR in bucket size —
+    // one star row per member, never C(m,2) pairs — which is why the
+    // streaming dedup path scales where pair materialization needs
+    // caps. Used to audit streaming decisions against the batch corpus.
+    "q112_neardup_flags" -> ((s, d) => {
+      val bands = Text.candidateBands(Tables.documents(s, d), "doc_id",
+        "text")
+      val owners = bands.groupBy(col("band"), col("h"))
+        .agg(min(col("doc_id")).as("matched_id"))
+      bands.join(owners, Seq("band", "h"))
+        .filter(col("doc_id") =!= col("matched_id"))
+        .select(col("doc_id"), col("band"), col("matched_id"))
+    }),
+
     // ---- document fingerprinting: exact digest + min-shingle (winnowing
     // -style) robust fingerprint
     "q27_fingerprint" -> ((s, d) => {
@@ -314,6 +331,15 @@ object TextQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q21_minhash_pairs" -> minhashPairsSql,
+
+    "q112_neardup_flags" ->
+      s"""WITH bh AS (
+        |${minhashBandsSql}),
+        |own AS (SELECT band, h, min(doc_id) AS matched_id
+        |  FROM bh GROUP BY band, h)
+        |SELECT b.doc_id, b.band, o.matched_id
+        |FROM bh b JOIN own o ON b.band = o.band AND b.h = o.h
+        |WHERE b.doc_id <> o.matched_id""".stripMargin,
 
     "q96_incremental_dedup" ->
       s"""WITH toks AS (
