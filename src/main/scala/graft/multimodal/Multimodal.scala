@@ -91,9 +91,16 @@ object Multimodal {
       else {
         p = 2
         val w = int(); val h = int(); val maxv = int()
-        // exactly ONE whitespace byte separates maxval from raster data
+        // exactly ONE whitespace byte separates maxval from raster data —
+        // and it must actually BE whitespace: "255X" followed by raster
+        // would otherwise decode with the raster read from the wrong
+        // offset (silently shifted pixels) instead of being rejected
+        val sepOk = p < bytes.length && {
+          val c = bytes(p)
+          c == ' ' || c == '\t' || c == '\n' || c == '\r'
+        }
         p += 1
-        if (w <= 0 || h <= 0 || maxv != 255 ||
+        if (!sepOk || w <= 0 || h <= 0 || maxv != 255 ||
             w.toLong * h * 3 > Int.MaxValue ||
             bytes.length - p < w * h * 3) None
         else Some((w, h,

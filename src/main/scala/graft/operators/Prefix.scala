@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum: the scale-safe replacement for
+  * `Window.partitionBy(key).orderBy(order)` running totals when the key's
+  * cardinality is below the cluster's parallelism. That window serializes
+  * each key through ONE reducer — a handful of mega-sources at 100 TB pin
+  * a handful of tasks while the rest of the cluster idles (the classic
+  * low-cardinality-window scale-killer; reference analog: the per-source
+  * concat-and-cut packing step a daily corpus build runs before
+  * training).
+  *
+  * Two-phase plan (classic parallel scan):
+  *   1. chunk every row by BROADCAST quantile boundaries of the order
+  *      column — a deterministic, data-derived assignment (no dependence
+  *      on physical partition ids, so stage retries and re-evaluation
+  *      cannot skew it);
+  *   2. one map-side-combinable aggregate of per-(key, chunk) partial
+  *      sums, collected to the driver (≤ nKeys × nChunks rows — the
+  *      operator targets LOW-cardinality keys, so this is planner-scale,
+  *      like Skew.measureKeySkew's 1-row collect);
+  *   3. cumulative chunk offsets broadcast back as a tiny join frame;
+  *   4. the running sum itself runs per (key, chunk) — bounded-size
+  *      window partitions, nKeys × nChunks of them, so parallelism scales
+  *      with data instead of capping at nKeys.
+  *
+  * Output values are IDENTICAL to the single-window form provided
+  * (key, order) is a total order (unique order values per key) — ties
+  * split across a chunk boundary would otherwise lose the RANGE-frame
+  * tie-grouping of the plain window.
+  */
+object Prefix {
+
+  /** Inclusive running sum of `valueCol` over `orderCol` within each
+    * `keyCol` group, as `outCol` (bigint). Equivalent to
+    * `sum(valueCol).over(Window.partitionBy(keyCol).orderBy(orderCol))`
+    * with unique per-key order values, but never serializes a key
+    * through one task. `orderCol` must be numeric (chunk boundaries are
+    * quantiles of it).
+    */
+  def runningSum(df: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String, outCol: String,
+                 numChunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val chunks =
+      if (numChunks > 0) numChunks
+      else spark.sessionState.conf.numShufflePartitions
+    // phase 1: quantile boundaries of the order column. Balance, not
+    // correctness, depends on them: any assignment that respects order
+    // yields the same sums, so the 1% sketch error is free.
+    val bounds = df.stat.approxQuantile(orderCol,
+      (1 until chunks).map(_.toDouble / chunks).toArray, 0.01)
+      .distinct.sorted
+    val chunkCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col(orderCol).cast("double") > lit(b),
+        lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val chunked = df.withColumn("__chunk", chunkCol)
+    // phase 2: per-(key, chunk) partials — map-side combined, only
+    // (key, chunk, sum) triples shuffle and land on the driver
+    val partials = chunked
+      .groupBy(col(keyCol), col("__chunk"))
+      .agg(sum(col(valueCol).cast("bigint")).as("__t"))
+      .collect()
+      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    // phase 3: offset of (key, chunk) = total of the key's EARLIER chunks
+    val offsets = partials.groupBy(_._1).iterator.flatMap {
+      case (key, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cums).map { case ((_, chunk, _), off) =>
+          (key, chunk, off)
+        }
+    }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map {
+        case (k, c, o) => org.apache.spark.sql.Row(k, c, o)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__k",
+          df.schema(keyCol).dataType),
+        org.apache.spark.sql.types.StructField("__chunk2",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // phase 4: bounded within-chunk window + broadcast offset lookup
+    val w = Window.partitionBy(col(keyCol), col("__chunk"))
+      .orderBy(col(orderCol))
+    chunked
+      .withColumn("__local", sum(col(valueCol).cast("bigint")).over(w))
+      .join(broadcast(offDf), col(keyCol) <=> col("__k")
+        && col("__chunk") === col("__chunk2"), "left")
+      .withColumn(outCol, col("__local") + coalesce(col("__off"), lit(0L)))
+      .drop("__chunk", "__local", "__k", "__chunk2", "__off")
+  }
+}

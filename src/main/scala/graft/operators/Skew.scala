@@ -99,9 +99,23 @@ object Skew {
       .drop(sf("__salt")).drop(sd("__salt"))
   }
 
-  /** What the skew-join planner measured and decided. */
+  /** What the skew-join planner measured and decided. `topKeySalts` is
+    * populated only on the salted path: the number of DISTINCT salt
+    * buckets the hottest key's rows actually landed in. Salting spreads
+    * a hot key only as far as its rows hash apart — byte-identical
+    * duplicate rows share a full-row hash, so a mega-clone hot key
+    * collapses to ONE bucket and the join silently degrades to an
+    * unsalted hot partition. `saltEffective` surfaces that at plan time
+    * instead of leaving it to a comment: when false, project a unique id
+    * column into the fact frame before joining.
+    */
   case class SkewDecision(skewFactor: Double, topKeyRows: Long,
-                          nKeys: Long, salted: Boolean)
+                          nKeys: Long, salted: Boolean,
+                          topKeySalts: Option[Long] = None) {
+    /** false iff salting was chosen but did not spread the hottest key
+      * over more than one bucket (ineffective salt). */
+    def saltEffective: Boolean = topKeySalts.forall(_ > 1L)
+  }
 
   /** Measure join-key skew on `df(key)`: skew factor = hottest key's
     * share × number of keys (1.0 = perfectly uniform; N = one key owns
@@ -141,6 +155,21 @@ object Skew {
     val joined =
       if (useSalt) saltedJoin(fact, dim, factKey, dimKey, saltBuckets)
       else fact.join(dim, fact(factKey) === dim(dimKey))
-    (joined, SkewDecision(factor, topRows, nKeys, useSalt))
+    // salted path only: verify the salt actually spread the hottest key.
+    // Two more tiny planner-time jobs (a top-1 key lookup + a
+    // count-distinct over that key's salts) — paid once per pipeline,
+    // like the skew measurement itself, never per row.
+    val topSalts = if (!useSalt) None else scala.util.Try {
+      val top = fact.groupBy(col(factKey)).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col(factKey).asc_nulls_last)
+        .limit(1).collect()
+      top.headOption.map { r =>
+        fact.filter(col(factKey) <=> lit(r.get(0)))
+          .select(saltCol(fact, saltBuckets).as("__s"))
+          .agg(countDistinct(col("__s")).as("__d"))
+          .collect()(0).getLong(0)
+      }
+    }.toOption.flatten
+    (joined, SkewDecision(factor, topRows, nKeys, useSalt, topSalts))
   }
 }

@@ -157,21 +157,21 @@ object CorpusQueries {
     // doc_id order are concatenated into one token stream and cut into
     // 2048-token context windows; each doc learns its start offset,
     // first bin, and last bin — the physical training-batch layout
-    // step after curation. One window (total order: source, doc_id —
-    // doc_id is unique) + integer div; no second shuffle. Scale note:
-    // the per-source running total is sequential by construction, so a
-    // mega-source pins one partition; production packs per
-    // (source, shard) — q100's shard assignment — resetting bins at
-    // shard boundaries to bound partition size. The semantics here are
-    // the within-shard step.
+    // step after curation. The running total is a TWO-PHASE prefix sum
+    // (operators/Prefix.scala): a Window.partitionBy(source) running
+    // sum would serialize each source through one reducer — with a
+    // handful of sources at 100 TB, a handful of tasks own the entire
+    // corpus. Prefix.runningSum chunks on broadcast doc_id quantiles,
+    // broadcasts cumulative chunk offsets back, and windows only within
+    // (source, chunk) — same output (doc_id is unique per source), with
+    // parallelism that scales with data instead of capping at nSources.
     "q110_sequence_packing" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val win = 2048
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("bigint").as("n_toks"))
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      docs.withColumn("cum", sum(col("n_toks")).over(w))
+      graft.operators.Prefix
+        .runningSum(docs, "source", "doc_id", "n_toks", "cum")
         .select(col("doc_id"), col("source"), col("n_toks"),
           (col("cum") - col("n_toks")).as("tok_offset"),
           expr(s"(cum - n_toks) div $win").as("bin_first"),

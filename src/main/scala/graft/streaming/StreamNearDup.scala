@@ -113,11 +113,22 @@ object StreamNearDup {
     val batch = rows.toSeq
     if (batch.isEmpty) return Iterator.empty
     val (out, st) = fold(key._1, state.getOption, batch)
-    state.update(st.get)
-    // expire the bucket `retentionMs` past the owner; the timestamp must
-    // sit above the current watermark or Spark rejects it
-    state.setTimeoutTimestamp(math.max(st.get.ownerTsMs + retentionMs,
-      state.getCurrentWatermarkMs() + 1))
+    // retention is a HARD horizon (TWS-twin parity): the timer twin
+    // processes a batch's input rows first, then fires expired timers —
+    // so rows in this batch still match against the owner, but if the
+    // watermark has passed ownerTs+retention the bucket is dropped at
+    // batch end, NOT re-armed to watermark+1. The old keep-alive re-arm
+    // made a bucket touched at/after its horizon immortal under fMGWS
+    // while the TWS twin's fixed timer cleared it — the twins diverged
+    // one batch later.
+    val horizon = st.get.ownerTsMs + retentionMs
+    if (horizon <= state.getCurrentWatermarkMs()) {
+      state.remove()
+    } else {
+      state.update(st.get)
+      // horizon > watermark here, so Spark accepts the timestamp
+      state.setTimeoutTimestamp(horizon)
+    }
     out.iterator
   }
 

@@ -43,14 +43,25 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.select(col("fk"), col("v"), col("name"))
         .collect().map(_.mkString("|")).toSeq.sorted
-    // hot key 7 owns 101 of 109 rows (100 clones + its 1..9 row):
-    // factor = (101/109)*9 ≈ 8.3
+    // hot key 7 owns 100 of 108 rows, ALL byte-identical clones:
+    // factor = (100/108)*9 ≈ 8.3
     val skewed = (Seq.fill(100)((7L, 1.0)) ++
-      (1L to 9L).map(k => (k, k.toDouble))).toDF("fk", "v")
+      (1L to 9L).filter(_ != 7L).map(k => (k, k.toDouble)))
+      .toDF("fk", "v")
     val (sj, sd) = Skew.planJoin(skewed, dim, "fk", "dk",
       skewThreshold = 4.0, saltBuckets = 4)
-    assert(sd.salted && sd.skewFactor > 4.0 && sd.topKeyRows == 101L)
+    assert(sd.salted && sd.skewFactor > 4.0 && sd.topKeyRows == 100L)
     assert(canon(sj) == canon(skewed.join(dim, $"fk" === $"dk")))
+    // the 100 hot rows are BYTE-IDENTICAL -> full-row-hash salt collapses
+    // to one bucket; the decision must surface that, not hide it
+    assert(sd.topKeySalts.contains(1L) && !sd.saltEffective)
+    // same skew but rows carry a distinguishing value -> salt spreads
+    val distinct = ((1L to 100L).map(i => (7L, i.toDouble)) ++
+      (1L to 9L).map(k => (k, k.toDouble))).toDF("fk", "v")
+    val (dj, dd) = Skew.planJoin(distinct, dim, "fk", "dk",
+      skewThreshold = 4.0, saltBuckets = 4)
+    assert(dd.salted && dd.topKeySalts.exists(_ > 1L) && dd.saltEffective)
+    assert(canon(dj) == canon(distinct.join(dim, $"fk" === $"dk")))
     // uniform: factor 1.0 -> plain join, same rows
     val uniform = (1L to 10L).map(k => (k, k.toDouble)).toDF("fk", "v")
     val (uj, ud) = Skew.planJoin(uniform, dim, "fk", "dk")

@@ -68,6 +68,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val huge = "P6\n4294967297 1\n255\n".getBytes("US-ASCII") ++
       Array[Byte](0, 0, 0)
     assert(Multimodal.Ppm.decode(huge).isEmpty)
+    // the single byte after maxval must be whitespace: "255X" + raster
+    // would otherwise read the raster from the wrong offset (silently
+    // shifted pixels) instead of rejecting
+    val badSep = "P6\n1 1\n255X".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    assert(Multimodal.Ppm.decode(badSep).isEmpty)
+    // truncated right after maxval (no separator byte at all)
+    assert(Multimodal.Ppm.decode("P6\n1 1\n255".getBytes("US-ASCII")).isEmpty)
     // through Spark: PpmDecoder reads dims from the HEADER, and a
     // malformed payload is dropped, not crashed on
     val assets = Seq(

@@ -129,11 +129,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"salted dim should broadcast:\n$p")
   }
 
-  test("q110: sequence packing is one shuffle (the window), no join") {
+  test("q110: packing windows per (source, chunk), offsets broadcast") {
+    // the two-phase prefix sum must NOT fall back to a per-source
+    // window (single reducer per source at scale): the Window operator
+    // partitions on (source, __chunk) and the chunk offsets arrive via
+    // a broadcast join, never a shuffle
     val p = plan("q110_sequence_packing")
-    assert(countExchanges(p) == 1,
-      s"packing = scan + single window exchange:\n$p")
-    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(p.linesIterator.exists(_.matches(".*\\(\\d+\\) Window.*")),
+      s"expected a Window operator:\n$p")
+    // __chunk exists ONLY as the prefix-sum's internal partition key, so
+    // its presence in the executed plan means the window/exchange run on
+    // (source, __chunk), not source alone
+    assert(p.contains("__chunk"),
+      s"window must partition on (source, __chunk):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"chunk offsets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join must not shuffle:\n$p")
   }
 
   test("q111: canonical selection aggregates without a Window operator") {

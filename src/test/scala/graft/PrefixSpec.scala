@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Prefix
+
+/** Two-phase distributed prefix sum vs the single-window reference. */
+class PrefixSpec extends AnyFunSuite with SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("runningSum equals the per-key window on multi-key data") {
+    import spark.implicits._
+    // deterministic pseudo-random values; unique order (id) per key
+    val rows = (1L to 500L).map(i => (s"k${i % 7}", i, (i * 31) % 97))
+    val df = rows.toDF("k", "id", "v")
+    val got = Prefix.runningSum(df, "k", "id", "v", "cum", numChunks = 8)
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+    val want = df.withColumn("cum", sum(col("v").cast("bigint")).over(w))
+    assert(canon(got.select("k", "id", "v", "cum"))
+      == canon(want.select("k", "id", "v", "cum")))
+  }
+
+  test("runningSum on ONE mega-key still matches (the scale case)") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => ("only", i, i % 13)).toDF("k", "id", "v")
+    val got = Prefix.runningSum(df, "k", "id", "v", "cum", numChunks = 16)
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+    val want = df.withColumn("cum", sum(col("v").cast("bigint")).over(w))
+    assert(canon(got.select("k", "id", "v", "cum"))
+      == canon(want.select("k", "id", "v", "cum")))
+    // and the plan must window on (k, __chunk), not k alone
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__chunk"), plan)
+  }
+
+  test("runningSum handles empty input, single row, and null keys") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long)].toDF("k", "id", "v")
+    assert(Prefix.runningSum(empty, "k", "id", "v", "cum").count() == 0)
+    val one = Seq(("a", 1L, 5L)).toDF("k", "id", "v")
+    assert(Prefix.runningSum(one, "k", "id", "v", "cum")
+      .select("cum").as[Long].collect().toSeq == Seq(5L))
+    // null keys form their own group (null-safe offset join)
+    val withNull = Seq((Option.empty[String], 1L, 2L),
+      (Option.empty[String], 2L, 3L), (Some("a"), 1L, 7L))
+      .toDF("k", "id", "v")
+    val got = Prefix.runningSum(withNull, "k", "id", "v", "cum",
+        numChunks = 2)
+      .select("k", "cum").collect()
+      .map(r => (if (r.isNullAt(0)) "null" else r.getString(0))
+        -> r.getLong(1)).toSet
+    assert(got == Set("null" -> 2L, "null" -> 5L, "a" -> 7L))
+  }
+}

@@ -135,4 +135,54 @@ class StreamNearDupSpec extends AnyFunSuite with SparkSpec {
       assert(flagged.isEmpty, s"expired bucket must not match: $flagged")
     } finally q.stop()
   }
+
+  test("retention horizon is HARD and twin-consistent: clone in the " +
+      "watermark-advancing batch, another clone after") {
+    // the divergence the advisor flagged: fMGWS used to re-arm its
+    // timeout to watermark+1 on every touch, so a bucket touched
+    // at/after its horizon stayed alive while the TWS twin's fixed
+    // timer cleared it. Both twins must now agree: the clone that rides
+    // the watermark past the horizon still matches (rows process before
+    // expiry), the NEXT clone finds a fresh bucket.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val timeline = Seq(
+      Seq(NdDoc(60, t("2024-01-01 10:00:00"), "hard horizon probe text q")),
+      // same microbatch that advances the watermark past 10:30
+      Seq(NdDoc(61, t("2024-01-01 10:45:00"), "hard horizon probe text q")),
+      Seq(NdDoc(62, t("2024-01-01 10:46:00"), "hard horizon probe text q")))
+    def run(name: String,
+            mk: (org.apache.spark.sql.DataFrame, String, Long) =>
+              org.apache.spark.sql.Dataset[StreamNearDup.Match])
+        : Set[(Long, Long)] = {
+      val input = MemoryStream[NdDoc]
+      val q = mk(input.toDF(), "1 minutes", 1800_000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        timeline.foreach { batch =>
+          input.addData(batch: _*); q.processAllAvailable()
+        }
+        spark.table(name).select(col("doc_id"), col("matched_id"))
+          .distinct().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      } finally q.stop()
+    }
+    val fmgws = run("sndhz1", StreamNearDup.flag)
+    val prev = spark.conf.getOption(
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    spark.conf.set(graft.streaming.TwsStrikeMonitor.rocksdbConf._1,
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._2)
+    val tws = try run("sndhz2", graft.streaming.TwsStreamNearDup.flag)
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          graft.streaming.TwsStrikeMonitor.rocksdbConf._1, v)
+        case None => spark.conf.unset(
+          graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+      }
+    // 61 rides the advancing batch: still matched (processed before the
+    // horizon expiry); 62 arrives after expiry: fresh owner, unflagged
+    assert(fmgws == Set(61L -> 60L), s"fMGWS: $fmgws")
+    assert(tws == fmgws, s"twins diverged: tws=$tws fmgws=$fmgws")
+  }
 }
