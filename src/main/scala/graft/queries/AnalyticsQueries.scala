@@ -175,18 +175,34 @@ object AnalyticsQueries {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
-    // ---- frame-boundary value functions: first/last/nth over an
-    // explicit unbounded ROWS frame (last_value needs the full frame —
-    // the default frame stops at CURRENT ROW and silently returns the
-    // current row's value, a classic window pitfall)
+    // ---- frame-boundary value functions: first/last/nth of each
+    // source's doc_id order. The oracle keeps the window formulation
+    // (PARTITION BY source, unbounded ROWS frame — last_value needs the
+    // full frame; the default frame stops at CURRENT ROW, a classic
+    // window pitfall), but the Spark plan must NOT: a window keyed on
+    // ~20 sources serializes the whole table through ~20 reducers (the
+    // q110 class of bug, and exactly what PlanReport's window audit
+    // flags). Frame-boundary values over a FULL partition are just
+    // aggregates — min, max, and 3rd-smallest via the bounded TopKAgg
+    // (k rows per group cross the wire, map-side combined) — broadcast
+    // back onto the rows.
     "q94_frame_values" -> ((s, d) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.documents(s, d).select(
-        col("doc_id"), col("source"),
-        first(col("doc_id")).over(w).as("first_doc"),
-        last(col("doc_id")).over(w).as("last_doc"),
-        nth_value(col("doc_id"), 3).over(w).as("third_doc"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val k3 = udaf(new graft.operators.TopKAgg(3))
+      val marks = docs.groupBy(col("source")).agg(
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          // score = -doc_id: TopKAgg keeps the LARGEST scores, so this
+          // buffers the 3 smallest doc_ids; ids are < 2^53, exact as
+          // double
+          k3(negate(col("doc_id")).cast("double"), col("doc_id"))
+            .as("top3"))
+        .select(col("source"), col("first_doc"), col("last_doc"),
+          // null when the source has < 3 docs — nth_value semantics
+          expr("try_element_at(top3, 3)").getField("id").as("third_doc"))
+      docs.join(broadcast(marks), "source")
+        .select(col("doc_id"), col("source"),
+          col("first_doc"), col("last_doc"), col("third_doc"))
     }),
 
     // ---- array aggregation: collect_set sorted into a deterministic
