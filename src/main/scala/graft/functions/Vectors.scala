@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-similarity building blocks (`Array[Float]` columns).
@@ -54,10 +55,99 @@ object Vectors {
         lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  // ---------- IVF index BUILD: deterministic distributed k-means ------
+
+  /** Quantize an Array[Float] column to exact-integer space:
+    * floor(x * scale) as bigint per element. Every downstream k-means
+    * operation (dot products, sums, floor-divided means) then runs on
+    * integers small enough to be EXACT in both bigint and double — the
+    * property that lets a DuckDB oracle replay the whole training run
+    * bit-identically (float means would drift on aggregation order).
+    */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        scale: Long): DataFrame =
+    df.select(col(idCol).cast("bigint").as("vid"),
+      expr(s"transform($vecCol, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * ${scale}L) AS BIGINT))").as("qv"))
+
+  /** Nearest-centroid ids per row by INTEGER dot product, ties to the
+    * lowest cid. One broadcast of k centroids + a per-row argmax window
+    * (partition key = the vector id — cardinality scales with data).
+    * `nprobe` > 1 keeps the n nearest lists (the query-side recall
+    * knob); index build always uses 1.
+    */
+  private def assignQuantized(q: DataFrame, cents: Seq[(Int, Seq[Long])],
+                              nprobe: Int = 1): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centDf = cents.toDF("cid", "ce")
+    q.crossJoin(broadcast(centDf))
+      .select(col("vid"), col("cid"),
+        expr("aggregate(zip_with(qv, ce, (x, y) -> x * y), 0L, " +
+          "(a, v) -> a + v)").as("d"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("vid"))
+        .orderBy(col("d").desc, col("cid").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vid"), col("cid"))
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column, fully
+    * deterministic (the round-4 gap: `ivfAssign` consumed centroids "a
+    * sampled k-means" was assumed to have produced — this is that
+    * trainer). Returns the k centroids in quantized integer space after
+    * exactly `iters` iterations.
+    *
+    *  - init: the k vectors with the smallest md5(id) rank — a seeded
+    *    sample any engine can reproduce;
+    *  - assign: broadcast centroids, integer-dot argmax (no shuffle of
+    *    vectors beyond the one argmax window keyed per vector id);
+    *  - update: posexplode to (cid, dim) partial sums — map-side
+    *    combinable, k x dim rows reach the driver per pass; means are
+    *    floor(sum / n) (exact: both operands < 2^53); empty clusters
+    *    keep their previous centroid.
+    *
+    * At 100 TB the per-pass cost is one broadcast join + one
+    * map-combined aggregate; the driver holds only k x dim longs.
+    */
+  def kmeansQ(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              iters: Int, scale: Long = 1000000L): Seq[(Int, Seq[Long])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k/$iters")
+    val q = quantized(df, idCol, vecCol, scale)
+    var cents: Seq[(Int, Seq[Long])] = q
+      .orderBy(md5(col("vid").cast("string")).asc, col("vid").asc)
+      .limit(k).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toIndexedSeq) }.toSeq
+    for (_ <- 1 to iters) {
+      val means = assignQuantized(q, cents).join(q, "vid")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos0", "v")))
+        .groupBy(col("cid"), (col("pos0") + 1).as("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          expr("CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)").as("mv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getAs[Number]("pos").intValue())
+          -> r.getLong(2)).toMap
+      cents = cents.map { case (cid, ce) =>
+        (cid, ce.indices.map(i => means.getOrElse((cid, i + 1), ce(i))))
+      }
+    }
+    cents
+  }
+
+  /** Serving-side coarse assignment against TRAINED quantized centroids:
+    * (idCol, cid) per input row, same integer-dot argmax as training so
+    * index build and probe agree exactly.
+    */
+  def assignTrained(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[(Int, Seq[Long])],
+                    scale: Long = 1000000L, nprobe: Int = 1): DataFrame =
+    assignQuantized(quantized(df, idCol, vecCol, scale), cents, nprobe)
+      .withColumnRenamed("vid", idCol)
+
   /** IVF coarse assignment: nearest centroid per vector (max dot product;
     * unit-normalized inputs make this max cosine). `cents` must carry
     * (cid, ce) and be small enough to broadcast — at scale it is the
-    * output of a sampled k-means; here any deterministic centroid set.
+    * output of [[kmeansQ]]; here any deterministic centroid set.
     * Ties broken by lowest cid (total order → oracle-stable).
     */
   def ivfAssign(vectors: org.apache.spark.sql.DataFrame, vecCol: String,

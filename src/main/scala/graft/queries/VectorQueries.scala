@@ -24,6 +24,65 @@ object VectorQueries {
       .map(i => s"(CASE WHEN $a[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
+  // ---- k-means training constants (q113/q114): quantization scale,
+  // cluster count, Lloyd iterations — pinned so the DuckDB oracle can
+  // unroll the exact same run
+  private val KmScale = 1000000L
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** One Lloyd iteration as DuckDB CTEs: assignment (integer-dot argmax
+    * against `prev`), per-(cid, dim) floor-divided means, and the next
+    * centroid set `cur` (empty clusters keep their previous centroid) —
+    * the exact mirror of Vectors.kmeansQ's pass.
+    */
+  /** Assignment-only CTE (argmax of integer dot against `prev`) — also
+    * used standalone by q114 for the serving-side assignment. */
+  private def kmAssignCte(i: Int, prev: String): String =
+    s"""a$i AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, 64),
+       |          i -> q.qv[i] * c.ce[i]), (a, v) -> a + v) DESC,
+       |        c.cid ASC) AS rn
+       |    FROM q, $prev c) WHERE rn = 1)""".stripMargin
+
+  private def kmIterCtes(i: Int, prev: String, cur: String): String =
+    s"""${kmAssignCte(i, prev)},
+       |m$i AS (
+       |  SELECT a.cid, g.pos,
+       |    CAST(floor(CAST(sum(q.qv[g.pos]) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS mv
+       |  FROM a$i a JOIN q USING (vec_id)
+       |  CROSS JOIN generate_series(1, 64) g(pos)
+       |  GROUP BY a.cid, g.pos),
+       |$cur AS (
+       |  SELECT c.cid, list(coalesce(m.mv, c.ce[g.pos]) ORDER BY g.pos)
+       |    AS ce
+       |  FROM $prev c CROSS JOIN generate_series(1, 64) g(pos)
+       |  LEFT JOIN m$i m ON m.cid = c.cid AND m.pos = g.pos
+       |  GROUP BY c.cid)""".stripMargin
+
+  /** Quantize + seed + `KmIters` unrolled Lloyd passes; the final
+    * centroid set is `c$KmIters`. Shared by the q113 and q114 oracles.
+    */
+  private def kmeansCtes: String = {
+    val iters = (1 to KmIters)
+      .map(i => kmIterCtes(i, s"c${i - 1}", s"c$i")).mkString(",\n")
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT cid, qv AS ce FROM (
+       |    SELECT qv, CAST(row_number() OVER (ORDER BY
+       |      md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS INT)
+       |      AS cid
+       |    FROM q) WHERE cid < $KmK),
+       |$iters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- brute-force cosine top-10 vs the vec_id=0 query vector:
     // broadcast 1-row query side, one codegen'd pass, no shuffle
@@ -144,6 +203,61 @@ object VectorQueries {
         .select(col("cid").as("qcid"))
       val ivf = score(e.join(assign, "vec_id")
         .join(broadcast(qCluster), col("cid") === col("qcid"))
+        .filter(col("vec_id") =!= 0))
+      brute.join(ivf, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(5).as("k"), col("n_hits"),
+          (col("n_hits") / lit(5)).as("recall"))
+    }),
+
+    // ---- IVF index BUILD: deterministic distributed k-means (Lloyd,
+    // 2 passes, k=8) over integer-quantized embeddings — the trainer
+    // the fixed-centroid IVF queries (q35/q57/q102) assumed existed.
+    // Quantization makes every training step exact integer arithmetic,
+    // so the oracle replays the IDENTICAL run; output is the final
+    // centroid matrix as (cid, pos, cval) rows.
+    "q113_kmeans_centroids" -> ((s, d) => {
+      import s.implicits._
+      Vectors.kmeansQ(Tables.embeddings(s, d), "vec_id", "embedding",
+          KmK, KmIters, KmScale)
+        .flatMap { case (cid, ce) =>
+          ce.zipWithIndex.map { case (v, i) => (cid, i + 1, v) } }
+        .toDF("cid", "pos", "cval")
+    }),
+
+    // ---- trained-IVF recall audit: the q102 measurement re-run with
+    // centroids from q113's k-means instead of the fixed vec_id<16 set,
+    // probing the query's 3 nearest lists. The synthetic embeddings are
+    // i.i.d. Gaussian — there is NO cluster structure to exploit, so
+    // IVF recall is essentially proportional to corpus coverage
+    // (k=8 × nprobe=3 ≈ 38%); on real embedding manifolds the same
+    // index recovers far more per probed list. The audit is the point:
+    // it is the measurement that decides whether a trained index may
+    // replace exact search. VectorOpsSpec asserts this recall >=
+    // q102's fixed-centroid recall.
+    "q114_ivf_trained_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Vectors.kmeansQ(e, "vec_id", "embedding",
+        KmK, KmIters, KmScale)
+      val assign = Vectors.assignTrained(e, "vec_id", "embedding",
+        cents, KmScale)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm("qe"))
+      def score(df: DataFrame): DataFrame = df
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (Vectors.dot("embedding", "qe")
+            / (Vectors.norm("embedding") * col("qn"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"))
+      val brute = score(e.filter(col("vec_id") =!= 0))
+      val qProbe = Vectors.assignTrained(e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", cents, KmScale, nprobe = 3)
+        .select(col("cid").as("qcid"))
+      val ivf = score(e.join(assign, "vec_id")
+        .join(broadcast(qProbe), col("cid") === col("qcid"))
         .filter(col("vec_id") =!= 0))
       brute.join(ivf, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
@@ -289,6 +403,46 @@ object VectorQueries {
         |    FROM embeddings e
         |    JOIN assign a ON e.vec_id = a.vec_id
         |    JOIN qc ON a.cid = qc.qcid, q
+        |    WHERE e.vec_id <> 0)
+        |  WHERE rn <= 5)
+        |SELECT CAST(5 AS INT) AS k,
+        |  count(*) AS n_hits,
+        |  count(*) / 5 AS recall
+        |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
+
+    "q113_kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+        |SELECT c.cid, CAST(g.pos AS INT) AS pos, c.ce[g.pos] AS cval
+        |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)""".stripMargin,
+
+    "q114_ivf_trained_recall" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |qe0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |brute AS (SELECT vec_id FROM (
+        |    SELECT e.vec_id, row_number() OVER (ORDER BY
+        |      ${dotSql("e.embedding", "qq.qe")}
+        |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+        |           * sqrt(${dotSql("qq.qe", "qq.qe")})) DESC,
+        |      e.vec_id ASC) AS rn
+        |    FROM embeddings e, qe0 qq WHERE e.vec_id <> 0)
+        |  WHERE rn <= 5),
+        |qp AS (SELECT cid AS qcid FROM (
+        |    SELECT c.cid, row_number() OVER (ORDER BY
+        |      list_reduce(list_transform(generate_series(1, 64),
+        |        i -> q.qv[i] * c.ce[i]), (a, v) -> a + v) DESC,
+        |      c.cid ASC) AS rn
+        |    FROM q, c$KmIters c WHERE q.vec_id = 0)
+        |  WHERE rn <= 3),
+        |ivf AS (SELECT vec_id FROM (
+        |    SELECT e.vec_id, row_number() OVER (ORDER BY
+        |      ${dotSql("e.embedding", "qq.qe")}
+        |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+        |           * sqrt(${dotSql("qq.qe", "qq.qe")})) DESC,
+        |      e.vec_id ASC) AS rn
+        |    FROM embeddings e
+        |    JOIN a${KmIters + 1} a ON e.vec_id = a.vec_id
+        |    JOIN qp ON a.cid = qp.qcid, qe0 qq
         |    WHERE e.vec_id <> 0)
         |  WHERE rn <= 5)
         |SELECT CAST(5 AS INT) AS k,
