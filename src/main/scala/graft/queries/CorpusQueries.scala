@@ -178,6 +178,20 @@ object CorpusQueries {
           expr(s"(cum - 1) div $win").as("bin_last"))
     }),
 
+    // ---- BPE vocabulary induction: the top-5 byte-pair merges learned
+    // from the corpus vocabulary (freq-weighted adjacent-pair counts,
+    // greedy merge, ties to the smallest pair) — tokenizer training's
+    // core loop, with the pair counting running as the custom
+    // PairCountAgg Aggregator (map-side-combined pair→count maps; see
+    // functions/Bpe.scala for the scale and determinism story).
+    "q115_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.Bpe
+        .learn(Tables.documents(s, d), "text", rounds = BpeRounds,
+          vocabCap = BpeVocabCap)
+        .toDF()
+    }),
+
     // ---- reserved-token scrub: count + redact configured tokens
     // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
     // real PII). Spark regexp_replace replaces all matches; DuckDB needs
@@ -194,6 +208,58 @@ object CorpusQueries {
 
   private def gram8(prefix: String): String =
     (0 until 8).map(i => s"tk[p + $i]").mkString(", ")
+
+  // ---- BPE constants pinned for oracle unrolling
+  private val BpeRounds = 5
+  private val BpeVocabCap = 200
+
+  /** One BPE round as DuckDB CTEs: freq-weighted adjacent-pair counts
+    * over v{r-1}, the (cnt desc, pair asc) winner, and the vocabulary
+    * with that merge applied — the exact mirror of Bpe.learn's round,
+    * including the doubled-separator replace (see Bpe.applyMerge for
+    * why that makes plain `replace` order-safe).
+    */
+  private def bpeRound(r: Int): String =
+    s"""p$r AS (
+       |  SELECT tk[i] || ' ' || tk[i + 1] AS pair,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT freq, tk,
+       |      unnest(generate_series(1, len(tk) - 1)) AS i
+       |    FROM (SELECT freq, string_split(s, ' ') AS tk FROM v${r - 1}))
+       |  GROUP BY 1),
+       |m$r AS (
+       |  SELECT pair, cnt, string_split(pair, ' ')[1] AS pa,
+       |    string_split(pair, ' ')[2] AS pb
+       |  FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |v$r AS (
+       |  SELECT v.word, v.freq,
+       |    trim(replace(replace(' ' || replace(v.s, ' ', '  ') || ' ',
+       |      ' ' || m.pa || '  ' || m.pb || ' ',
+       |      ' ' || m.pa || m.pb || ' '), '  ', ' ')) AS s
+       |  FROM v${r - 1} v, m$r m)""".stripMargin
+
+  private def bpeSql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRound).mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"""SELECT CAST($r AS INT) AS merge_round, pa AS lft, pb AS rgt,
+         |  pa || pb AS merged, cnt FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT word, freq,
+       |    array_to_string(list_transform(generate_series(1,
+       |      length(word)), i -> substr(word, i, 1)), ' ') || ' </w>'
+       |      AS s
+       |  FROM (
+       |    SELECT tok AS word, count(*) AS freq
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |      FROM documents)
+       |    GROUP BY tok
+       |    ORDER BY 2 DESC, 1 ASC
+       |    LIMIT $BpeVocabCap)),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // DuckDB windowed sum(BIGINT) is HUGEINT: cast every derived column
@@ -299,6 +365,8 @@ object CorpusQueries {
         |  count(*) AS shared_8grams
         |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    "q115_bpe_merges" -> bpeSql,
 
     "q56_scrub" ->
       """SELECT doc_id,
