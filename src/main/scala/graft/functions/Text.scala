@@ -83,7 +83,7 @@ object Text {
     * no extra shuffle.
     */
   def minhashSignature(shingles: DataFrame, idCol: String,
-                       numHashes: Int): DataFrame = {
+                       numHashes: Int, withCount: Boolean = false): DataFrame = {
     // md5 once per shingle, then split the digest — CollapseProject keeps
     // the two-step shape (md5 is non-cheap, so Catalyst won't re-inline
     // it into both conv() calls)
@@ -94,7 +94,11 @@ object Text {
         expr("CAST(conv(substr(dg, 17, 10), 16, 10) AS BIGINT)").as("hb"))
     val mins = (0 until numHashes)
       .map(i => min(col("ha") + lit(i.toLong) * col("hb")).as(s"m$i"))
-    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // opt-in shingle count rides the SAME aggregation (zero extra
+    // shuffle/join) — meaningful as a distinct-shingle count only when
+    // the input frame is deduped (q64 feeds it the distinct set)
+    val aggs = if (withCount) mins :+ count(lit(1)).as("n_sh") else mins
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding of a minhash signature: (idCol, band, h) with
@@ -102,26 +106,33 @@ object Text {
     * the signature width.
     */
   def lshBands(sig: DataFrame, idCol: String, bands: Int,
-               rowsPerBand: Int): DataFrame = {
+               rowsPerBand: Int, carryCols: Seq[String] = Nil): DataFrame = {
     val entries = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand)
         .map(r => s"m${b * rowsPerBand + r}").mkString(", ")
       s"$b, md5(CAST(concat_ws('|', $cols) AS BINARY))"
     }
-    sig.selectExpr(idCol,
-      s"stack(${bands}, ${entries.mkString(", ")}) as (band, h)")
+    sig.selectExpr((idCol +: carryCols) :+
+      s"stack(${bands}, ${entries.mkString(", ")}) as (band, h)": _*)
   }
 
   /** Candidate near-duplicate pairs: ids sharing any LSH band bucket.
     * The join shuffles only (band, digest, id); bodies never move.
     */
-  def lshCandidatePairs(bandDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandDf.select(col("band"), col("h"), col(idCol).as("doc_a"))
-    val b = bandDf.select(col("band").as("band_b"), col("h").as("h_b"),
-      col(idCol).as("doc_b"))
+  def lshCandidatePairs(bandDf: DataFrame, idCol: String,
+                        carryCols: Seq[String] = Nil): DataFrame = {
+    val a = bandDf.select(col("band") +: col("h") +:
+      col(idCol).as("doc_a") +: carryCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = bandDf.select(col("band").as("band_b") +: col("h").as("h_b") +:
+      col(idCol).as("doc_b") +: carryCols.map(c => col(c).as(s"b_$c")): _*)
+    val out = Seq("doc_a", "doc_b") ++
+      carryCols.map(c => s"a_$c") ++ carryCols.map(c => s"b_$c")
+    // carried columns are functionally dependent on the doc ids, so the
+    // subset-dedup is deterministic; unreferenced carries prune away
     a.join(b, col("band") === col("band_b") && col("h") === col("h_b") &&
         col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select(out.head, out.tail: _*)
+      .dropDuplicates(Seq("doc_a", "doc_b"))
   }
 
   /** The engine's standard near-dup candidate-pair config — word

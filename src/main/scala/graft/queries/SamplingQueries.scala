@@ -274,34 +274,38 @@ object SamplingQueries {
     // vs the exact distinct-trigram Jaccard — the report that validates
     // a sketch config before trusting it on 100 TB
     "q64_minhash_est" -> ((s, d) => {
+      // Join-tree shape (round-5 reshape of the round-4 9-BHJ plan): the
+      // per-doc audit inputs — the 16 signature minima and the distinct-
+      // trigram count — are computed ONCE in the signature aggregation
+      // (minima over the distinct set equal minima over the raw multiset)
+      // and CARRIED through the band self-join, so neither the signature
+      // nor the cardinality ever joins back onto the pair set. 4 joins
+      // total: band self-join, tri⋈pairs, ⋈tri (exact intersection),
+      // pairs⋈inter. The carried width is 17 bigints/side (~140 B) on
+      // band rows that are already (band, digest, id) — still no bodies.
       val docs = Tables.documents(s, d)
-      val shRaw = Text.wordShingles(docs, "doc_id", "text", 3, dedup = false)
-      val sig = Text.minhashSignature(shRaw, "doc_id", 16)
+      val tri = Text.wordShingles(docs, "doc_id", "text", 3)
+      val mcols = (0 until 16).map(i => s"m$i")
+      val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
       val pairs = Text.lshCandidatePairs(
-        Text.lshBands(sig, "doc_id", 4, 4), "doc_id")
+        Text.lshBands(sig, "doc_id", 4, 4, carryCols = mcols :+ "n_sh"),
+        "doc_id", carryCols = mcols :+ "n_sh")
       val agree = (0 until 16)
-        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
         .reduce(_ + _)
-      val est = pairs
-        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (agree.cast("double") / lit(16.0)).as("est_jaccard"))
-      val tri = shRaw.distinct()
-      val n = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = tri.as("x")
-        .join(pairs, col("x.doc_id") === col("doc_a"))
+        .join(pairs.select("doc_a", "doc_b"), col("x.doc_id") === col("doc_a"))
         .join(tri.as("y"),
           col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      est
+      pairs
         .join(inter, Seq("doc_a", "doc_b"), "left_outer")
-        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        .select(col("doc_a"), col("doc_b"),
+          (agree.cast("double") / lit(16.0)).as("est_jaccard"),
           (coalesce(col("inter"), lit(0L)).cast("double")
-            / (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+            / (col("a_n_sh") + col("b_n_sh")
+              - coalesce(col("inter"), lit(0L))))
             .as("exact_jaccard"))
     })
   )
