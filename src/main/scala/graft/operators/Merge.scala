@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyed merge/upsert building blocks.
@@ -27,4 +27,36 @@ object Merge {
     * `/root/reference/daily_dag.py:160-165`). */
   def appendMerge(dim: DataFrame, staging: DataFrame): DataFrame =
     dim.unionByName(staging)
+
+  /** Alternate J4 backend: the same keyed upsert issued as an
+    * engine-native `Dataset.mergeInto` (Spark 4 row-level MERGE) against
+    * a catalog TABLE instead of the join+union image over frames.
+    *
+    * Use this form when the target lives in a catalog whose connector
+    * supports row-level operations (Delta/Iceberg-class; the test
+    * harness ships a minimal in-memory one) — the connector can then
+    * apply the MERGE as deltas or group rewrites instead of rewriting
+    * the full image, and Spark plans the target-side join scan itself.
+    * The built-in parquet file source can't execute MERGE, so `upsert`
+    * remains the default backend for file-based dims. Semantics parity
+    * (same keys ⇒ same final image as `upsert`) is pinned by
+    * MergeIntoSpec.
+    *
+    * `target` is a catalog-qualified table name; its LAST name part is
+    * the qualifier for target columns in the generated condition, and
+    * the staging frame is aliased `__stg` — both sides keep their
+    * original column names, as `updateAll`/`insertAll` align by name.
+    */
+  def upsertMergeInto(staging: DataFrame, target: String,
+                      keys: Seq[String]): Unit = {
+    val tblQual = target.split("\\.").last
+    val cond: Column = keys
+      .map(k => col(s"$tblQual.$k") === col(s"__stg.$k"))
+      .reduce(_ && _)
+    staging.alias("__stg")
+      .mergeInto(target, cond)
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .merge()
+  }
 }
