@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamNearDup
+
+/** Scratch streaming scale smoke (not part of the driver contract):
+  * runs an adversarial clone corpus through the StreamNearDup
+  * file-stream twin with rate limiting and reports the numbers the
+  * batch smokes report for batch operators — per-microbatch latency,
+  * state-store rows, and flag counts — so BASELINE.md can record the
+  * streaming analog. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/clone10 \
+  *     sbt "runMain graft.StreamSmoke <retentionSec>"
+  *
+  * The corpus is staged as one parquet file per "wave": clone wave i
+  * (doc_id div 1_000_000 = i) gets event time BASE + i minutes, and the
+  * file source feeds one file per trigger — so wave 0 seeds the bucket
+  * state and each later wave arrives as a later microbatch whose clones
+  * hit existing buckets. With retention below the wave spacing, buckets
+  * expire as the watermark advances and later waves become fresh owners
+  * — the state-bound-by-retention design under measurement.
+  */
+object StreamSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val retentionSec = args.headOption.map(_.toLong).getOrElse(600L)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/clone10")
+    val spark = Engine.session("graft-stream-smoke", "32")
+    import spark.implicits._
+
+    val base = 1700000000L // fixed epoch: deterministic event times
+    val staged = Files.createTempDirectory("graft-stream-smoke").toString
+    val waves = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(base)
+          + (col("doc_id") / 1000000L).cast("bigint") * 60L).as("ts"),
+        col("text"))
+    val nWaves = waves.select(
+      (col("doc_id") / 1000000L).cast("int").as("w"))
+      .agg(max("w")).as[Int].head() + 1
+    (0 until nWaves).foreach { i =>
+      waves
+        .filter((col("doc_id") / 1000000L).cast("int") === i)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staged/wave_$i")
+      // one flat dir for the file source, mod-times in wave order
+      val src = Files.list(Paths.get(s"$staged/wave_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(src), Paths.get(s"$staged/w$i.parquet"))
+      Thread.sleep(20) // distinct mod times -> deterministic pickup order
+    }
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/w*.parquet")
+
+    var total = 0L
+    val t0 = System.nanoTime()
+    val q = StreamNearDup.flag(stream, "30 seconds",
+        retentionMs = retentionSec * 1000L)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamNearDup.Match], _: Long) =>
+          total += df.count()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$staged/ckpt")
+      .start()
+    q.awaitTermination()
+    val wallS = (System.nanoTime() - t0) / 1e9
+
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    println(s"""{"smoke":"stream_neardup","dir":"$dir",""" +
+      s""""retention_sec":$retentionSec,"waves":$nWaves,""" +
+      s""""wall_sec":${math.round(wallS * 10) / 10.0},""" +
+      s""""total_flags":$total,"batches":[""" +
+      prog.map { p =>
+        val so = p.stateOperators.headOption
+        s"""{"rows_in":${p.numInputRows},""" +
+          s""""duration_ms":${p.batchDuration},""" +
+          s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+          s""""state_mem_bytes":${
+            so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
+      }.mkString(",") + "]}")
+    spark.stop()
+  }
+}
