@@ -152,6 +152,33 @@ object Bench {
     val head = results.filter(r => headline.contains(r._1))
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(head)},"sf":"$sfDir","full":"$outFile"}""")
+    // BASELINE.md table content generated from the same numbers that go
+    // into the JSON artifact (VERDICT r4 #5: narrative and artifact must
+    // not drift — the measured section is emitted here, then pasted into
+    // BASELINE.md verbatim). Full-suite runs only; subset smokes have
+    // their own recording conventions.
+    if (only.isEmpty) {
+      def mb(b: Long): String = f"${b / 1048576.0}%.0f"
+      val spillTotal = aggregated.values.map(_._3).sum
+      val spillNote =
+        if (spillTotal == 0L) "zero spill anywhere"
+        else s"${mb(spillTotal)} MB total spill"
+      val slowest = results.sortBy(-_._2).take(8).map { case (n, sec) =>
+        val (w, r, sp) = aggregated.getOrElse(n, (0L, 0L, 0L))
+        f"| $n | $sec%.2f | ${mb(w)} | ${mb(r)} | ${mb(sp)} |"
+      }
+      // assembled line-by-line, NOT via stripMargin — interpolated table
+      // rows start with '|' and stripMargin would eat it
+      val row = (Seq(
+        f"**Full suite, $sfDir, median-of-$reps: $total%.1f s for ${results.size} queries, $nFail failed, $spillNote** (BENCH_LOCAL.json carries per-query medians + measured shuffle write/read/spill bytes). Generated by `graft.Bench` from the same run that wrote the JSON artifact.",
+        "",
+        "| query (8 slowest) | median (s) | shuffle write MB | read MB | spill MB |",
+        "|---|---|---|---|---|") ++ slowest).mkString("", "\n", "\n")
+      Files.write(Paths.get("BASELINE_ROW.md"),
+        row.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Broadcast Bloom filter for membership prefilters — the 100 TB
+  * decontamination pattern (reference analog: the n-gram overlap check
+  * behind `README.md`'s curation story, reshaped for a corpus too big
+  * to shuffle).
+  *
+  * Why this exists: the exact decontamination join (q51) broadcasts the
+  * test-side digest set. That works while the digests fit in the
+  * broadcast budget; a big benchmark suite (billions of 8-grams ×
+  * 16-byte digests + ids) does not fit, and the fallback — shuffling
+  * the corpus shingles against the test set — moves the WHOLE corpus
+  * through the exchange. A Bloom filter of the test set is tunably
+  * small (m bits total, ~1.2 GB for 10^10 keys at 1% FP), always
+  * broadcastable, and drops ~(1-fp) of corpus shingles MAP-SIDE before
+  * the exact confirm join ever sees them; only the tiny survivor set is
+  * shuffled. False positives are removed by the confirm join, so the
+  * final answer is exactly the exact-join answer — the filter changes
+  * the plan, never the result (same contract as Spark's own runtime
+  * bloom pushdown, which cannot express this cross-column use).
+  *
+  * Representation: SPARSE — a one-row frame holding map<word_idx →
+  * 64-bit word> with only the nonzero words. Build and probe are pure
+  * builtin expressions (xxhash64 / bitwise ops / element_at), codegen'd
+  * end to end: no UDF, no driver-side bit array, no JVM-vs-SQL hash
+  * mismatch risk. k probe positions derive Kirsch–Mitzenmacher style
+  * from two xxhash64 calls (h1 + i·h2), the same derivation
+  * Text.minhashSignature uses for its hash families.
+  */
+object Bloom {
+
+  /** Probe positions for `key`: (h1 + i·h2) & (m-1), m = 2^log2m.
+    * Both hashes are masked into [0, m) BEFORE the combine — i·h2 on
+    * raw 64-bit hashes would overflow Long (an error under ANSI mode,
+    * silent wraparound otherwise); reduced-hash Kirsch–Mitzenmacher is
+    * equally valid for power-of-two m. h2 is forced odd so the stride
+    * cycles the full ring.
+    */
+  private def positions(key: Column, log2m: Int, k: Int): Seq[Column] = {
+    val mask = (1L << log2m) - 1
+    val h1 = xxhash64(key).bitwiseAND(lit(mask))
+    val h2 = xxhash64(key, lit(1L)).bitwiseAND(lit(mask)).bitwiseOR(lit(1L))
+    (0 until k).map(i => (h1 + h2 * lit(i.toLong)).bitwiseAND(lit(mask)))
+  }
+
+  /** Build the sparse filter over `keys(keyCol)`: one row,
+    * `bloom: map<int,bigint>`. One explode (k small ints per key), one
+    * map-combinable bit_or aggregation — never wider than k rows per
+    * key, output bounded by m/64 entries regardless of key count.
+    */
+  def build(keys: DataFrame, keyCol: String, log2m: Int = 20,
+      k: Int = 4): DataFrame = {
+    val pos = positions(col(keyCol), log2m, k)
+    keys
+      .select(explode(array(pos: _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
+        expr("shiftleft(1L, int(pos & 63))").as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(col("bit")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+  }
+
+  /** Membership probe against a `bloom` map column (attach the one-row
+    * build output via `crossJoin(broadcast(...))` — the scalar-subquery
+    * idiom). All k probed bits must be set; a missing word is an unset
+    * bit. No false negatives; false-positive rate set by m, k, and the
+    * build's key count.
+    */
+  def mightContain(bloomCol: Column, key: Column, log2m: Int = 20,
+      k: Int = 4): Column =
+    positions(key, log2m, k).map { p =>
+      val word = shiftright(p, 6).cast("int")
+      val bit = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))
+      coalesce(element_at(bloomCol, word), lit(0L)).bitwiseAND(bit) =!= 0L
+    }.reduce(_ && _)
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a key stream — the fixed-size frequency
+  * structure for heavy-hitter estimation when exact per-key counts are
+  * past the shuffle budget (reference analog: the token/vocabulary
+  * statistics its reports aggregate, at a scale where the distinct-key
+  * table itself is the problem).
+  *
+  * Shape: d independent hash rows × w = 2^log2w counters, stored SPARSE
+  * as a one-row map<int,bigint> keyed by row·w + col — the same
+  * build/probe pattern as Bloom (pure builtin expressions, codegen'd,
+  * xxhash64 row-seeded, no UDF). The sketch is map-combinable: counter
+  * sums commute, so Spark's partial aggregation builds per-partition
+  * sketches and merges them — one tiny exchange regardless of stream
+  * size, the property that makes CMS the 100 TB plan.
+  *
+  * Estimates OVERCOUNT, never undercount: est(k) = min over rows of the
+  * probed counter, each inflated only by colliding keys (expected
+  * ≤ N/w per row). Point estimates are deterministic for fixed data —
+  * the q118 audit's tolerance verdict replays exactly.
+  */
+object Cms {
+
+  /** Counter index for `key` in hash row `i`: i·w + (xxhash64(key, i)
+    * & (w-1)).
+    */
+  private def cell(key: Column, i: Int, log2w: Int): Column = {
+    val mask = (1L << log2w) - 1
+    lit(i.toLong * (1L << log2w)) +
+      xxhash64(key, lit(i.toLong)).bitwiseAND(lit(mask))
+  }
+
+  /** Build the sparse sketch over `keys(keyCol)` weighted by
+    * `weightCol` (lit(1L) for raw occurrence streams): one row,
+    * `cms: map<int,bigint>`. d rows per input key, map-side-combined
+    * into ≤ d·w entries total.
+    */
+  def build(keys: DataFrame, keyCol: String, weight: Column = lit(1L),
+      d: Int = 4, log2w: Int = 16): DataFrame = {
+    // cells pre-cast to int: explode must stay the select's top-level
+    // expression (wrapping the generator in a cast is rejected)
+    val cells = (0 until d).map(i => cell(col(keyCol), i, log2w).cast("int"))
+    keys
+      .select(explode(array(cells: _*)).as("cell"),
+        weight.cast("long").as("wt"))
+      .groupBy(col("cell"))
+      .agg(sum(col("wt")).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("cnt"))))
+        .as("cms"))
+  }
+
+  /** Point estimate for `key` against a `cms` map column (attach the
+    * one-row build output via `crossJoin(broadcast(...))`): min over
+    * the d probed counters; an absent cell is 0.
+    */
+  def estimate(cmsCol: Column, key: Column, d: Int = 4,
+      log2w: Int = 16): Column =
+    (0 until d)
+      .map(i => coalesce(
+        element_at(cmsCol, cell(key, i, log2w).cast("int")), lit(0L)))
+      .reduce(least(_, _))
+}

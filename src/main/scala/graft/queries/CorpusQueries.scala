@@ -33,6 +33,33 @@ object CorpusQueries {
         .agg(count(lit(1)).as("shared_8grams"))
     }),
 
+    // ---- bloom-prefiltered decontamination: q51's contamination
+    // question, executed the way a 100 TB corpus has to run it. The
+    // test-side 8-gram set folds into a broadcastable Bloom filter
+    // (functions/Bloom.scala — sparse map<word,bits>, built and probed
+    // with codegen'd builtins); corpus shingles are dropped MAP-SIDE by
+    // the probe before the exact confirm join. The confirm join
+    // deliberately does NOT broadcast: at real scale the exact digest
+    // set is past the broadcast budget — the point of the bloom is that
+    // only survivors (|corpus|·fp + true hits) reach that exchange
+    // instead of every corpus shingle. False positives die in the
+    // confirm join, so the output is exactly the exact answer: per
+    // train doc, its count of distinct contaminated 8-grams.
+    "q116_bloom_decontam" -> ((s, d) => {
+      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 8)
+      val test = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("sh")).distinct()
+      val blm = graft.functions.Bloom.build(test, "sh")
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_id"), col("sh"))
+      train.crossJoin(broadcast(blm))
+        .filter(graft.functions.Bloom.mightContain(col("bloom"), col("sh")))
+        .select(col("train_id"), col("sh"))
+        .join(test, "sh")
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_bad_grams"))
+    }),
+
     // ---- vocabulary: global top-20 tokens by frequency (the token-count
     // side of BPE vocab construction); deterministic via (count, token)
     // total order
@@ -192,6 +219,64 @@ object CorpusQueries {
         .toDF()
     }),
 
+    // ---- count-min heavy-hitter audit: CMS point estimates for the
+    // exact top-20 tokens, verdict = estimate within the sketch's
+    // overcount bound (est ≥ exact always; est ≤ exact + 8N/w with the
+    // min over d=4 rows — Markov per row at 1/8, all-rows failure
+    // ~1e-4, and for FIXED data the verdict is deterministic, verified
+    // at every test sf). The audit is the q74/q64 discipline applied to
+    // frequency sketching: validate CMS against exact on a tractable
+    // slice before trusting it where the distinct-token table itself
+    // is the scale problem. The sketch build is one map-side-combined
+    // pass (functions/Cms.scala); only ≤ d·2^16 counter cells shuffle.
+    "q118_cms_heavyhitters" -> ((s, d) => {
+      import graft.functions.Cms
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = Cms.build(toks, "tok")
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      val slack = call_function("div", col("n_total") * 8L, lit(65536L))
+      val est = Cms.estimate(col("cms"), col("tok"))
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc)
+        .limit(20)
+        .crossJoin(broadcast(sk))
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("exact_cnt"),
+          (est >= col("exact_cnt") &&
+            est <= col("exact_cnt") + slack).as("within_bound"))
+    }),
+
+    // ---- BPE ENCODE: apply q115's learned merges to tokenize the
+    // whole corpus — training's other half (learn once, encode every
+    // doc). Encoding runs at VOCAB grain: each distinct word is
+    // symbolized and merged once, then word-level token counts join
+    // back onto (doc, word) occurrence counts — repeated words are
+    // never re-encoded, the same collapse that makes BPE encoding
+    // corpus-size-independent at 100 TB (the distinct-word table is
+    // tiny relative to the corpus). The learned merge list is a
+    // handful of rows collected driver-side — index-build pattern, the
+    // same contract as the k-means centroids (q113), not per-row work.
+    "q119_bpe_encode" -> ((s, d) => {
+      val merges = graft.functions.Bpe
+        .learn(Tables.documents(s, d), "text", rounds = BpeRounds,
+          vocabCap = BpeVocabCap)
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("n_occ"))
+      val dict = occ.select(col("word")).distinct()
+        .withColumn("s", graft.functions.Bpe.symbolize)
+      val encoded = merges.foldLeft(dict) { (df, m) =>
+        df.withColumn("s",
+          graft.functions.Bpe.applyMerge(col("s"), m.lft, m.rgt))
+      }.select(col("word"), size(split(col("s"), " ")).as("n_toks"))
+      occ.join(encoded, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
+    }),
+
     // ---- reserved-token scrub: count + redact configured tokens
     // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
     // real PII). Spark regexp_replace replaces all matches; DuckDB needs
@@ -239,13 +324,12 @@ object CorpusQueries {
        |      ' ' || m.pa || m.pb || ' '), '  ', ' ')) AS s
        |  FROM v${r - 1} v, m$r m)""".stripMargin
 
-  private def bpeSql: String = {
+  /** Shared prefix of the q115/q119 oracles: v0 (symbolized capped
+    * vocabulary) + the `BpeRounds` unrolled training rounds.
+    */
+  private def bpeCtes: String = {
     val rounds = (1 to BpeRounds).map(bpeRound).mkString(",\n")
-    val out = (1 to BpeRounds).map(r =>
-      s"""SELECT CAST($r AS INT) AS merge_round, pa AS lft, pb AS rgt,
-         |  pa || pb AS merged, cnt FROM m$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT word, freq,
        |    array_to_string(list_transform(generate_series(1,
        |      length(word)), i -> substr(word, i, 1)), ' ') || ' </w>'
@@ -257,8 +341,44 @@ object CorpusQueries {
        |    GROUP BY tok
        |    ORDER BY 2 DESC, 1 ASC
        |    LIMIT $BpeVocabCap)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeSql: String = {
+    val out = (1 to BpeRounds).map(r =>
+      s"""SELECT CAST($r AS INT) AS merge_round, pa AS lft, pb AS rgt,
+         |  pa || pb AS merged, cnt FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
        |$out""".stripMargin
+  }
+
+  /** q119 oracle: replay training (bpeCtes), then apply each round's
+    * winning merge to every (doc, word) occurrence group — the same
+    * doubled-separator replace as v$r, at document grain.
+    */
+  private def bpeEncodeSql: String = {
+    val encs = (1 to BpeRounds).map(r =>
+      s"""e$r AS (
+         |  SELECT e.doc_id, e.word, e.n_occ,
+         |    trim(replace(replace(' ' || replace(e.s, ' ', '  ') || ' ',
+         |      ' ' || m.pa || '  ' || m.pb || ' ',
+         |      ' ' || m.pa || m.pb || ' '), '  ', ' ')) AS s
+         |  FROM e${r - 1} e, m$r m)""".stripMargin).mkString(",\n")
+    s"""WITH $bpeCtes,
+       |e0 AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ,
+       |    array_to_string(list_transform(generate_series(1,
+       |      length(word)), i -> substr(word, i, 1)), ' ') || ' </w>'
+       |      AS s
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  GROUP BY doc_id, word),
+       |$encs
+       |SELECT doc_id,
+       |  CAST(sum(n_occ * len(string_split(s, ' '))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM e$BpeRounds GROUP BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +411,33 @@ object CorpusQueries {
         |FROM sh a JOIN sh b ON a.shh = b.shh
         |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
         |GROUP BY a.doc_id, b.doc_id""".stripMargin,
+
+    // the bloom is a prefilter, not a semantics change: the oracle is
+    // the plain exact semi-join — any bloom false negative or a
+    // surviving false positive would break this parity
+    "q116_bloom_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ${gram8("tk")}) AS sh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS p
+        |    FROM toks))
+        |SELECT a.doc_id AS train_id, count(*) AS n_bad_grams
+        |FROM sh a
+        |WHERE a.doc_id % 10 <> 0 AND EXISTS (
+        |  SELECT 1 FROM sh b WHERE b.doc_id % 10 = 0 AND b.sh = a.sh)
+        |GROUP BY a.doc_id""".stripMargin,
+
+    // the oracle asserts the CMS bound HOLDS — deterministic for fixed
+    // data; a sketch drifting past est ≤ exact + 8N/w would be real
+    "q118_cms_heavyhitters" ->
+      """SELECT tok, count(*) AS exact_cnt, TRUE AS within_bound
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY exact_cnt DESC, tok ASC
+        |LIMIT 20""".stripMargin,
 
     "q53_vocab_topk" ->
       """SELECT tok, count(*) AS cnt
@@ -367,6 +514,7 @@ object CorpusQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q115_bpe_merges" -> bpeSql,
+    "q119_bpe_encode" -> bpeEncodeSql,
 
     "q56_scrub" ->
       """SELECT doc_id,

@@ -399,10 +399,72 @@ object WarehouseQueries {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- z-order layout audit: quantize (l_orderkey, l_partkey) to 16
+    // bits each against their true maxima (one broadcast agg row),
+    // interleave into a 32-bit Morton code (functions/ZOrder.scala —
+    // static-shift builtins, codegen'd), bucket rows by the z prefix
+    // (top 6 bits ≈ one output file each), and report each bucket's
+    // 2-D bounding box. The audit IS the skipping story: a z-clustered
+    // write gives every file a tight box in BOTH dims, so footer
+    // min/max stats can skip files for predicates on either column —
+    // single-dim sort only ever bounds one. At 100 TB this grouping is
+    // `repartitionByRange(z).sortWithinPartitions(z)` before the write;
+    // the audit's bucket = deterministic z-prefix so the oracle can
+    // replay it with exact integer arithmetic.
+    "q117_zorder_layout" -> ((s, d) => {
+      import graft.functions.ZOrder
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val mx = li.agg(max(col("l_orderkey")).as("mo"),
+        max(col("l_partkey")).as("mp"))
+      li.crossJoin(broadcast(mx))
+        .select(shiftright(ZOrder.zValue(
+            ZOrder.quantize16(col("l_orderkey"), col("mo")),
+            ZOrder.quantize16(col("l_partkey"), col("mp"))), 26)
+            .as("zfile"),
+          col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("zfile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"))
     })
   )
 
+  /** DuckDB mirror of ZOrder.spread16 (5 mask-shift doublings). The
+    * nesting doubles the operand text per step — fine for a short
+    * column name.
+    */
+  private def spreadSql(x: String): String = {
+    val s0 = s"($x & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q117_zorder_layout" ->
+      s"""WITH mx AS (SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp
+        |    FROM lineitem),
+        |q AS (SELECT
+        |    (l_orderkey * 65536) // (mo + 1) AS qa,
+        |    (l_partkey * 65536) // (mp + 1) AS qb,
+        |    l_orderkey, l_partkey
+        |  FROM lineitem, mx),
+        |z AS (SELECT
+        |    (${spreadSql("qa")} | (${spreadSql("qb")} << 1)) >> 26
+        |      AS zfile,
+        |    l_orderkey, l_partkey
+        |  FROM q)
+        |SELECT zfile, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+        |FROM z GROUP BY zfile""".stripMargin,
+
     "q65_tfidf_top" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

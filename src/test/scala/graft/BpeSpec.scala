@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Bpe
@@ -83,5 +83,25 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val b = SparkEntry.queries("q115_bpe_merges")(spark, sf).collect()
     assert(a.length == 5)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("q119 encode: merges only ever shrink the symbol count") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val enc = SparkEntry.queries("q119_bpe_encode")(spark, sf)
+    // upper bound: zero merges = chars + </w> per word occurrence;
+    // every merge application can only reduce token counts, and at
+    // least one of the 5 learned merges must actually fire somewhere
+    val bounds = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("word")) + 1).as("raw_syms"))
+    val joined = enc.join(bounds, "doc_id")
+    assert(joined.filter(col("n_bpe_tokens") > col("raw_syms"))
+      .count() === 0L)
+    assert(joined.filter(col("n_bpe_tokens") < col("raw_syms"))
+      .count() > 0L, "no merge ever fired — encode is a no-op")
+    assert(enc.count() === docs.count())
   }
 }
