@@ -285,10 +285,169 @@ object VectorQueries {
         .select(col("vec_a"), col("vec_b"),
           (Vectors.dot("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.2)
+    }),
+
+    // ---- PRODUCT QUANTIZATION recall audit: the other half of the ANN
+    // index family (IVF routes, PQ compresses). The 64-dim embedding is
+    // split into 8 subspaces of 8 dims; each subspace trains its own
+    // 16-centroid k-means (the q113 trainer, unchanged — it is
+    // dimension-agnostic), every vector is encoded as 8 one-byte codes,
+    // and queries score by ADC (asymmetric distance): per subspace the
+    // query precomputes its dot with each of the 16 centroids (a 128-
+    // entry literal table), so scoring a corpus vector is 8 map lookups
+    // + an add — never a full-vector multiply. At 100 TB this is the
+    // difference between scanning 256 GB of codes and 25 TB of floats.
+    // Every step (training, encoding, ADC, the brute ground truth) runs
+    // in quantized INTEGER space, so the oracle replays the identical
+    // index build and the recall is hash-exact. Ground truth is top-5
+    // by integer dot (MIPS) — the metric ADC approximates. Recall on
+    // i.i.d. Gaussian embeddings is the honest-audit point, as in q114.
+    "q120_pq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      def sub(ss: Int): DataFrame = e.select(col("vec_id"),
+        expr(s"slice(embedding, ${ss * PqDims + 1}, $PqDims)").as("sub"))
+      // index build: 8 subspace codebooks, driver holds 8x16x8 longs
+      val books = (0 until PqM).map(ss =>
+        Vectors.kmeansQ(sub(ss), "vec_id", "sub", PqK, PqIters, KmScale))
+      val qv = e.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
+      // the query vector is one row — same index-build-scale collect as
+      // the codebooks themselves
+      val qrow: Seq[Long] = qv.filter(col("vec_id") === 0)
+        .collect()(0).getSeq[Long](1).toIndexedSeq
+      val brute = qv.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          aggregate(zip_with(col("qv"), typedlit(qrow), (x, y) => x * y),
+            lit(0L), (a, v) => a + v).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5).select(col("vec_id"))
+      val scored = (0 until PqM).map { ss =>
+        // ADC table: query-subvector dot with each centroid, exact ints
+        val pd: Map[Int, Long] = books(ss).map { case (cid, ce) =>
+          cid -> ce.zipWithIndex.map { case (c, j) =>
+            c * qrow(ss * PqDims + j) }.sum
+        }.toMap
+        Vectors.assignTrained(sub(ss), "vec_id", "sub", books(ss), KmScale)
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            element_at(typedlit(pd), col("cid")).as("pd"))
+      }
+      val pq = scored.reduce(_ unionByName _)
+        .groupBy(col("vec_id")).agg(sum(col("pd")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5).select(col("vec_id"))
+      brute.join(pq, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(5).as("k"), col("n_hits"),
+          (col("n_hits") / lit(5)).as("recall"))
     })
   )
 
+  // ---- product-quantization constants (q120), pinned for the oracle
+  private val PqM = 8
+  private val PqDims = 8
+  private val PqK = 16
+  private val PqIters = 2
+
+  private def pqDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $PqDims), " +
+      s"i -> $a[i] * $b[i]), (x, v) -> x + v)"
+
+  /** Subspace slice + md5-ranked seed centroids (same seeding rule as
+    * kmeansQ: the k smallest md5(vec_id) rows, slice of the shared
+    * quantized table `q`).
+    */
+  private def pqSub(ss: Int): String = {
+    val lo = ss * PqDims + 1
+    val hi = ss * PqDims + PqDims
+    s"""qs$ss AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM q),
+       |s${ss}c0 AS (
+       |  SELECT cid, sv AS ce FROM (
+       |    SELECT sv, CAST(row_number() OVER (ORDER BY
+       |      md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS INT)
+       |      AS cid
+       |    FROM qs$ss) WHERE cid < $PqK)""".stripMargin
+  }
+
+  private def pqAssign(ss: Int, name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT t.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |        ${pqDot("t.sv", "c.ce")} DESC, c.cid ASC) AS rn
+       |    FROM qs$ss t, $prev c) WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd pass in subspace `ss` — the 8-dim twin of kmIterCtes. */
+  private def pqIter(ss: Int, i: Int): String = {
+    val prev = s"s${ss}c${i - 1}"
+    val cur = s"s${ss}c$i"
+    s"""${pqAssign(ss, s"s${ss}a$i", prev)},
+       |s${ss}m$i AS (
+       |  SELECT a.cid, g.pos,
+       |    CAST(floor(CAST(sum(t.sv[g.pos]) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS mv
+       |  FROM s${ss}a$i a JOIN qs$ss t USING (vec_id)
+       |  CROSS JOIN generate_series(1, $PqDims) g(pos)
+       |  GROUP BY a.cid, g.pos),
+       |$cur AS (
+       |  SELECT c.cid, list(coalesce(m.mv, c.ce[g.pos]) ORDER BY g.pos)
+       |    AS ce
+       |  FROM $prev c CROSS JOIN generate_series(1, $PqDims) g(pos)
+       |  LEFT JOIN s${ss}m$i m ON m.cid = c.cid AND m.pos = g.pos
+       |  GROUP BY c.cid)""".stripMargin
+  }
+
+  /** q120 oracle: replay the 8 subspace trainings, encode, ADC-score
+    * against the vec_id=0 query, and compare top-5 sets with the
+    * integer-dot brute-force ground truth.
+    */
+  private def pqOracle: String = {
+    val subs = (0 until PqM).map(ss =>
+      (pqSub(ss) +: (1 to PqIters).map(i => pqIter(ss, i)))
+        .mkString(",\n")).mkString(",\n")
+    val codes = (0 until PqM).map(ss =>
+      pqAssign(ss, s"s${ss}code", s"s${ss}c$PqIters")).mkString(",\n")
+    val pds = (0 until PqM).map { ss =>
+      s"""pd$ss AS (
+         |  SELECT c.cid, ${pqDot("qq.sv", "c.ce")} AS pd
+         |  FROM s${ss}c$PqIters c,
+         |    (SELECT sv FROM qs$ss WHERE vec_id = 0) qq)""".stripMargin
+    }.mkString(",\n")
+    val scUnion = (0 until PqM).map(ss =>
+      s"SELECT a.vec_id, p.pd FROM s${ss}code a " +
+        s"JOIN pd$ss p USING (cid) WHERE a.vec_id <> 0")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+       |    AS qv
+       |  FROM embeddings),
+       |$subs,
+       |$codes,
+       |$pds,
+       |adc AS (
+       |  SELECT vec_id, CAST(sum(pd) AS BIGINT) AS score
+       |  FROM ($scUnion)
+       |  GROUP BY vec_id),
+       |pq AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY score DESC,
+       |      vec_id ASC) AS rn FROM adc) WHERE rn <= 5),
+       |qq0 AS (SELECT qv FROM q WHERE vec_id = 0),
+       |brute AS (SELECT vec_id FROM (
+       |    SELECT t.vec_id, row_number() OVER (ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64),
+       |        i -> t.qv[i] * qq0.qv[i]), (x, v) -> x + v) DESC,
+       |      t.vec_id ASC) AS rn
+       |    FROM q t, qq0 WHERE t.vec_id <> 0) WHERE rn <= 5)
+       |SELECT CAST(5 AS INT) AS k, count(*) AS n_hits,
+       |  count(*) / 5 AS recall
+       |FROM brute JOIN pq USING (vec_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q120_pq_recall" -> pqOracle,
     "q28_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

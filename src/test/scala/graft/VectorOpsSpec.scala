@@ -120,4 +120,39 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(trained >= fixed,
       s"trained recall $trained < fixed recall $fixed")
   }
+
+  test("q120 PQ audit: deterministic, n_hits within [0, 5]") {
+    val a = SparkEntry.queries("q120_pq_recall")(spark, sf).collect()
+    val b = SparkEntry.queries("q120_pq_recall")(spark, sf).collect()
+    assert(a.length == 1)
+    val hits = a.head.getLong(1)
+    assert(hits >= 0L && hits <= 5L)
+    // the whole pipeline (8 trainings + encode + ADC) replays exactly
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("PQ encoding is the exact integer-dot argmax (ties to low cid)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.9f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val books = Vectors.kmeansQ(vecs, "vec_id", "embedding", 4, 0)
+    val assigned = Vectors.assignTrained(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        "* 1000000L) AS BIGINT))").as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // the assigned centroid must maximize the integer dot; equal dots
+    // resolve to the smallest cid — the same rule training used
+    q.foreach { case (vid, qv) =>
+      val best = books.map { case (cid, ce) => (cid, dot(qv, ce)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+      assert(assigned(vid) == best,
+        s"vec $vid assigned ${assigned(vid)}, argmax is $best")
+    }
+  }
 }
