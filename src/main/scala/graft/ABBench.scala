@@ -103,11 +103,15 @@ object ABBench {
       val h = xxhash64(df.columns.map(col): _*)
       df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
     }
+    // reps configurable: adversarial inputs can make one variant slow
+    // enough (the measurement's whole point) that 7 reps won't fit a
+    // wall-clock budget
+    val reps = sys.env.getOrElse("SPARK_GRAFT_AB_REPS", "7").toInt
     // warmup both
     variants.foreach { case (_, f) => force(f(spark, sfDir)) }
     val times = collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    for (_ <- 1 to 7; (nm, f) <- variants) {
+    for (_ <- 1 to reps; (nm, f) <- variants) {
       val t0 = System.nanoTime()
       force(f(spark, sfDir))
       times(nm) ::= (System.nanoTime() - t0) / 1e9

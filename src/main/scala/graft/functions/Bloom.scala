@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
   * the plan, never the result (same contract as Spark's own runtime
   * bloom pushdown, which cannot express this cross-column use).
   *
-  * Representation: SPARSE — a one-row frame holding map<word_idx →
-  * 64-bit word> with only the nonzero words. Build and probe are pure
-  * builtin expressions (xxhash64 / bitwise ops / element_at), codegen'd
-  * end to end: no UDF, no driver-side bit array, no JVM-vs-SQL hash
-  * mismatch risk. k probe positions derive Kirsch–Mitzenmacher style
-  * from two xxhash64 calls (h1 + i·h2), the same derivation
+  * Representation: the build aggregates SPARSELY (only nonzero words
+  * shuffle: a map-combinable bit_or per touched word), then densifies
+  * ONCE into a m/64-element array<bigint> — the broadcast artifact.
+  * The probe indexes that array. The densify step exists because Spark
+  * map columns are not hash-indexed: `element_at` on MapData is a
+  * LINEAR key scan, and probing a 16k-entry map per corpus row turned
+  * the 10× clone smoke from seconds into minutes; array `element_at`
+  * is an O(1) offset read. Build and probe are pure builtin
+  * expressions (xxhash64 / bitwise ops / element_at), codegen'd end to
+  * end: no UDF, no driver-side bit array, no JVM-vs-SQL hash mismatch
+  * risk. k probe positions derive Kirsch–Mitzenmacher style from two
+  * xxhash64 calls (h1 + i·h2), the same derivation
   * Text.minhashSignature uses for its hash families.
   */
 object Bloom {
@@ -46,14 +52,16 @@ object Bloom {
     (0 until k).map(i => (h1 + h2 * lit(i.toLong)).bitwiseAND(lit(mask)))
   }
 
-  /** Build the sparse filter over `keys(keyCol)`: one row,
-    * `bloom: map<int,bigint>`. One explode (k small ints per key), one
-    * map-combinable bit_or aggregation — never wider than k rows per
-    * key, output bounded by m/64 entries regardless of key count.
+  /** Build the filter over `keys(keyCol)`: one row,
+    * `bloom: array<bigint>` of exactly 2^log2m / 64 words. One explode
+    * (k small ints per key), one map-combinable bit_or aggregation —
+    * never wider than k rows per key — then a single-row densify from
+    * the sparse word map into the O(1)-indexable array.
     */
   def build(keys: DataFrame, keyCol: String, log2m: Int = 20,
       k: Int = 4): DataFrame = {
     val pos = positions(col(keyCol), log2m, k)
+    val nWords = (1L << log2m) / 64L
     keys
       .select(explode(array(pos: _*)).as("pos"))
       .select(shiftright(col("pos"), 6).cast("int").as("word"),
@@ -61,21 +69,24 @@ object Bloom {
       .groupBy(col("word"))
       .agg(bit_or(col("bit")).as("bits"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("m"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        w => coalesce(element_at(col("m"), w.cast("int")), lit(0L)))
         .as("bloom"))
   }
 
-  /** Membership probe against a `bloom` map column (attach the one-row
-    * build output via `crossJoin(broadcast(...))` — the scalar-subquery
-    * idiom). All k probed bits must be set; a missing word is an unset
-    * bit. No false negatives; false-positive rate set by m, k, and the
-    * build's key count.
+  /** Membership probe against a `bloom` array column (attach the
+    * one-row build output via `crossJoin(broadcast(...))` — the
+    * scalar-subquery idiom). All k probed bits must be set. No false
+    * negatives; false-positive rate set by m, k, and the build's key
+    * count. array element_at is 1-based, hence the +1.
     */
   def mightContain(bloomCol: Column, key: Column, log2m: Int = 20,
       k: Int = 4): Column =
     positions(key, log2m, k).map { p =>
-      val word = shiftright(p, 6).cast("int")
+      val word = (shiftright(p, 6) + lit(1L)).cast("int")
       val bit = call_function("shiftleft", lit(1L),
         p.bitwiseAND(lit(63L)).cast("int"))
-      coalesce(element_at(bloomCol, word), lit(0L)).bitwiseAND(bit) =!= 0L
+      element_at(bloomCol, word).bitwiseAND(bit) =!= 0L
     }.reduce(_ && _)
 }

@@ -46,15 +46,22 @@ object CorpusQueries {
     // confirm join, so the output is exactly the exact answer: per
     // train doc, its count of distinct contaminated 8-grams.
     "q116_bloom_decontam" -> ((s, d) => {
-      val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 8)
-      val test = sh.filter(col("doc_id") % 10 === 0)
+      val docs = Tables.documents(s, d)
+      // test side (10% of the corpus): shingle + distinct — small
+      val test = Text.wordShingles(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 8)
         .select(col("sh")).distinct()
       val blm = graft.functions.Bloom.build(test, "sh")
-      val train = sh.filter(col("doc_id") % 10 =!= 0)
+      // train side (the big side): NO pre-distinct — a corpus-wide
+      // distinct would shuffle every shingle string, the exact cost the
+      // bloom exists to avoid. Raw exploded shingles are probed
+      // map-side off the scan; only survivors get deduped (tiny).
+      val train = Text.wordShingles(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", 8, dedup = false)
         .select(col("doc_id").as("train_id"), col("sh"))
       train.crossJoin(broadcast(blm))
         .filter(graft.functions.Bloom.mightContain(col("bloom"), col("sh")))
-        .select(col("train_id"), col("sh"))
+        .select(col("train_id"), col("sh")).distinct()
         .join(test, "sh")
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("n_bad_grams"))
