@@ -89,4 +89,13 @@ object Bloom {
         p.bitwiseAND(lit(63L)).cast("int"))
       element_at(bloomCol, word).bitwiseAND(bit) =!= 0L
     }.reduce(_ && _)
+
+  /** Union of two same-config filters: elementwise bitwise OR. Bloom
+    * filters are mergeable — union(build(A), build(B)) is EXACTLY
+    * build(A ∪ B) — which is what makes them maintainable
+    * incrementally: each batch builds its own filter and ORs into the
+    * running one; membership state never requires rescanning history.
+    */
+  def union(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.bitwiseOR(y))
 }

@@ -54,7 +54,10 @@ object Cms {
 
   /** Point estimate for `key` against a `cms` map column (attach the
     * one-row build output via `crossJoin(broadcast(...))`): min over
-    * the d probed counters; an absent cell is 0.
+    * the d probed counters; an absent cell is 0. NOTE: map element_at
+    * is a linear key scan (see Bloom's densify note) — fine for
+    * audit-grain probe counts (q118 probes 20 keys), wrong for
+    * per-corpus-row probing; densify first if that's the use.
     */
   def estimate(cmsCol: Column, key: Column, d: Int = 4,
       log2w: Int = 16): Column =
@@ -62,4 +65,13 @@ object Cms {
       .map(i => coalesce(
         element_at(cmsCol, cell(key, i, log2w).cast("int")), lit(0L)))
       .reduce(least(_, _))
+
+  /** Merge two same-config sketches: per-cell counter sum. CMS is
+    * mergeable — merge(build(A), build(B)) is EXACTLY build(A ⊎ B)
+    * (counter sums commute) — so per-batch sketches fold into a
+    * running corpus sketch without rescanning history.
+    */
+  def merge(a: Column, b: Column): Column =
+    map_zip_with(a, b,
+      (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))
 }

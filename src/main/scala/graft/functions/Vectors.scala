@@ -81,14 +81,26 @@ object Vectors {
     val spark = q.sparkSession
     import spark.implicits._
     val centDf = cents.toDF("cid", "ce")
-    q.crossJoin(broadcast(centDf))
+    val scored = q.crossJoin(broadcast(centDf))
       .select(col("vid"), col("cid"),
         expr("aggregate(zip_with(qv, ce, (x, y) -> x * y), 0L, " +
           "(a, v) -> a + v)").as("d"))
-      .withColumn("__rn", row_number().over(Window.partitionBy(col("vid"))
-        .orderBy(col("d").desc, col("cid").asc)))
-      .filter(col("__rn") <= nprobe)
-      .select(col("vid"), col("cid"))
+    if (nprobe == 1)
+      // the hot path (every training pass + every index encode): argmax
+      // as a map-side-combinable max_by — no per-vid sort, the k-times
+      // row blowup collapses inside each scan partition before the
+      // exchange. Tie rule identical to the window form: max (d, -cid)
+      // = highest dot, then lowest cid.
+      scored.groupBy(col("vid"))
+        .agg(max_by(col("cid"),
+          struct(col("d"), (-col("cid")).as("nc"))).as("cid"))
+        .select(col("vid"), col("cid"))
+    else
+      scored
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("vid"))
+          .orderBy(col("d").desc, col("cid").asc)))
+        .filter(col("__rn") <= nprobe)
+        .select(col("vid"), col("cid"))
   }
 
   /** Distributed Lloyd's k-means over an embedding column, fully

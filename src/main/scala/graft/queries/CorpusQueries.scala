@@ -255,6 +255,37 @@ object CorpusQueries {
             est <= col("exact_cnt") + slack).as("within_bound"))
     }),
 
+    // ---- sketch-merge audit: the INCREMENTAL-maintenance contract for
+    // the sketch family. Three per-batch CMS sketches (doc_id%3 splits)
+    // merged cell-wise must probe IDENTICALLY to the sketch built over
+    // the whole corpus — counter sums commute, so per-day batch
+    // sketches fold into a running corpus sketch with no history
+    // rescan (the q96/q77 incremental discipline applied to sketches).
+    // The verdict column asserts probe equality for the exact top-20
+    // tokens; any merge defect (cell misalignment, seed drift between
+    // builds) breaks it deterministically.
+    "q121_sketch_merge_audit" -> ((s, d) => {
+      import graft.functions.Cms
+      def toks(p: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === p)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val all = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val whole = Cms.build(all, "tok")
+      val merged = Cms.build(toks(0), "tok").select(col("cms").as("c0"))
+        .crossJoin(Cms.build(toks(1), "tok").select(col("cms").as("c1")))
+        .crossJoin(Cms.build(toks(2), "tok").select(col("cms").as("c2")))
+        .select(Cms.merge(Cms.merge(col("c0"), col("c1")), col("c2"))
+          .as("cmerged"))
+      all.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+        .crossJoin(broadcast(whole))
+        .crossJoin(broadcast(merged))
+        .select(col("tok"), col("exact_cnt"),
+          (Cms.estimate(col("cms"), col("tok")) ===
+            Cms.estimate(col("cmerged"), col("tok"))).as("merge_exact"))
+    }),
+
     // ---- BPE ENCODE: apply q115's learned merges to tokenize the
     // whole corpus — training's other half (learn once, encode every
     // doc). Encoding runs at VOCAB grain: each distinct word is
@@ -435,6 +466,16 @@ object CorpusQueries {
         |WHERE a.doc_id % 10 <> 0 AND EXISTS (
         |  SELECT 1 FROM sh b WHERE b.doc_id % 10 = 0 AND b.sh = a.sh)
         |GROUP BY a.doc_id""".stripMargin,
+
+    // the oracle asserts merged == monolithic probes HOLD — an exact
+    // algebraic property, not a tolerance
+    "q121_sketch_merge_audit" ->
+      """SELECT tok, count(*) AS exact_cnt, TRUE AS merge_exact
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY exact_cnt DESC, tok ASC
+        |LIMIT 20""".stripMargin,
 
     // the oracle asserts the CMS bound HOLDS — deterministic for fixed
     // data; a sketch drifting past est ≤ exact + 8N/w would be real

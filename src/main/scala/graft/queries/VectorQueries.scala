@@ -302,6 +302,10 @@ object VectorQueries {
     // index build and the recall is hash-exact. Ground truth is top-5
     // by integer dot (MIPS) — the metric ADC approximates. Recall on
     // i.i.d. Gaussian embeddings is the honest-audit point, as in q114.
+    // Cost split at 100 TB: training (16 passes here) runs on a bounded
+    // md5-threshold SAMPLE in production — only the one-pass encode
+    // touches the full corpus; the oracle pins full-corpus training
+    // because the replay must see the same rows.
     "q120_pq_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       def sub(ss: Int): DataFrame = e.select(col("vec_id"),

@@ -52,6 +52,22 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(fps > 100L, s"fp count $fps implausibly low for a saturated filter")
   }
 
+  test("union of batch filters equals the filter of the union") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => s"member-$i").toDF("k")
+    val b = (800 to 1800).map(i => s"member-$i").toDF("k")
+    val u = Bloom.build(a.union(b), "k").select(col("bloom").as("bu"))
+    val merged = Bloom.build(a, "k").select(col("bloom").as("ba"))
+      .crossJoin(Bloom.build(b, "k").select(col("bloom").as("bb")))
+      .select(Bloom.union(col("ba"), col("bb")).as("bm"))
+    // bitwise identity, not just probe agreement: compare every word
+    val words = u.crossJoin(merged)
+      .select(explode(zip_with(col("bu"), col("bm"),
+        (x, y) => (x =!= y).cast("int"))).as("w"))
+      .agg(sum(col("w"))).collect()(0).getLong(0)
+    assert(words === 0L)
+  }
+
   test("q116 bloom prefilter + confirm equals the plain exact join") {
     val q = SparkEntry.queries("q116_bloom_decontam")(spark, sf)
     val docs = Tables.documents(spark, sf)

@@ -56,6 +56,32 @@ class CmsSpec extends AnyFunSuite with SparkSpec {
     assert(diff === 0L)
   }
 
+  test("merged batch sketches probe identically to the monolithic build") {
+    import spark.implicits._
+    val occ = (1 to 60).flatMap(i => Seq.fill(i)(s"key-$i")).toDF("k")
+    val whole = Cms.build(occ, "k").select(col("cms").as("cw"))
+    val parts = (0 until 3).map(p => // pmod: xxhash64 is signed
+      Cms.build(occ.filter(pmod(xxhash64(col("k")), lit(3)) === p), "k"))
+    val merged = parts(0).select(col("cms").as("c0"))
+      .crossJoin(parts(1).select(col("cms").as("c1")))
+      .crossJoin(parts(2).select(col("cms").as("c2")))
+      .select(Cms.merge(Cms.merge(col("c0"), col("c1")), col("c2"))
+        .as("cm"))
+    val diff = occ.select(col("k")).distinct()
+      .crossJoin(broadcast(whole)).crossJoin(broadcast(merged))
+      .filter(Cms.estimate(col("cw"), col("k"))
+        =!= Cms.estimate(col("cm"), col("k")))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("q121 merge-audit verdicts are all true at test sf") {
+    val rows = SparkEntry.queries("q121_sketch_merge_audit")(spark, sf)
+      .collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getBoolean(2)), "a merge-equality verdict failed")
+  }
+
   test("q118 audit verdicts are all true at test sf") {
     val out = SparkEntry.queries("q118_cms_heavyhitters")(spark, sf)
     val rows = out.collect()
