@@ -62,17 +62,24 @@ object Bloom {
       k: Int = 4): DataFrame = {
     val pos = positions(col(keyCol), log2m, k)
     val nWords = (1L << log2m) / 64L
+    // one zero row per word guarantees every index survives the
+    // aggregation, so the sorted struct list IS the dense array — no
+    // per-index map lookup (an earlier densify probed a 16k-entry map
+    // 16k times; MapData lookups are linear scans, and that single
+    // driver-side evaluation cost ~13 s — measured, not hypothetical)
+    val zeros = keys.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(nWords - 1))).as("w"))
+      .select(col("w").cast("int").as("word"), lit(0L).as("bit"))
     keys
       .select(explode(array(pos: _*)).as("pos"))
       .select(shiftright(col("pos"), 6).cast("int").as("word"),
         expr("shiftleft(1L, int(pos & 63))").as("bit"))
+      .unionByName(zeros)
       .groupBy(col("word"))
       .agg(bit_or(col("bit")).as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("m"))
-      .select(transform(sequence(lit(0), lit(nWords - 1)),
-        w => coalesce(element_at(col("m"), w.cast("int")), lit(0L)))
-        .as("bloom"))
+      .agg(sort_array(collect_list(struct(col("word"), col("bits"))))
+        .as("s"))
+      .select(transform(col("s"), x => x.getField("bits")).as("bloom"))
   }
 
   /** Membership probe against a `bloom` array column (attach the
