@@ -30,6 +30,9 @@ object VectorQueries {
   private val KmScale = 1000000L
   private val KmK = 8
   private val KmIters = 2
+  // q122 guardrail: clusters above this size emit no dedup pairs (the
+  // production knob is k itself — see the q122 comment)
+  private val SemMaxCluster = 20000L
 
   /** One Lloyd iteration as DuckDB CTEs: assignment (integer-dot argmax
     * against `prev`), per-(cid, dim) floor-divided means, and the next
@@ -346,6 +349,54 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(5).as("k"), col("n_hits"),
           (col("n_hits") / lit(5)).as("recall"))
+    }),
+
+    // ---- SEMANTIC DEDUP (SemDeDup-shaped: cluster, then prune within
+    // clusters — Abbas et al. 2023): the q113 k-means routes every
+    // vector to a centroid, and near-duplicate pruning runs ONLY inside
+    // each cluster — the candidate set shrinks from C(n,2) to
+    // sum C(m_i,2). A vector is flagged when a same-cluster vector with
+    // a smaller vec_id is cosine-similar above the threshold; dup_of is
+    // the smallest such id (the star rule of q112, so emission is one
+    // row per flagged member, never per pair). At 100 TB the cluster
+    // count k scales with n (k ~ n / target_cluster_size), which keeps
+    // m_i bounded; here k is pinned for the oracle replay, so an
+    // explicit oracle-mirrored cluster-size cap (q87's pattern) is the
+    // guardrail: clusters larger than SemMaxCluster flag nobody rather
+    // than blow up pair generation. All similarity arithmetic is exact:
+    // quantized integer dots, and cos >= 0.3 decided as
+    // 100*dot^2 >= 9*|a|^2*|b|^2 in decimal(38,0)/HUGEINT — no doubles,
+    // so the oracle hash-matches.
+    "q122_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Vectors.kmeansQ(e, "vec_id", "embedding",
+        KmK, KmIters, KmScale)
+      val assign = Vectors.assignTrained(e, "vec_id", "embedding",
+        cents, KmScale)
+      val qv = e.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
+        .withColumn("n2", expr("aggregate(zip_with(qv, qv, " +
+          "(x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      val member = assign.join(qv, "vec_id")
+      val okCids = member.groupBy(col("cid"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") <= SemMaxCluster).select(col("cid"))
+      val el = member.join(broadcast(okCids), "cid")
+      val a = el.select(col("cid"), col("vec_id").as("vec_a"),
+        col("qv").as("qa"), col("n2").as("na2"))
+      val b = el.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
+        col("qv").as("qb"), col("n2").as("nb2"))
+      a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+        .withColumn("dp", expr("aggregate(zip_with(qa, qb, " +
+          "(x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .filter(col("dp") > 0 &&
+          expr("100 * (CAST(dp AS DECIMAL(38,0)) * dp) >= " +
+            "9 * (CAST(na2 AS DECIMAL(38,0)) * nb2)"))
+        .groupBy(col("vec_b"), col("cid"))
+        .agg(min(col("vec_a")).as("dup_of"))
+        .select(col("vec_b").as("vec_id"), col("cid"), col("dup_of"))
     })
   )
 
@@ -577,6 +628,34 @@ object VectorQueries {
       s"""WITH $kmeansCtes
         |SELECT c.cid, CAST(g.pos AS INT) AS pos, c.ce[g.pos] AS cval
         |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)""".stripMargin,
+
+    "q122_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |n2 AS (
+        |  SELECT vec_id, list_reduce(list_transform(
+        |    generate_series(1, 64), i -> q.qv[i] * q.qv[i]),
+        |    (a, v) -> a + v) AS n2
+        |  FROM q),
+        |member AS (
+        |  SELECT a.vec_id, a.cid, q.qv, n2.n2
+        |  FROM a${KmIters + 1} a JOIN q USING (vec_id)
+        |  JOIN n2 USING (vec_id)),
+        |ok AS (SELECT cid FROM member GROUP BY cid
+        |  HAVING count(*) <= $SemMaxCluster),
+        |el AS (SELECT member.* FROM member JOIN ok USING (cid)),
+        |p AS (
+        |  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> a.qv[i] * b.qv[i]), (x, v) -> x + v) AS dp,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM el a JOIN el b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |SELECT vb AS vec_id, cid, min(va) AS dup_of
+        |FROM p
+        |WHERE dp > 0
+        |  AND 100 * (CAST(dp AS HUGEINT) * dp)
+        |      >= 9 * (CAST(na2 AS HUGEINT) * nb2)
+        |GROUP BY vb, cid""".stripMargin,
 
     "q114_ivf_trained_recall" ->
       s"""WITH $kmeansCtes,

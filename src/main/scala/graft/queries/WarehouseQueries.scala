@@ -350,6 +350,43 @@ object WarehouseQueries {
     // ---- sketch audit: HLL++ approximate distinct vs exact, with the
     // tolerance check materialized as a column. HLL register-merge is
     // order-independent, so the approximation is partitioning-stable.
+    // ---- HLL MERGEABILITY audit: completes the mergeable-sketch family
+    // (q121 proved Bloom/CMS merge EXACTLY; HLL distinct-count is the
+    // third leg). Batches are the l_linenumber groups — parts OVERLAP on
+    // l_orderkey, so the union must dedup across parts, the real
+    // incremental-maintenance contract (daily batch sketches at 100 TB
+    // merge into a running sketch; distinct-count queries never rescan
+    // history; each sketch is KBs regardless of data size). Uses Spark's
+    // native datasketches HllSketchAgg/HllUnionAgg — codegen'd, partial-
+    // aggregable, no UDF. Unlike Bloom/CMS, HLL merge is NOT
+    // estimate-identical — measured here: a directly-built sketch
+    // estimates via the HIP accumulator (sf0.1: 147,959 for 147,236
+    // exact), while a union result must fall back to the composite
+    // estimator (150,443) — so the audit asserts calibrated error bands,
+    // not equality: both estimates within 5% of exact, and the
+    // merge-induced drift itself within 5%. Verdict columns only, never
+    // raw sketch bytes (q74's rule), so the DuckDB oracle is exact
+    // counts + asserted booleans.
+    "q123_hll_merge_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val parts = li.groupBy(col("l_linenumber"))
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+      val merged = parts.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+      val whole = li.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))")
+          .as("est_whole"),
+        countDistinct(col("l_orderkey")).as("n_exact"))
+      whole.crossJoin(merged)
+        .select(col("n_exact"),
+          (abs(col("est_whole") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("whole_within_5pct"),
+          (abs(col("est_merged") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("merged_within_5pct"),
+          (abs(col("est_merged") - col("est_whole"))
+            <= col("n_exact") * 0.05).as("merge_drift_small"))
+    }),
+
     "q74_hll_audit" -> ((s, d) => {
       val ev = Tables.events(s, d)
       ev.groupBy(col("event_type"))
@@ -642,6 +679,13 @@ object WarehouseQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q123_hll_merge_audit" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_exact,
+        |  TRUE AS whole_within_5pct,
+        |  TRUE AS merged_within_5pct,
+        |  TRUE AS merge_drift_small
+        |FROM lineitem""".stripMargin,
 
     "q81_frame_sample" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -155,4 +155,50 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
         s"vec $vid assigned ${assigned(vid)}, argmax is $best")
     }
   }
+
+  test("q122 semantic dedup: flags are same-cluster, star-rule, and " +
+    "every flagged pair really clears the quantized cosine threshold") {
+    val out = SparkEntry.queries("q122_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty, "expected some semantic dups at sf0.001")
+    val e = Tables.embeddings(spark, sf)
+    val cents = Vectors.kmeansQ(e, "vec_id", "embedding", 8, 2)
+    val cid = Vectors.assignTrained(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qv = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        "* 1000000L) AS BIGINT))").as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def dot(a: Seq[Long], b: Seq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    out.foreach { case (vid, c, dupOf) =>
+      assert(dupOf < vid, "star rule: keeper has the smaller id")
+      assert(cid(vid) == c && cid(dupOf) == c,
+        s"pair ($dupOf, $vid) must share cluster $c")
+      val dp = dot(qv(vid), qv(dupOf))
+      val ok = dp > 0 && 100 * dp * dp >=
+        9 * dot(qv(vid), qv(vid)) * dot(qv(dupOf), qv(dupOf))
+      assert(ok, s"pair ($dupOf, $vid) below the cos>=0.3 threshold")
+    }
+    // dup_of is the MINIMUM qualifying partner, not just any partner
+    val flagged = out.map(_._1).toSet
+    out.foreach { case (vid, _, dupOf) =>
+      val smaller = qv.keys.filter(o => o < dupOf && cid(o) == cid(vid))
+      smaller.foreach { o =>
+        val dp = dot(qv(vid), qv(o))
+        val hit = dp > 0 && 100 * dp * dp >=
+          9 * dot(qv(vid), qv(vid)) * dot(qv(o), qv(o))
+        assert(!hit, s"$o < $dupOf also qualifies for $vid — min violated")
+      }
+    }
+    assert(flagged.nonEmpty)
+  }
+
+  test("q123 HLL merge audit: all verdict bands hold") {
+    val r = SparkEntry.queries("q123_hll_merge_audit")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+      s"HLL estimate bands violated: $r")
+  }
 }
