@@ -156,6 +156,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kmeansQMulti trains each group identically to per-group kmeansQ") {
+    val e = Tables.embeddings(spark, sf)
+    val stacked = e.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 3), " +
+        "ss -> slice(embedding, ss * 16 + 1, 16))")).as(Seq("gid", "sub")))
+    val multi = Vectors.kmeansQMulti(stacked, "gid", "vec_id", "sub",
+      k = 4, iters = 2)
+    assert(multi.keySet == Set(0, 1, 2, 3))
+    (0 until 4).foreach { ss =>
+      val single = Vectors.kmeansQ(
+        e.select(col("vec_id"),
+          expr(s"slice(embedding, ${ss * 16 + 1}, 16)").as("sub")),
+        "vec_id", "sub", k = 4, iters = 2)
+      assert(multi(ss) == single, s"group $ss centroids diverge")
+    }
+  }
+
   test("q122 semantic dedup: flags are same-cluster, star-rule, and " +
     "every flagged pair really clears the quantized cosine threshold") {
     val out = SparkEntry.queries("q122_semantic_dedup")(spark, sf)
