@@ -16,6 +16,26 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- MODEL-BASED quality filtering (the fastText-classifier shape
+    // of CCNet/LLaMA-style pipelines, next to the heuristic scores of
+    // q26 and the dedup family): every token hashes into one of 1024
+    // feature buckets, the doc's score is the sum of its tokens' bucket
+    // weights, keep = score >= 0. In production the weight table is a
+    // trained classifier broadcast as a literal map; here the weights
+    // derive deterministically from the bucket id (the q59 md5-window
+    // idiom, independent digest windows for bucket vs weight) so the
+    // oracle replays scoring exactly — the plumbing under test is the
+    // scale shape: scan → hash → one map-combinable sum per doc, no
+    // joins, no model state on the executors beyond the broadcast.
+    "q124_quality_classifier" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", SamplingQueries.hashBucket("tok", 1, 1024))
+        .withColumn("w", SamplingQueries.hashBucket("b", 9, 2001) - 1000)
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= 0).as("keep"))
+    }),
     // ---- benchmark decontamination: which "train" docs (doc_id%10 != 0)
     // share an 8-gram with a "test" doc (doc_id%10 == 0)? The classic
     // n-gram-overlap contamination check, as a shingle equi-join —
@@ -420,6 +440,18 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q124_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fb AS (SELECT doc_id,
+        |    ${SamplingQueries.hashBucketSql("tok", 1, 1024)} AS b FROM t),
+        |fw AS (SELECT doc_id,
+        |    (${SamplingQueries.hashBucketSql("b", 9, 2001)}) - 1000 AS w
+        |  FROM fb)
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+        |  sum(w) >= 0 AS keep
+        |FROM fw GROUP BY doc_id""".stripMargin,
+
     // DuckDB windowed sum(BIGINT) is HUGEINT: cast every derived column
     // back to BIGINT to match Spark's long arithmetic
     "q110_sequence_packing" ->

@@ -28,6 +28,20 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q124 classifier: keep tracks the score sign, scoring is " +
+    "deterministic, and every doc is scored") {
+    val out = SparkEntry.queries("q124_quality_classifier")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) >= 0L))
+    }
+    val again = SparkEntry.queries("q124_quality_classifier")(spark, sf)
+      .collect()
+    assert(rows.map(_.toString).sorted.toSeq
+      == again.map(_.toString).sorted.toSeq)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
