@@ -83,8 +83,7 @@ object Vectors {
     val centDf = cents.toDF("cid", "ce")
     val scored = q.crossJoin(broadcast(centDf))
       .select(col("vid"), col("cid"),
-        expr("aggregate(zip_with(qv, ce, (x, y) -> x * y), 0L, " +
-          "(a, v) -> a + v)").as("d"))
+        expr("doti(qv, ce)").as("d"))
     if (nprobe == 1)
       // the hot path (every training pass + every index encode): argmax
       // as a map-side-combinable max_by — no per-vid sort, the k-times
@@ -187,8 +186,7 @@ object Vectors {
       // within the row's own group, then one (gid, cid, pos) aggregate
       val means = q.join(broadcast(centDf), "gid")
         .select(col("gid"), col("vid"), col("cid"), col("qv"),
-          expr("aggregate(zip_with(qv, ce, (x, y) -> x * y), 0L, " +
-            "(a, v) -> a + v)").as("d"))
+          expr("doti(qv, ce)").as("d"))
         .groupBy(col("gid"), col("vid"))
         .agg(max_by(struct(col("cid"), col("qv")),
           struct(col("d"), (-col("cid")).as("nc"))).as("w"))

@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductF(exprs.head, exprs(1))
       } }))
     e.injectFunction((
+      FunctionIdentifier("doti"),
+      new ExpressionInfo(classOf[DotProductL].getName, "doti"),
+      { exprs => {
+        require(exprs.length == 2, "doti takes exactly 2 arguments")
+        DotProductL(exprs.head, exprs(1))
+      } }))
+    e.injectFunction((
       FunctionIdentifier("l1i"),
       new ExpressionInfo(classOf[L1DistanceI].getName, "l1i"),
       { exprs => {

@@ -354,8 +354,7 @@ object VectorQueries {
             s"${KmScale}L) AS BIGINT))").as("sv"))
         .join(broadcast(centDf), "gid")
         .select(col("gid"), col("vec_id"), col("cid"),
-          expr("aggregate(zip_with(sv, ce, (x, y) -> x * y), 0L, " +
-            "(a, v) -> a + v)").as("d"))
+          expr("doti(sv, ce)").as("d"))
         .groupBy(col("gid"), col("vec_id"))
         .agg(max_by(col("cid"), struct(col("d"), (-col("cid")).as("nc")))
           .as("cid"))
@@ -395,8 +394,7 @@ object VectorQueries {
         expr("transform(embedding, x -> " +
           s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
           .as("qv"))
-        .withColumn("n2", expr("aggregate(zip_with(qv, qv, " +
-          "(x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("n2", expr("doti(qv, qv)"))
       val member = assign.join(qv, "vec_id")
       val okCids = member.groupBy(col("cid"))
         .agg(count(lit(1)).as("m"))
@@ -407,8 +405,7 @@ object VectorQueries {
       val b = el.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
         col("qv").as("qb"), col("n2").as("nb2"))
       a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
-        .withColumn("dp", expr("aggregate(zip_with(qa, qb, " +
-          "(x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("dp", expr("doti(qa, qb)"))
         .filter(col("dp") > 0 &&
           expr("100 * (CAST(dp AS DECIMAL(38,0)) * dp) >= " +
             "9 * (CAST(na2 AS DECIMAL(38,0)) * nb2)"))

@@ -156,6 +156,29 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("doti matches the interpreted long fold and shares dotf's NULL " +
+    "semantics") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000L) AS BIGINT))").as("qv"))
+    val both = e.crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(col("qv").as("qb"))))
+      .select(expr("doti(qv, qb)").as("native"),
+        expr("aggregate(zip_with(qv, qb, (x, y) -> x * y), 0L, " +
+          "(a, v) -> a + v)").as("fold"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+    }
+    val edge = Seq(
+      (1L, Seq(1L, 2L), Seq(1L, 2L, 3L)),     // length mismatch
+      (2L, null, Seq(1L, 2L)))                 // null array
+      .toDF("id", "a", "b")
+    val out = edge.select(col("id"), expr("doti(a, b)").as("d")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L), "mismatch/null array must yield NULL")
+  }
+
   test("kmeansQMulti trains each group identically to per-group kmeansQ") {
     val e = Tables.embeddings(spark, sf)
     val stacked = e.select(col("vec_id"),
