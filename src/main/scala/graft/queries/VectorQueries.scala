@@ -368,6 +368,58 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- SCALAR QUANTIZATION (int8) recall audit: the third ANN index
+    // leg next to IVF (routing, q114) and PQ (subspace codes, q120).
+    // Train = one aggregate for per-dim min/max (64 doubles — broadcast
+    // as a single row); encode = a map-side transform to one signed
+    // byte per dim, code = floor((x-mn)/(mx-mn)*255)-128 in exactly
+    // this parenthesization (float→double conversion and each IEEE op
+    // are exactly rounded, so DuckDB replays the codes bit-identically);
+    // score = codegen'd integer dot over the codes. At 100 TB: 4 bytes
+    // → 1 byte per dim, no codebook state beyond 128 doubles, encode
+    // never shuffles. Ground truth is top-5 by quantized integer dot
+    // (as q120); recall on i.i.d. Gaussians is the honest-audit point.
+    "q125_sq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val stats = e
+        .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy((col("pos0") + 1).as("pos"))
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mn))), " +
+          "t -> t.mn)").as("mins"),
+          expr("transform(sort_array(collect_list(struct(pos, mx))), " +
+            "t -> t.mx)").as("maxs"))
+      val codeExpr = "transform(embedding, (x, i) -> CASE WHEN " +
+        "element_at(maxs, i + 1) = element_at(mins, i + 1) THEN 0L ELSE " +
+        "CAST(floor((CAST(x AS DOUBLE) - element_at(mins, i + 1)) / " +
+        "(element_at(maxs, i + 1) - element_at(mins, i + 1)) * 255.0D) " +
+        "AS BIGINT) - 128 END)"
+      val codes = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(codeExpr).as("code"))
+      val qcode = codes.filter(col("vec_id") === 0)
+        .select(col("code").as("qc"))
+      val sq = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qcode))
+        .select(col("vec_id"), expr("doti(code, qc)").as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5).select(col("vec_id"))
+      val qv = e.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
+      val qq = qv.filter(col("vec_id") === 0).select(col("qv").as("qb"))
+      val brute = qv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qq))
+        .select(col("vec_id"), expr("doti(qv, qb)").as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5).select(col("vec_id"))
+      brute.join(sq, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(5).as("k"), col("n_hits"),
+          (col("n_hits") / lit(5)).as("recall"))
+    }),
+
     // ---- SEMANTIC DEDUP (SemDeDup-shaped: cluster, then prune within
     // clusters — Abbas et al. 2023): the q113 k-means routes every
     // vector to a centroid, and near-duplicate pruning runs ONLY inside
@@ -643,6 +695,44 @@ object VectorQueries {
       s"""WITH $kmeansCtes
         |SELECT c.cid, CAST(g.pos AS INT) AS pos, c.ce[g.pos] AS cval
         |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)""".stripMargin,
+
+    "q125_sq_recall" ->
+      s"""WITH st AS (
+        |  SELECT g.pos, min(CAST(e.embedding[g.pos] AS DOUBLE)) AS mn,
+        |    max(CAST(e.embedding[g.pos] AS DOUBLE)) AS mx
+        |  FROM embeddings e CROSS JOIN generate_series(1, 64) g(pos)
+        |  GROUP BY g.pos),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |    list(CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(floor((CAST(e.embedding[st.pos] AS DOUBLE) - st.mn)
+        |        / (st.mx - st.mn) * 255.0) AS BIGINT) - 128 END
+        |      ORDER BY st.pos) AS code
+        |  FROM embeddings e CROSS JOIN st
+        |  GROUP BY e.vec_id),
+        |qcd AS (SELECT code FROM codes WHERE vec_id = 0),
+        |sq AS (SELECT vec_id FROM (
+        |    SELECT c.vec_id, row_number() OVER (ORDER BY
+        |      list_reduce(list_transform(generate_series(1, 64),
+        |        i -> c.code[i] * qcd.code[i]), (a, v) -> a + v) DESC,
+        |      c.vec_id ASC) AS rn
+        |    FROM codes c, qcd WHERE c.vec_id <> 0)
+        |  WHERE rn <= 5),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |qq AS (SELECT qv FROM q WHERE vec_id = 0),
+        |brute AS (SELECT vec_id FROM (
+        |    SELECT t.vec_id, row_number() OVER (ORDER BY
+        |      list_reduce(list_transform(generate_series(1, 64),
+        |        i -> t.qv[i] * qq.qv[i]), (x, v) -> x + v) DESC,
+        |      t.vec_id ASC) AS rn
+        |    FROM q t, qq WHERE t.vec_id <> 0) WHERE rn <= 5)
+        |SELECT CAST(5 AS INT) AS k, count(*) AS n_hits,
+        |  count(*) / 5 AS recall
+        |FROM brute JOIN sq USING (vec_id)""".stripMargin,
 
     "q122_semantic_dedup" ->
       s"""WITH $kmeansCtes,

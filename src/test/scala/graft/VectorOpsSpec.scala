@@ -196,6 +196,31 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q125 SQ audit: deterministic, hits within [0, 5], and int8 " +
+    "codes stay in range") {
+    val a = SparkEntry.queries("q125_sq_recall")(spark, sf).collect().head
+    val b = SparkEntry.queries("q125_sq_recall")(spark, sf).collect().head
+    assert(a.toString == b.toString)
+    assert(a.getLong(1) >= 0L && a.getLong(1) <= 5L)
+    // re-derive the per-dim codes and bound-check: floor((x-mn)/(mx-mn)
+    // *255)-128 must land in [-128, 127] for every corpus element
+    val e = Tables.embeddings(spark, sf)
+    val mm = e.select(posexplode(col("embedding")).as(Seq("p0", "x")))
+      .groupBy(col("p0"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    e.select(posexplode(col("embedding")).as(Seq("p0", "x"))).collect()
+      .foreach { r =>
+        val (mn, mx) = mm(r.getInt(0))
+        val x = r.getFloat(1).toDouble
+        val c = if (mx == mn) 0L
+          else math.floor((x - mn) / (mx - mn) * 255.0).toLong - 128
+        assert(c >= -128 && c <= 127, s"code $c out of int8 range")
+      }
+  }
+
   test("q122 semantic dedup: flags are same-cluster, star-rule, and " +
     "every flagged pair really clears the quantized cosine threshold") {
     val out = SparkEntry.queries("q122_semantic_dedup")(spark, sf)
