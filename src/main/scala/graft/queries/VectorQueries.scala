@@ -420,6 +420,51 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- HARD-NEGATIVE MINING (contrastive-training data prep, the
+    // DPR/SimCSE shape): for every anchor vector, the hardest negative
+    // is its highest-cosine same-cluster neighbor that is NOT a
+    // near-duplicate (q122's exact integer threshold keeps true dups
+    // out of the negative pool — training on those would be label
+    // noise). Candidate generation rides the same cluster routing and
+    // cap as q122; ranking uses the double cosine (every op exactly
+    // rounded, same expression shape as q30, tie to the lowest id) and
+    // collapses per anchor via one map-combinable max_by — no window.
+    // At 100 TB: pairs bounded per cluster, output is one row per
+    // anchor.
+    "q126_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Vectors.kmeansQ(e, "vec_id", "embedding",
+        KmK, KmIters, KmScale)
+      val assign = Vectors.assignTrained(e, "vec_id", "embedding",
+        cents, KmScale)
+      val qv = e.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
+        .withColumn("n2", expr("doti(qv, qv)"))
+      val member = assign.join(qv, "vec_id")
+      val okCids = member.groupBy(col("cid"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") <= SemMaxCluster).select(col("cid"))
+      val el = member.join(broadcast(okCids), "cid")
+      val a = el.select(col("cid"), col("vec_id").as("vec_a"),
+        col("qv").as("qa"), col("n2").as("na2"))
+      val b = el.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
+        col("qv").as("qb"), col("n2").as("nb2"))
+      a.join(b, col("cid") === col("cid_b") && col("vec_a") =!= col("vec_b"))
+        .withColumn("dp", expr("doti(qa, qb)"))
+        .filter(!(col("dp") > 0 &&
+          expr("100 * (CAST(dp AS DECIMAL(38,0)) * dp) >= " +
+            "9 * (CAST(na2 AS DECIMAL(38,0)) * nb2)")))
+        .withColumn("cosine", col("dp").cast("double")
+          / (sqrt(col("na2").cast("double"))
+            * sqrt(col("nb2").cast("double"))))
+        .groupBy(col("vec_a"), col("cid"))
+        .agg(max(struct(col("cosine"), (-col("vec_b")).as("nb"))).as("m"))
+        .select(col("vec_a").as("vec_id"), col("cid"),
+          (-col("m.nb")).as("hard_neg"), col("m.cosine").as("cosine"))
+    }),
+
     // ---- SEMANTIC DEDUP (SemDeDup-shaped: cluster, then prune within
     // clusters — Abbas et al. 2023): the q113 k-means routes every
     // vector to a centroid, and near-duplicate pruning runs ONLY inside
@@ -695,6 +740,40 @@ object VectorQueries {
       s"""WITH $kmeansCtes
         |SELECT c.cid, CAST(g.pos AS INT) AS pos, c.ce[g.pos] AS cval
         |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)""".stripMargin,
+
+    "q126_hard_negatives" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |n2 AS (
+        |  SELECT vec_id, list_reduce(list_transform(
+        |    generate_series(1, 64), i -> q.qv[i] * q.qv[i]),
+        |    (a, v) -> a + v) AS n2
+        |  FROM q),
+        |member AS (
+        |  SELECT a.vec_id, a.cid, q.qv, n2.n2
+        |  FROM a${KmIters + 1} a JOIN q USING (vec_id)
+        |  JOIN n2 USING (vec_id)),
+        |ok AS (SELECT cid FROM member GROUP BY cid
+        |  HAVING count(*) <= $SemMaxCluster),
+        |el AS (SELECT member.* FROM member JOIN ok USING (cid)),
+        |p AS (
+        |  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> a.qv[i] * b.qv[i]), (x, v) -> x + v) AS dp,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM el a JOIN el b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |np AS (
+        |  SELECT cid, va, vb,
+        |    CAST(dp AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))
+        |      * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+        |  FROM p
+        |  WHERE NOT (dp > 0
+        |    AND 100 * (CAST(dp AS HUGEINT) * dp)
+        |        >= 9 * (CAST(na2 AS HUGEINT) * nb2)))
+        |SELECT va AS vec_id, cid, vb AS hard_neg, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY va
+        |    ORDER BY cosine DESC, vb ASC) AS rn FROM np)
+        |WHERE rn = 1""".stripMargin,
 
     "q125_sq_recall" ->
       s"""WITH st AS (

@@ -259,6 +259,24 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(flagged.nonEmpty)
   }
 
+  test("q126 hard negatives: same cluster, never self, never a dup, " +
+    "and the reported cosine is below the dup threshold") {
+    val out = SparkEntry.queries("q126_hard_negatives")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val e = Tables.embeddings(spark, sf)
+    val cents = Vectors.kmeansQ(e, "vec_id", "embedding", 8, 2)
+    val cid = Vectors.assignTrained(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (vid, c, neg, cos) =>
+      assert(neg != vid)
+      assert(cid(vid) == c && cid(neg) == c)
+      assert(cos < 0.3 + 1e-9,
+        s"hard negative ($vid, $neg) cos=$cos is in dup territory")
+    }
+  }
+
   test("q123 HLL merge audit: all verdict bands hold") {
     val r = SparkEntry.queries("q123_hll_merge_audit")(spark, sf)
       .collect().head
