@@ -41,6 +41,36 @@ object CorpusQueries {
     // n-gram-overlap contamination check, as a shingle equi-join —
     // shuffles (shingle-hash, id), never bodies. At real scale the
     // test-side shingle set is small enough to broadcast.
+    // ---- CONTAINMENT decontamination: q51 counts shared 8-grams, but
+    // the decision metric benchmark suites actually need is asymmetric
+    // containment |sh(bench) ∩ sh(train)| / |sh(bench)| — a short
+    // benchmark fully embedded in a long train doc scores 1.0 here
+    // while its Jaccard stays near zero. Per-doc DISTINCT shingle
+    // digests (so both counts are set sizes), digest-only join, and an
+    // integer threshold decision (5·shared >= 4·bench ⟺ containment
+    // >= 0.8) — no doubles anywhere. At 100 TB the bench side is tiny
+    // (broadcast) and the train side shuffles only digests of docs
+    // that share at least one shingle.
+    "q127_containment_decontam" -> ((s, d) => {
+      val sh = Text.wordShingles(Tables.documents(s, d),
+          "doc_id", "text", 8)
+        .select(md5(col("sh").cast("binary")).as("shh"), col("doc_id"))
+        .distinct()
+      val bench = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("shh"), col("doc_id").as("bench_id"))
+      val bsz = bench.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_bench"))
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("shh"), col("doc_id").as("train_id"))
+      train.join(broadcast(bench), "shh")
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(bsz), "bench_id")
+        .filter(col("n_shared") * 5 >= col("n_bench") * 4)
+        .select(col("bench_id"), col("train_id"),
+          col("n_shared"), col("n_bench"))
+    }),
+
     "q51_decontam" -> ((s, d) => {
       val sh = Text.wordShingles(Tables.documents(s, d), "doc_id", "text", 8)
         .select(md5(col("sh").cast("binary")).as("shh"), col("doc_id"))
@@ -467,6 +497,27 @@ object CorpusQueries {
         |  CAST((cum - n_toks) // 2048 AS BIGINT) AS bin_first,
         |  CAST((cum - 1) // 2048 AS BIGINT) AS bin_last
         |FROM c""".stripMargin,
+
+    "q127_containment_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    md5(concat_ws(' ', ${gram8("tk")})) AS shh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS p
+        |    FROM toks)),
+        |bench AS (SELECT shh, doc_id AS bench_id FROM sh
+        |  WHERE doc_id % 10 = 0),
+        |bsz AS (SELECT bench_id, count(*) AS n_bench FROM bench
+        |  GROUP BY bench_id),
+        |p AS (
+        |  SELECT t.doc_id AS train_id, b.bench_id, count(*) AS n_shared
+        |  FROM sh t JOIN bench b ON t.shh = b.shh
+        |  WHERE t.doc_id % 10 <> 0
+        |  GROUP BY t.doc_id, b.bench_id)
+        |SELECT bench_id, train_id, n_shared, n_bench
+        |FROM p JOIN bsz USING (bench_id)
+        |WHERE n_shared * 5 >= n_bench * 4""".stripMargin,
 
     "q51_decontam" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -205,6 +205,39 @@ object SamplingQueries {
     // Stats pass aggregates to one row per source (tiny, broadcast);
     // the keep decision is then a stateless map over the corpus — the
     // actual training-mix materialization shape at 100 TB.
+    // ---- CURRICULUM INTERLEAVE: the global training order a data
+    // loader consumes — a deterministic within-source shuffle (md5
+    // order, reproducible on any cluster) woven across sources by
+    // weighted round-robin: source weight w ∈ 1..4 (hash-derived here;
+    // a mixture spec in production), each doc's ideal position is
+    // rank/w, realized exactly as rank·(12/w) in integers (12 = lcm of
+    // the weights). BOTH rank assignments — within-source rank (20
+    // sources = low-cardinality window, the q110 scale-killer class)
+    // and the final global position (cardinality ONE) — run through
+    // the two-phase Prefix.runningSum, so no single task ever sees
+    // more than a chunk. Order keys append doc_id for uniqueness
+    // (exact-replay requirement; bigint holds to ~7e8 docs/source —
+    // widen to decimal beyond).
+    "q128_curriculum_order" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("w", hashBucket("source", 17, 4) + 1)
+        .withColumn("src_ord",
+          hashBucket("doc_id", 1, 1000000) * lit(10000000000L)
+            + col("doc_id"))
+        .withColumn("one", lit(1L))
+      val ranked = graft.operators.Prefix.runningSum(
+        base, "source", "src_ord", "one", "rs")
+      val keyed = ranked
+        .withColumn("ord",
+          col("rs") * expr("div(12, w)") * lit(10000000000L)
+            + col("doc_id"))
+        .withColumn("k", lit(0))
+      graft.operators.Prefix.runningSum(keyed, "k", "ord", "one",
+          "global_pos")
+        .select(col("doc_id"), col("source"), col("global_pos"))
+    }),
+
     "q99_mixture_sample" -> ((s, d) => {
       val budget = 50000L
       val docs = Tables.documents(s, d)
@@ -357,6 +390,22 @@ object SamplingQueries {
         |SELECT shard, n_docs, shard_tokens,
         |  CAST(shard_tokens * 32 AS DOUBLE) / total_tokens AS balance
         |FROM p, tot""".stripMargin,
+
+    "q128_curriculum_order" ->
+      s"""WITH base AS (SELECT doc_id, source,
+        |    (${hashBucketSql("source", 17, 4)}) + 1 AS w,
+        |    (${hashBucketSql("doc_id", 1, 1000000)}) * 10000000000
+        |      + doc_id AS src_ord
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY source ORDER BY src_ord)
+        |      AS rs
+        |  FROM base),
+        |o AS (SELECT doc_id, source,
+        |    (rs * (12 // w)) * 10000000000 + doc_id AS ord FROM r)
+        |SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY ord) AS global_pos
+        |FROM o""".stripMargin,
 
     "q99_mixture_sample" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -55,4 +55,30 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
         -> r.getLong(1)).toSet
     assert(got == Set("null" -> 2L, "null" -> 5L, "a" -> 7L))
   }
+
+  test("q128 curriculum order: global_pos is a 1..n permutation, " +
+    "deterministic, and weighted-fair in every prefix") {
+    val out = SparkEntry.queries("q128_curriculum_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = out.length
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "global_pos must be an exact permutation of 1..n")
+    val again = SparkEntry.queries("q128_curriculum_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // weighted round-robin fairness: in any prefix, a source's share
+    // tracks its weight — each source's k-th doc sits near position
+    // k * (total_weight / w_s), so no source starves or floods
+    val bySrc = out.groupBy(_._2)
+    bySrc.foreach { case (_, docs) =>
+      val ps = docs.map(_._3).sorted
+      // successive picks from one source must be spread out, not
+      // contiguous: gaps of 1 for the whole source would mean blocks
+      if (ps.length > 2) {
+        val gaps = ps.sliding(2).map(a => a(1) - a(0)).toSeq
+        assert(gaps.max > 1L,
+          "a source emitted as one contiguous block — not interleaved")
+      }
+    }
+  }
 }
