@@ -18,7 +18,65 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The per-(doc, term) BM25 score expression, shared character-for-
+    * character (modulo column qualifiers) between the Spark plan and
+    * the DuckDB oracle — every literal CAST to double in both engines,
+    * every op exactly rounded, so the fixed-point floor is identical.
+    * k1 = 1.2, b = 0.75; tf·(k1+1) = tf·2.2; 1−b = 0.25.
+    */
+  private[queries] def bm25Term(nd: String, df: String, tf: String,
+                                len: String, avglen: String): String =
+    s"(((CAST($nd AS DOUBLE) - CAST($df AS DOUBLE)) " +
+      s"+ CAST(0.5 AS DOUBLE)) " +
+      s"/ (CAST($df AS DOUBLE) + CAST(0.5 AS DOUBLE))) " +
+      s"* ((CAST($tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) " +
+      s"/ (CAST($tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) " +
+      s"* (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) " +
+      s"* (CAST($len AS DOUBLE) / $avglen)))))) " +
+      s"* CAST(1048576 AS DOUBLE)"
+
   val queries: Map[String, Q] = Map(
+    // ---- BM25 top-k retrieval (log-free, fixed-point): the lexical
+    // ranking half of hybrid retrieval. Two deliberate departures from
+    // textbook BM25, both for cross-engine exactness: (1) the IDF keeps
+    // the rational (N-df+0.5)/(df+0.5) without the log — engines do not
+    // guarantee bit-identical ln(), and the log is monotone so a
+    // SINGLE-term ranking is unchanged (multi-term rankings can differ
+    // from textbook; documented, deterministic); (2) each per-term
+    // double score (every op exactly rounded, literals CAST to double
+    // in both engines) is floored to 2^20 fixed-point BEFORE the
+    // per-doc sum, so integer addition makes the aggregate order-free —
+    // summing raw doubles across a shuffle would not replay. Query =
+    // the corpus's top-5 tokens (deterministic tie-break). Scale shape:
+    // df/len/avglen are one token-scan's aggregates, scoring is a
+    // broadcast join + map-combinable sum, top-10 via sort+limit.
+    "q129_bm25_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val lens = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("len"))
+      val stats = lens
+        .agg(sum(col("len")).as("tot"), count(lit(1)).as("nd"))
+        .select(col("nd"), (col("tot").cast("double")
+          / col("nd").cast("double")).as("avglen"))
+      val qterms = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc)
+        .limit(5).select(col("tok"))
+      val tf = toks.join(broadcast(qterms), "tok")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dft), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("si", expr(
+          s"CAST(floor(${TextQueries.bm25Term("nd", "df", "tf", "len",
+            "avglen")}) AS BIGINT)"))
+        .groupBy(col("doc_id")).agg(sum(col("si")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // ---- exact dedup by content hash: one canonical doc per distinct
     // text (shuffles 16-byte digests, not bodies)
     "q20_dedup_exact" -> ((s, d) => {
@@ -325,6 +383,31 @@ object TextQueries {
       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q129_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks
+        |  GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS nd,
+        |    CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS avglen
+        |  FROM lens),
+        |qterms AS (SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c DESC, tok ASC LIMIT 5)),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf FROM toks t
+        |  JOIN qterms q ON t.tok = q.tok GROUP BY t.doc_id, t.tok),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(${bm25Term("st.nd", "dft.df", "tf.tf",
+            "lens.len", "st.avglen")}) AS BIGINT) AS si
+        |  FROM tf JOIN dft USING (tok) JOIN lens USING (doc_id),
+        |    stats st)
+        |SELECT doc_id, CAST(sum(si) AS BIGINT) AS score FROM scored
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count
