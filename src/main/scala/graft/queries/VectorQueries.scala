@@ -68,15 +68,19 @@ object VectorQueries {
        |  GROUP BY c.cid)""".stripMargin
 
   /** Quantize + seed + `KmIters` unrolled Lloyd passes; the final
-    * centroid set is `c$KmIters`. Shared by the q113 and q114 oracles.
+    * centroid set is `c$KmIters`. Shared by the q113/q114/q122/q126
+    * oracles; `where` restricts the TRAINING set (q130 trains on the
+    * old split only).
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesWhere("")
+
+  private def kmeansCtesWhere(where: String): String = {
     val iters = (1 to KmIters)
       .map(i => kmIterCtes(i, s"c${i - 1}", s"c$i")).mkString(",\n")
     s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |c0 AS (
        |  SELECT cid, qv AS ce FROM (
        |    SELECT qv, CAST(row_number() OVER (ORDER BY
@@ -420,6 +424,32 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- IVF INDEX STALENESS audit: the incremental-maintenance story
+    // for the ANN family (sketches have q121/q123 — this is the vector
+    // side). Yesterday's index — centroids trained on the OLD 80%
+    // hash-split — serves today's grown corpus; the audit measures, per
+    // cluster, how many index-time members vs post-build arrivals it
+    // now routes, and flags clusters where new arrivals exceed 20% of
+    // the build population (integer threshold — the rebuild trigger a
+    // production index maintainer alerts on). At 100 TB: training on
+    // the old split is the bounded index-build cost; the serving
+    // assignment is one broadcast argmax pass; the audit itself is one
+    // 8-row aggregate.
+    "q130_ivf_staleness" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val old = e.filter(SamplingQueries.hashBucket("vec_id", 1, 10) < 8)
+      val cents = Vectors.kmeansQ(old, "vec_id", "embedding",
+        KmK, KmIters, KmScale)
+      Vectors.assignTrained(e, "vec_id", "embedding", cents, KmScale)
+        .withColumn("is_new",
+          (SamplingQueries.hashBucket("vec_id", 1, 10) >= 8).cast("int"))
+        .groupBy(col("cid"))
+        .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_new"))
+        .select(col("cid"), col("n_old"), col("n_new"),
+          (col("n_new") * 5 >= col("n_old")).as("rebuild"))
+    }),
+
     // ---- HARD-NEGATIVE MINING (contrastive-training data prep, the
     // DPR/SimCSE shape): for every anchor vector, the hardest negative
     // is its highest-cosine same-cluster neighbor that is NOT a
@@ -740,6 +770,33 @@ object VectorQueries {
       s"""WITH $kmeansCtes
         |SELECT c.cid, CAST(g.pos AS INT) AS pos, c.ce[g.pos] AS cval
         |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)""".stripMargin,
+
+    "q130_ivf_staleness" ->
+      s"""WITH ${kmeansCtesWhere(
+            s"WHERE (${SamplingQueries.hashBucketSql("vec_id", 1, 10)}) < 8")},
+        |qall AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT t.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |        list_reduce(list_transform(generate_series(1, 64),
+        |          i -> t.qv[i] * c.ce[i]), (a, v) -> a + v) DESC,
+        |        c.cid ASC) AS rn
+        |    FROM qall t, c$KmIters c) WHERE rn = 1),
+        |cnt AS (
+        |  SELECT cid,
+        |    CAST(sum(CASE WHEN
+        |      (${SamplingQueries.hashBucketSql("vec_id", 1, 10)}) < 8
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN
+        |      (${SamplingQueries.hashBucketSql("vec_id", 1, 10)}) >= 8
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM asg GROUP BY cid)
+        |SELECT cid, n_old, n_new, n_new * 5 >= n_old AS rebuild
+        |FROM cnt""".stripMargin,
 
     "q126_hard_negatives" ->
       s"""WITH $kmeansCtes,
