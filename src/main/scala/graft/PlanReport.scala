@@ -60,7 +60,15 @@ object PlanReport {
             PlanBridge.ofRows(spark, Distinct(Project(named, w.child)))
               .count()
           }
-        if (card < parts && childRows >= 8L * parts)
+        if (cols.split("\\+").contains("__chunk"))
+          // Prefix.runningSum's internal window: partitions are
+          // quantile-chunked to ~n/spark.sql.shuffle.partitions rows by
+          // construction (the same size contract as any shuffle
+          // partition), so low MEASURED chunk cardinality at tiny sf is
+          // quantile-boundary collapse, not the q110 single-reducer bug
+          // the audit hunts.
+          s"ok:$cols($card,chunk-bounded)"
+        else if (card < parts && childRows >= 8L * parts)
           s"LOW:$cols($card keys/$childRows rows)"
         else s"ok:$cols($card)"
       } catch {
