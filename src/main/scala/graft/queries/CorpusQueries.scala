@@ -346,23 +346,28 @@ object CorpusQueries {
     // tiny relative to the corpus). The learned merge list is a
     // handful of rows collected driver-side — index-build pattern, the
     // same contract as the k-means centroids (q113), not per-row work.
-    "q119_bpe_encode" -> ((s, d) => {
-      val merges = graft.functions.Bpe
-        .learn(Tables.documents(s, d), "text", rounds = BpeRounds,
-          vocabCap = BpeVocabCap)
-      val occ = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("n_occ"))
-      val dict = occ.select(col("word")).distinct()
-        .withColumn("s", graft.functions.Bpe.symbolize)
-      val encoded = merges.foldLeft(dict) { (df, m) =>
-        df.withColumn("s",
-          graft.functions.Bpe.applyMerge(col("s"), m.lft, m.rgt))
-      }.select(col("word"), size(split(col("s"), " ")).as("n_toks"))
-      occ.join(encoded, "word")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
+    "q119_bpe_encode" -> ((s, d) => bpeDocTokens(s, d)),
+
+    // ---- TOKENIZER FERTILITY audit: BPE tokens emitted per whitespace
+    // word, reported per language — the table a tokenizer owner reads
+    // before shipping a vocab (high-fertility languages pay more
+    // compute per word; the fix is more merges or per-lang vocab).
+    // Rides q119's vocab-grain encode (distinct words encoded once),
+    // then collapses to one row per language before the division —
+    // fertility is a SINGLE double division of two exact longs, the
+    // only float op in the query. At 100 TB the pre-division aggregate
+    // is map-combined to n_langs rows.
+    "q133_tokenizer_fertility" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      bpeDocTokens(s, d).join(words, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_words")).as("n_words"))
+        .select(col("lang"), col("n_bpe_tokens"), col("n_words"),
+          (col("n_bpe_tokens").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
     }),
 
     // ---- reserved-token scrub: count + redact configured tokens
@@ -378,6 +383,30 @@ object CorpusQueries {
           .as("redacted_fp"))
     })
   )
+
+  /** q119/q133 shared body: learn the BPE merges, encode at VOCAB grain
+    * (each distinct word symbolized + merged once, then word-level token
+    * counts join back onto (doc, word) occurrence counts — repeated
+    * words are never re-encoded), yielding (doc_id, n_bpe_tokens).
+    */
+  private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.functions.Bpe
+      .learn(Tables.documents(s, d), "text", rounds = BpeRounds,
+        vocabCap = BpeVocabCap)
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    val dict = occ.select(col("word")).distinct()
+      .withColumn("s", graft.functions.Bpe.symbolize)
+    val encoded = merges.foldLeft(dict) { (df, m) =>
+      df.withColumn("s",
+        graft.functions.Bpe.applyMerge(col("s"), m.lft, m.rgt))
+    }.select(col("word"), size(split(col("s"), " ")).as("n_toks"))
+    occ.join(encoded, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
+  }
 
   private def gram8(prefix: String): String =
     (0 until 8).map(i => s"tk[p + $i]").mkString(", ")
@@ -445,7 +474,7 @@ object CorpusQueries {
     * winning merge to every (doc, word) occurrence group — the same
     * doubled-separator replace as v$r, at document grain.
     */
-  private def bpeEncodeSql: String = {
+  private def bpeEncCtes: String = {
     val encs = (1 to BpeRounds).map(r =>
       s"""e$r AS (
          |  SELECT e.doc_id, e.word, e.n_occ,
@@ -453,7 +482,7 @@ object CorpusQueries {
          |      ' ' || m.pa || '  ' || m.pb || ' ',
          |      ' ' || m.pa || m.pb || ' '), '  ', ' ')) AS s
          |  FROM e${r - 1} e, m$r m)""".stripMargin).mkString(",\n")
-    s"""WITH $bpeCtes,
+    s"""$bpeCtes,
        |e0 AS (
        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ,
        |    array_to_string(list_transform(generate_series(1,
@@ -462,12 +491,33 @@ object CorpusQueries {
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |    FROM documents)
        |  GROUP BY doc_id, word),
-       |$encs
-       |SELECT doc_id,
-       |  CAST(sum(n_occ * len(string_split(s, ' '))) AS BIGINT)
-       |    AS n_bpe_tokens
-       |FROM e$BpeRounds GROUP BY doc_id""".stripMargin
+       |$encs,
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n_occ * len(string_split(s, ' '))) AS BIGINT)
+       |      AS n_bpe_tokens
+       |  FROM e$BpeRounds GROUP BY doc_id)""".stripMargin
   }
+
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeEncCtes
+       |SELECT doc_id, n_bpe_tokens FROM enc""".stripMargin
+
+  /** q133 oracle: the q119 encode replay collapsed to per-language
+    * fertility (single double division of two exact longs).
+    */
+  private def fertilitySql: String =
+    s"""WITH $bpeEncCtes,
+       |d AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(CAST(sum(n_bpe_tokens) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE) AS fertility
+       |FROM enc JOIN d USING (doc_id)
+       |GROUP BY lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q124_quality_classifier" ->
@@ -646,6 +696,7 @@ object CorpusQueries {
 
     "q115_bpe_merges" -> bpeSql,
     "q119_bpe_encode" -> bpeEncodeSql,
+    "q133_tokenizer_fertility" -> fertilitySql,
 
     "q56_scrub" ->
       """SELECT doc_id,

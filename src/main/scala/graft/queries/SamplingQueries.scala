@@ -340,8 +340,55 @@ object SamplingQueries {
             / (col("a_n_sh") + col("b_n_sh")
               - coalesce(col("inter"), lit(0L))))
             .as("exact_jaccard"))
+    }),
+
+    // ---- DSIR-style importance selection (hashed n-gram features,
+    // after Xie et al. 2023): score every doc by how target-like its
+    // token distribution is, target = the en slice. Words hash into
+    // DsirBuckets features; the per-bucket weight is the CROSS-
+    // MULTIPLIED frequency contrast t_b*R - r_b*T (positive iff the
+    // bucket is over-represented in the target) — the integer-exact
+    // surrogate for the log-ratio (same sign, no transcendentals, so
+    // the oracle matches bit-for-bit; a log-weighted variant would
+    // hang cross-engine parity on libm rounding). keep = score > 0
+    // selects docs whose summed bucket contrast leans target.
+    // Scale: bucket stats are one map-combined pass to DsirBuckets
+    // rows; the weight table broadcasts; scoring is one token-grain
+    // map-side join + one map-combined per-doc sum — no big shuffle
+    // ever carries more than (doc_id, 2 numbers). Products are
+    // DECIMAL(18,0)×DECIMAL(18,0) (≤1e18 token counts — comfortable
+    // even at 100 TB); the token-grain score sum stays within
+    // DECIMAL(38,0) up to ~1e12-token corpora per the comment on `w`,
+    // past which the weight would be floor-rescaled by R.
+    "q131_dsir_resample" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", hashBucket("tok", 1, DsirBuckets))
+      val buckets = toks.groupBy(col("b"))
+        .agg(count(lit(1)).as("r_b"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+      val tot = buckets
+        .agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
+      val w = buckets.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (col("t_b").cast("decimal(18,0)") * col("rr").cast("decimal(18,0)")
+            - col("r_b").cast("decimal(18,0)")
+              * col("tt").cast("decimal(18,0)")).as("w"))
+      toks.join(broadcast(w), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("w")).cast("decimal(38,0)").as("score"))
+        .select(col("doc_id"), col("n_toks"), col("score"),
+          (col("score") > 0).as("keep"))
     })
   )
+
+  /** Feature-hash width for q131 — small enough that the weight table
+    * broadcasts trivially, wide enough that opposing-sign buckets don't
+    * all collide at test scale. Mirrored in the oracle.
+    */
+  private val DsirBuckets = 64
 
   val oracle: Map[String, String] = Map(
     "q59_split_assign" ->
@@ -534,6 +581,28 @@ object SamplingQueries {
         |FROM est e
         |LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
         |JOIN n na ON na.doc_id = e.doc_a
-        |JOIN n nb ON nb.doc_id = e.doc_b""".stripMargin
+        |JOIN n nb ON nb.doc_id = e.doc_b""".stripMargin,
+
+    "q131_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tb AS (SELECT doc_id, lang,
+        |    ${hashBucketSql("tok", 1, DsirBuckets)} AS b FROM t),
+        |agg AS (SELECT b, CAST(count(*) AS BIGINT) AS r_b,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_b
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(sum(r_b) AS BIGINT) AS rr,
+        |    CAST(sum(t_b) AS BIGINT) AS tt FROM agg),
+        |w AS (SELECT b,
+        |    CAST(t_b AS DECIMAL(18,0)) * CAST(rr AS DECIMAL(18,0))
+        |      - CAST(r_b AS DECIMAL(18,0)) * CAST(tt AS DECIMAL(18,0))
+        |      AS w
+        |  FROM agg, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(w) AS DECIMAL(38,0)) AS score,
+        |  sum(w) > 0 AS keep
+        |FROM tb JOIN w USING (b)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -323,8 +323,49 @@ object TextQueries {
       docs.select(col("doc_id"),
           md5(col("text").cast("binary")).as("exact_fp"))
         .join(minSh, "doc_id")
+    }),
+
+    // ---- BIGRAM-LM SURPRISAL quality filter: score each doc by how
+    // predictable its word sequence is under the corpus's own bigram
+    // model — the cheap LM-likelihood proxy (a KenLM stand-in) that
+    // catches boilerplate-free gibberish lexical filters (q26) miss.
+    // Per bigram (w1,w2): the quantized conditional frequency
+    // floor(cnt(w1 w2)*SurpScale / cnt(w1 ·)) — integer floor-division,
+    // both counts from the SAME bigram table so the denominator is
+    // "w1 followed by anything". familiarity = floor(mean) per doc;
+    // flagged = familiarity below SurpScale/5 (mean conditional
+    // frequency under 20%). All-integer — no logs, so the oracle
+    // replays exactly; a production scorer would sum quantized
+    // log-probs instead, same plan shape. At 100 TB: two map-combined
+    // count aggs, two linear shuffle joins keyed on short word/bigram
+    // strings (dictionary-encode the vocab to ints to shrink further),
+    // one map-combined per-doc sum; cnt*SurpScale stays in-bounds up
+    // to ~1e14-occurrence bigrams. Single-word docs have no bigram and
+    // are out of scope (they fall to the length filters).
+    "q134_bigram_surprisal" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+            "slice(tk, 2, greatest(size(tk) - 1, 0)), " +
+            "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bg))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.bg"))
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+      bg.join(c2, "bg").join(c1, "w1")
+        .select(col("doc_id"),
+          expr(s"(cnt2 * ${SurpScale}L) div cnt1").as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("ss"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("ss div n_bigrams").as("familiarity"),
+          (expr("ss div n_bigrams") < SurpScale / 5).as("flagged"))
     })
   )
+
+  // q134 quantization scale, pinned for the oracle
+  private val SurpScale = 10000L
 
   private lazy val simhashSql: String = {
     val bitSums = (0 until 32).map { j =>
@@ -558,6 +599,26 @@ object TextQueries {
         |minsh AS (SELECT doc_id, min(md5(sh)) AS min_shingle_fp
         |  FROM sh GROUP BY doc_id)
         |SELECT d.doc_id, md5(d.text) AS exact_fp, m.min_shingle_fp
-        |FROM documents d JOIN minsh m ON d.doc_id = m.doc_id""".stripMargin
+        |FROM documents d JOIN minsh m ON d.doc_id = m.doc_id""".stripMargin,
+
+    "q134_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |bg AS (SELECT doc_id, tk[i] AS w1,
+        |    tk[i] || ' ' || tk[i + 1] AS bg
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt2
+        |  FROM bg GROUP BY bg),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt1
+        |  FROM bg GROUP BY w1),
+        |sc AS (SELECT b.doc_id, (c2.cnt2 * $SurpScale) // c1.cnt1 AS s
+        |  FROM bg b JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT)
+        |    AS familiarity,
+        |  (CAST(sum(s) AS BIGINT) // count(*)) < ${SurpScale / 5}
+        |    AS flagged
+        |FROM sc GROUP BY doc_id""".stripMargin
   )
 }

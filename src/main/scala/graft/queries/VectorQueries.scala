@@ -539,8 +539,58 @@ object VectorQueries {
         .groupBy(col("vec_b"), col("cid"))
         .agg(min(col("vec_a")).as("dup_of"))
         .select(col("vec_b").as("vec_id"), col("cid"), col("dup_of"))
+    }),
+
+    // ---- SIGNED-RANDOM-PROJECTION ANN — the hash-index leg of the
+    // family (IVF q35/q114 routes by trained centroids, SQ q125 / PQ
+    // q120 compress coordinates; SRP needs NO training pass): 32
+    // md5-derived ±1 hyperplanes over the KmScale-quantized embedding
+    // give a 32-bit sign signature, search = hamming64 (codegen'd
+    // Catalyst expression, same as q34's simhash kNN) to the vec_id=0
+    // query, top-10 by (dist, vec_id). All-integer dots — no libm, so
+    // the oracle replays bit-for-bit. At 100 TB: the plane matrix is a
+    // broadcast one-row frame, signatures are one map-side pass (2048
+    // mult-adds/row, computed once at index-build in production), and
+    // ranking shuffles only (vec_id, 8-byte signature) — the same
+    // fetch-nothing shape that makes simhash kNN scale.
+    "q132_srp_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val planes = s.range(1).select(expr(srpPlanesExpr).as("pl"))
+      val sigs = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+            .as("qv"),
+          col("pl"))
+        .select(col("vec_id"), expr(srpSigExpr).as("sig"))
+      val q = sigs.filter(col("vec_id") === 0)
+        .select(col("sig").as("qsig"))
+      sigs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr("hamming64(sig, qsig)").as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
     })
   )
+
+  // ---- SRP constants (q132): 32 planes over 64 dims, sign from one
+  // md5 hex digit of the flat plane index — deterministic, mirrored in
+  // the oracle
+  private val SrpBits = 32
+  private val SrpDims = 64
+
+  private def srpPlanesExpr: String =
+    s"transform(sequence(0, ${SrpBits * SrpDims - 1}), p -> " +
+      "CASE WHEN CAST(conv(substr(md5(CAST(CAST(p AS STRING) AS BINARY))" +
+      ", 1, 1), 16, 10) AS BIGINT) % 2 = 0 THEN 1L ELSE -1L END)"
+
+  private def srpSigExpr: String =
+    (0 until SrpBits).map { j =>
+      val dot = s"aggregate(sequence(0, ${SrpDims - 1}), 0L, (a, i) -> " +
+        s"a + element_at(qv, i + 1) * element_at(pl, ${j * SrpDims + 1} + i))"
+      s"(CASE WHEN $dot >= 0L THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
 
   // ---- product-quantization constants (q120), pinned for the oracle
   private val PqM = 8
@@ -943,6 +993,35 @@ object VectorQueries {
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE (${dotSql("a.embedding", "b.embedding")}
         |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
-        |       * sqrt(${dotSql("b.embedding", "b.embedding")}))) >= CAST(0.2 AS DOUBLE)""".stripMargin
+        |       * sqrt(${dotSql("b.embedding", "b.embedding")}))) >= CAST(0.2 AS DOUBLE)""".stripMargin,
+
+    "q132_srp_ann" -> srpSql
   )
+
+  /** q132 oracle: replay the plane derivation, integer signature, and
+    * hamming ranking (bit_count(xor), the q34 idiom).
+    */
+  private def srpSql: String = {
+    def dotj(j: Int): String =
+      s"list_reduce(list_transform(generate_series(1, $SrpDims), " +
+        s"i -> qv[i] * pl[${j * SrpDims} + i]), (a, v) -> a + v)"
+    val sig = (0 until SrpBits)
+      .map(j => s"(CASE WHEN ${dotj(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH pl AS (SELECT list(
+      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END
+      |    ORDER BY p) AS pl
+      |  FROM generate_series(0, ${SrpBits * SrpDims - 1}) g(p)),
+      |q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+      |    AS qv
+      |  FROM embeddings),
+      |sigs AS (SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM q, pl),
+      |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+      |SELECT s.vec_id, CAST(bit_count(xor(s.sig, q.qsig)) AS INT)
+      |  AS dist
+      |FROM sigs s, qs q WHERE s.vec_id <> 0
+      |ORDER BY dist ASC, s.vec_id ASC LIMIT 10""".stripMargin
+  }
 }

@@ -78,4 +78,50 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("working_days") > 23).count() == 0)
     assert(df.count() == 12)
   }
+
+  test("q131 dsir: every doc scored, keep tracks the score sign, and " +
+    "the en slice scores more target-like than the rest") {
+    val out = SparkEntry.queries("q131_dsir_resample")(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("keep") =!= (col("score") > 0)).count() == 0)
+    // sum_docs sum_b c_b*(t_b*R - r_b*T) = sum_b r_b*t_b*R - r_b*r_b*T
+    // need not vanish, but the en-slice score sum must exceed the
+    // non-en sum (the target is by construction more target-like)
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val bySide = out.join(docs, "doc_id")
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(sum(col("score").cast("double") / col("n_toks")).as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySide(true) > bySide(false))
+  }
+
+  test("q132 srp ann: 10 hits, hamming within 32 bits, sorted") {
+    val rows = SparkEntry.queries("q132_srp_ann")(spark, sf).collect()
+    assert(rows.length == 10)
+    val dists = rows.map(_.getInt(1))
+    assert(dists.forall(d => d >= 0 && d <= 32))
+    assert(dists.sameElements(dists.sorted))
+  }
+
+  test("q133 fertility: one row per lang, fertility >= 1 (a word never " +
+    "encodes to zero tokens)") {
+    val rows = SparkEntry.queries("q133_tokenizer_fertility")(spark, sf)
+      .collect()
+    assert(rows.length ==
+      Tables.documents(spark, sf).select("lang").distinct().count())
+    rows.foreach(r => assert(r.getDouble(3) >= 1.0))
+  }
+
+  test("q134 surprisal: familiarity within the quantization scale and " +
+    "flag tracks the threshold") {
+    val out = SparkEntry.queries("q134_bigram_surprisal")(spark, sf)
+    assert(out.filter(col("familiarity") < 0
+      || col("familiarity") > 10000).count() == 0)
+    assert(out.filter(col("flagged") =!=
+      (col("familiarity") < 2000)).count() == 0)
+    // a doc whose bigrams are all unique hapaxes scores the scale
+    // exactly when each w1 also appears once: familiarity <= 10000
+    // guaranteed by cnt2 <= cnt1 per construction — spot-check extremes
+    assert(out.count() > 0)
+  }
 }
