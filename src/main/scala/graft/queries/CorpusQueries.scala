@@ -36,6 +36,37 @@ object CorpusQueries {
         .select(col("doc_id"), col("score"),
           (col("score") >= 0).as("keep"))
     }),
+
+    // ---- DISTRIBUTION-DRIFT audit: does today's batch (doc_id%10 >= 8
+    // stands in for the incoming drop) still look like the reference
+    // corpus? Token mass per 64-bucket hashed feature, reference vs
+    // current, drift per bucket decided by the cross-multiplied
+    // total-variation test |100·cur_b·R − 100·ref_b·C| > R·C (bucket
+    // share moved by more than 1 percentage point) — all-integer in
+    // DECIMAL(18,0) products (q131's determinism discipline; a
+    // chi-square would need the same cross-multiplication anyway and
+    // adds nothing at fixed threshold). The ·100 rides INSIDE the
+    // counts (long ·100 is safe below 9e16 tokens per side) so no
+    // product ever needs more than 18+18 digits. The pipeline gate: a
+    // drifted batch pauses ingestion before it poisons the mixture.
+    // One map-combined pass to 64 rows; the verdict aggregate is free
+    // at any corpus size.
+    "q137_drift_audit" -> ((s, d) => {
+      val tb = Tables.documents(s, d)
+        .select((col("doc_id") % 10 >= 8).as("is_cur"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", SamplingQueries.hashBucket("tok", 1, 64))
+      val agg = tb.groupBy(col("b"))
+        .agg(sum(when(col("is_cur"), 0L).otherwise(1L)).as("ref_b"),
+          sum(when(col("is_cur"), 1L).otherwise(0L)).as("cur_b"))
+      val tot = agg.agg(sum(col("ref_b")).as("rr"), sum(col("cur_b")).as("cc"))
+      def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+      agg.crossJoin(broadcast(tot))
+        .select(col("b"), col("ref_b"), col("cur_b"),
+          (abs(d18(col("cur_b") * 100) * d18(col("rr"))
+            - d18(col("ref_b") * 100) * d18(col("cc")))
+            > d18(col("rr")) * d18(col("cc"))).as("drifted"))
+    }),
     // ---- benchmark decontamination: which "train" docs (doc_id%10 != 0)
     // share an 8-gram with a "test" doc (doc_id%10 == 0)? The classic
     // n-gram-overlap contamination check, as a shingle equi-join —
@@ -520,6 +551,28 @@ object CorpusQueries {
        |GROUP BY lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q137_drift_audit" ->
+      s"""WITH t AS (SELECT (doc_id % 10 >= 8) AS is_cur,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tb AS (SELECT is_cur,
+        |    ${SamplingQueries.hashBucketSql("tok", 1, 64)} AS b FROM t),
+        |agg AS (SELECT b,
+        |    CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS ref_b,
+        |    CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cur_b
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(sum(ref_b) AS BIGINT) AS rr,
+        |    CAST(sum(cur_b) AS BIGINT) AS cc FROM agg)
+        |SELECT b, ref_b, cur_b,
+        |  abs(CAST(cur_b * 100 AS DECIMAL(18,0))
+        |      * CAST(rr AS DECIMAL(18,0))
+        |    - CAST(ref_b * 100 AS DECIMAL(18,0))
+        |      * CAST(cc AS DECIMAL(18,0)))
+        |    > CAST(rr AS DECIMAL(18,0)) * CAST(cc AS DECIMAL(18,0))
+        |    AS drifted
+        |FROM agg, tot""".stripMargin,
+
     "q124_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),

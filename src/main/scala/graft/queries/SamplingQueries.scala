@@ -381,6 +381,33 @@ object SamplingQueries {
           sum(col("w")).cast("decimal(38,0)").as("score"))
         .select(col("doc_id"), col("n_toks"), col("score"),
           (col("score") > 0).as("keep"))
+    }),
+
+    // ---- TEMPERATURE-SCALED mixture weights (the multilingual /
+    // multi-domain sampling-temperature recipe, τ = 2): raw share
+    // p_i = tokens_i / total, temperature weight p_i^(1/τ) = sqrt(p_i),
+    // boost = weight / share — how much a source is over-sampled
+    // relative to its natural share (scarce sources up, dominant ones
+    // down). Complements q61's hard budget cap with the smooth
+    // re-weighting an actual pretraining mixture uses. Every double
+    // op is exactly rounded (one division, one sqrt, one division) on
+    // inputs that are exact longs, so the oracle replays bit-for-bit
+    // — τ=2 is pinned BECAUSE sqrt is the one power the IEEE standard
+    // makes deterministic; arbitrary τ would drag in pow()'s libm
+    // variance. One map-combined aggregate to n_sources rows.
+    "q136_temperature_mix" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).as("toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("toks")).as("src_tokens"))
+      val tot = src.agg(sum(col("src_tokens")).as("total"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tokens"),
+          (col("src_tokens").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .select(col("source"), col("src_tokens"), col("share"),
+          sqrt(col("share")).as("temp_weight"),
+          (sqrt(col("share")) / col("share")).as("boost"))
     })
   )
 
@@ -603,6 +630,21 @@ object SamplingQueries {
         |  CAST(sum(w) AS DECIMAL(38,0)) AS score,
         |  sum(w) > 0 AS keep
         |FROM tb JOIN w USING (b)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    "q136_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS src_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM s),
+        |sh AS (SELECT source, src_tokens,
+        |    CAST(src_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |  FROM s, t)
+        |SELECT source, src_tokens, share,
+        |  sqrt(share) AS temp_weight,
+        |  sqrt(share) / share AS boost
+        |FROM sh""".stripMargin
   )
 }

@@ -555,13 +555,20 @@ object VectorQueries {
     // fetch-nothing shape that makes simhash kNN scale.
     "q132_srp_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // planes sliced ONCE into one 64-long array per bit in the
+      // broadcast one-row frame — the per-row work is then 32 doti
+      // calls (tight long loops, no per-step lambda allocation; the
+      // 10x smoke times this within noise of the nested-aggregate
+      // form because the quantization transform keeps the stage off
+      // whole-stage codegen either way, but doti is the house idiom
+      // and goes codegen the moment the projection does)
       val planes = s.range(1).select(expr(srpPlanesExpr).as("pl"))
+        .select((0 until SrpBits).map(j =>
+          expr(s"slice(pl, ${j * SrpDims + 1}, $SrpDims)").as(s"pl$j")): _*)
       val sigs = e.crossJoin(broadcast(planes))
-        .select(col("vec_id"),
+        .withColumn("qv",
           expr("transform(embedding, x -> " +
-            s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-            .as("qv"),
-          col("pl"))
+            s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))"))
         .select(col("vec_id"), expr(srpSigExpr).as("sig"))
       val q = sigs.filter(col("vec_id") === 0)
         .select(col("sig").as("qsig"))
@@ -571,8 +578,43 @@ object VectorQueries {
           expr("hamming64(sig, qsig)").as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // ---- HYBRID RETRIEVAL via reciprocal-rank fusion: the step that
+    // joins the two retrieval legs this suite already ranks — q129's
+    // lexical BM25 top-10 and q28's embedding cosine top-10 (doc_id
+    // and vec_id share the id space) — into one list,
+    // rrf = Σ floor(RrfScale/(RrfK + rank)), the integer-exact form of
+    // the standard 1/(k+rank) fusion (k=60, Cormack et al.). Ranks
+    // come from row_number over each TOP-10 frame (10 rows — the
+    // single-partition window is post-limit, the q63 exempt class),
+    // fused by a full outer join of two 10-row frames. The heavy
+    // lifting (corpus scans, scoring, top-k) is entirely inside the
+    // two legs, which keep their own 100 TB scale shapes; fusion
+    // itself touches ≤ 20 rows no matter the corpus.
+    "q135_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.queries.TextQueries.queries("q129_bm25_topk")(s, d)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .as("r_lex"))
+      val vec = queries("q28_cosine_topk")(s, d)
+        .select(col("vec_id").as("doc_id"), row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc))
+          .as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr(s"$RrfScale div ($RrfK + r_lex)"), lit(0L))
+            + coalesce(expr(s"$RrfScale div ($RrfK + r_vec)"), lit(0L)))
+            .as("rrf"),
+          col("r_lex").isNotNull.as("in_lex"),
+          col("r_vec").isNotNull.as("in_vec"))
     })
   )
+
+  // ---- RRF fusion constants (q135), pinned for the oracle
+  private val RrfK = 60L
+  private val RrfScale = 1000000L
 
   // ---- SRP constants (q132): 32 planes over 64 dims, sign from one
   // md5 hex digit of the flat plane index — deterministic, mirrored in
@@ -587,9 +629,7 @@ object VectorQueries {
 
   private def srpSigExpr: String =
     (0 until SrpBits).map { j =>
-      val dot = s"aggregate(sequence(0, ${SrpDims - 1}), 0L, (a, i) -> " +
-        s"a + element_at(qv, i + 1) * element_at(pl, ${j * SrpDims + 1} + i))"
-      s"(CASE WHEN $dot >= 0L THEN ${1L << j}L ELSE 0L END)"
+      s"(CASE WHEN doti(qv, pl$j) >= 0L THEN ${1L << j}L ELSE 0L END)"
     }.mkString("(", " + ", ")")
 
   // ---- product-quantization constants (q120), pinned for the oracle
@@ -695,16 +735,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q120_pq_recall" -> pqOracle,
-    "q28_cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label,
-        |  ${dotSql("e.embedding", "q.qe")}
-        |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
-        |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
-        |FROM embeddings e, q
-        |WHERE e.vec_id <> 0
-        |ORDER BY cosine DESC, e.vec_id ASC
-        |LIMIT 10""".stripMargin,
+    "q28_cosine_topk" -> oracle28,
 
     "q29_ann_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding,
@@ -995,8 +1026,37 @@ object VectorQueries {
         |    / (sqrt(${dotSql("a.embedding", "a.embedding")})
         |       * sqrt(${dotSql("b.embedding", "b.embedding")}))) >= CAST(0.2 AS DOUBLE)""".stripMargin,
 
-    "q132_srp_ann" -> srpSql
+    "q132_srp_ann" -> srpSql,
+
+    "q135_hybrid_rrf" ->
+      s"""WITH bm AS (${graft.queries.TextQueries.oracle("q129_bm25_topk")}),
+        |vs AS (${oracle28}),
+        |br AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |      AS BIGINT) AS r_lex FROM bm),
+        |vr AS (SELECT vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+        |      AS BIGINT) AS r_vec FROM vs)
+        |SELECT coalesce(br.doc_id, vr.doc_id) AS doc_id,
+        |  CAST(coalesce($RrfScale // ($RrfK + br.r_lex), 0)
+        |    + coalesce($RrfScale // ($RrfK + vr.r_vec), 0) AS BIGINT)
+        |    AS rrf,
+        |  br.r_lex IS NOT NULL AS in_lex,
+        |  vr.r_vec IS NOT NULL AS in_vec
+        |FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id""".stripMargin
   )
+
+  /** q28's oracle, shared verbatim by the q135 fusion CTE. */
+  private def oracle28: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      |  ${dotSql("e.embedding", "q.qe")}
+      |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+      |       * sqrt(${dotSql("q.qe", "q.qe")})) AS cosine
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cosine DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
 
   /** q132 oracle: replay the plane derivation, integer signature, and
     * hamming ranking (bit_count(xor), the q34 idiom).
