@@ -44,7 +44,7 @@ object SamplingQueries {
     * fragment is built by string interpolation, and a derived Column's
     * toString is not valid SQL — a name keeps the contract honest.
     */
-  private[queries] def hashBucket(id: String, off: Int, mod: Int): Column =
+  private[graft] def hashBucket(id: String, off: Int, mod: Int): Column =
     expr(s"CAST(conv(substr(md5(CAST(CAST($id AS STRING) AS BINARY)), " +
       s"$off, 8), 16, 10) AS BIGINT) % $mod")
 
