@@ -401,6 +401,82 @@ object CorpusQueries {
             / col("n_words").cast("double")).as("fertility"))
     }),
 
+    // ---- duplicated-span SCRUB (document rewrite): the C4/RefinedWeb
+    // "remove any span that occurs verbatim elsewhere in the corpus"
+    // step, at non-overlapping 8-word-block granularity. Every other
+    // dedup in the suite flags or selects documents; this one REWRITES
+    // them — blocks shared by >= 2 distinct docs are cut and the text
+    // reassembled in order (cf. Task_4-style cleaning in the reference,
+    // clean_load_3_ld_staging.py:54-63, lifted from row grain to span
+    // grain). Scale shape: the block inventory shuffles only (16-byte
+    // digest, doc_id, int block_id) — never block text; the removal
+    // list folds to doc grain (id + int array) before it rejoins the
+    // bodies, so bodies cross at most one exchange (AQE broadcasts the
+    // removal side when it is small, the common case). The rewrite
+    // itself is map-side array surgery on the scanned row: blocks are
+    // recomputed in-row with transform/slice and cut with an indexed
+    // lambda filter, so cleaned text never materializes pre-shuffle.
+    // Output carries md5 + length of the cleaned text, not the text —
+    // the oracle checks content without hauling bodies.
+    "q139_dup_span_scrub" -> ((s, d) => {
+      val B = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("blocks", expr(
+          s"transform(sequence(0, (size(words)-1) div $B)," +
+            s" i -> array_join(slice(words, i*$B + 1, $B), ' '))"))
+      val bl = docs
+        .select(col("doc_id"),
+          posexplode(col("blocks")).as(Seq("block_id", "btext")))
+        .select(col("doc_id"), col("block_id"),
+          md5(col("btext").cast("binary")).as("h"))
+      val dup = bl.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val removed = bl.join(dup, "h")
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("block_id")).as("rm"),
+          count(lit(1)).as("n_removed"))
+      docs.join(removed, Seq("doc_id"), "left")
+        .withColumn("clean", expr(
+          "array_join(filter(blocks, (x, i) -> " +
+            "rm IS NULL OR NOT array_contains(rm, i)), ' ')"))
+        .select(col("doc_id"),
+          size(col("blocks")).cast("bigint").as("n_blocks"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          md5(col("clean").cast("binary")).as("clean_md5"),
+          length(col("clean")).cast("bigint").as("clean_chars"))
+    }),
+
+    // ---- per-source BOILERPLATE detection: blocks recurring across a
+    // source's documents (nav bars, footers, license banners — the
+    // within-source complement of q139's corpus-wide scrub and q104's
+    // overlapping-span report). Group keys are (source, digest); the
+    // example text survives as a map-side-combined min so the shuffle
+    // carries one sample per (partition, key). The per-source doc
+    // count is a tiny broadcast; the >= 5%-of-docs decision is integer
+    // cross-multiplication (house determinism rule — no doubles).
+    "q140_boilerplate_blocks" -> ((s, d) => {
+      val B = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("words"))
+        .withColumn("btext", explode(expr(
+          s"transform(sequence(0, (size(words)-1) div $B)," +
+            s" i -> array_join(slice(words, i*$B + 1, $B), ' '))")))
+      val srcSz = docs.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_src_docs"))
+      docs
+        .groupBy(col("source"), md5(col("btext").cast("binary")).as("h"))
+        .agg(min(col("btext")).as("span"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .join(broadcast(srcSz), "source")
+        .filter(col("n_docs") >= 2 &&
+          col("n_docs") * 20 >= col("n_src_docs"))
+        .select(col("source"), col("span"), col("n_docs"),
+          col("n_src_docs"))
+    }),
+
     // ---- reserved-token scrub: count + redact configured tokens
     // (PII-scrub plumbing — the regex is a stand-in; the corpus has no
     // real PII). Spark regexp_replace replaces all matches; DuckDB needs
@@ -750,6 +826,49 @@ object CorpusQueries {
     "q115_bpe_merges" -> bpeSql,
     "q119_bpe_encode" -> bpeEncodeSql,
     "q133_tokenizer_fertility" -> fertilitySql,
+
+    "q139_dup_span_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |    FROM documents),
+        |b AS (SELECT doc_id, i AS block_id,
+        |    array_to_string(words[(i*8+1):(i*8+8)], ' ') AS btext
+        |  FROM (SELECT doc_id, words,
+        |      unnest(generate_series(0, (len(words)-1)//8)) AS i
+        |    FROM w)),
+        |h AS (SELECT doc_id, block_id, btext, md5(btext) AS h FROM b),
+        |dup AS (SELECT h FROM
+        |    (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h)
+        |  WHERE nd >= 2),
+        |k AS (SELECT x.doc_id, x.block_id, x.btext,
+        |    (d.h IS NOT NULL) AS rm
+        |  FROM h x LEFT JOIN dup d USING (h)),
+        |agg AS (SELECT doc_id,
+        |    count(*) AS n_blocks,
+        |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    coalesce(string_agg(btext, ' ' ORDER BY block_id)
+        |      FILTER (WHERE NOT rm), '') AS clean
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_blocks, n_removed, md5(clean) AS clean_md5,
+        |  CAST(len(clean) AS BIGINT) AS clean_chars
+        |FROM agg""".stripMargin,
+
+    "q140_boilerplate_blocks" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, source,
+        |    array_to_string(words[(i*8+1):(i*8+8)], ' ') AS btext
+        |  FROM (SELECT doc_id, source, words,
+        |      unnest(generate_series(0, (len(words)-1)//8)) AS i
+        |    FROM w)),
+        |sz AS (SELECT source, count(DISTINCT doc_id) AS n_src_docs
+        |  FROM documents GROUP BY source),
+        |c AS (SELECT source, md5(btext) AS h, min(btext) AS span,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM b GROUP BY source, md5(btext))
+        |SELECT c.source, span, n_docs, n_src_docs
+        |FROM c JOIN sz ON c.source = sz.source
+        |WHERE n_docs >= 2 AND n_docs * 20 >= n_src_docs""".stripMargin,
 
     "q56_scrub" ->
       """SELECT doc_id,

@@ -175,4 +175,36 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     // guaranteed by cnt2 <= cnt1 per construction — spot-check extremes
     assert(out.count() > 0)
   }
+
+  test("q139 scrub: every doc survives, untouched docs keep their " +
+    "exact text, and removal never exceeds the block count") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("q139_dup_span_scrub")(spark, sf)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_removed") > col("n_blocks")).count() == 0)
+    // n_removed == 0 ⟹ the rewrite is the identity: clean text hashes
+    // to the original body and keeps its length
+    val untouched = out.filter(col("n_removed") === 0)
+      .join(docs, "doc_id")
+    assert(untouched.count() > 0)
+    assert(untouched.filter(
+      col("clean_md5") =!= md5(col("text").cast("binary")) ||
+        col("clean_chars") =!= length(col("text"))).count() == 0)
+    // scrubbed docs got strictly shorter
+    assert(out.filter(col("n_removed") > 0).join(docs, "doc_id")
+      .filter(col("clean_chars") >= length(col("text"))).count() == 0)
+  }
+
+  test("q140 boilerplate: thresholds hold and spans are real block " +
+    "text from the flagged source") {
+    val out = SparkEntry.queries("q140_boilerplate_blocks")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, nSrc) = (r.getLong(2), r.getLong(3))
+      assert(nDocs >= 2 && nDocs <= nSrc && nDocs * 20 >= nSrc)
+      // blocks are at most 8 words
+      assert(r.getString(1).split(" ").length <= 8)
+    }
+  }
 }
