@@ -401,6 +401,76 @@ object CorpusQueries {
             / col("n_words").cast("double")).as("fertility"))
     }),
 
+    // ---- domain PAGERANK (crawl-prioritization / source-authority
+    // weighting): 3-round power iteration over the q105 source-overlap
+    // graph (edge weight = shared distinct 8-grams), the link-analysis
+    // signal a crawl scheduler or mixture designer weighs sources by.
+    // The suite's one other graph operator (q62) is connectivity; this
+    // is iterative value propagation. Fixed-point INTEGER arithmetic
+    // throughout — rank scale 1e6, damping 85/100, truncating long
+    // division (both engines truncate on non-negative operands) — so
+    // 3 unrolled rounds replay bit-for-bit in DuckDB with no libm.
+    // Scale shape: each round is one edge⋈rank equi-join + one
+    // map-combinable per-node sum — rank state stays at node grain
+    // (domains: millions of rows at 100 TB, never broadcast), edges at
+    // pair grain; rounds are fixed (3), so the whole thing is one lazy
+    // 3-stage plan, no driver iteration or collect. r·w products peak
+    // at SCALE·Σw ≈ 1e6·1e9 at 100 TB — inside long range; DECIMAL(38,0)
+    // is the documented headroom past that.
+    "q141_domain_pagerank" -> ((s, d) => {
+      val gs = Text.wordShingles(Tables.documents(s, d), "source",
+          "text", 8, dedup = false)
+        .select(col("source"), md5(col("sh").cast("binary")).as("h"))
+        .distinct()
+      val a = gs.select(col("source").as("src_a"), col("h"))
+      val b = gs.select(col("source").as("src_b"), col("h").as("h_b"))
+      val half = a.join(b, col("h") === col("h_b")
+          && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("w"))
+      val edges = half.select(col("src_a").as("u"), col("src_b").as("v"),
+          col("w"))
+        .unionByName(half.select(col("src_b").as("u"),
+          col("src_a").as("v"), col("w")))
+      val strength = edges.groupBy(col("u")).agg(sum(col("w")).as("st"))
+      val e = edges.join(strength, "u")
+      val nodes = Tables.documents(s, d).select(col("source")).distinct()
+      val r3 = (1 to 3).foldLeft(
+        nodes.select(col("source"), lit(1000000L).as("r"))) { (rank, _) =>
+        val contrib = e.join(rank, e("u") === rank("source"))
+          .select(col("v"), expr("(r * w) div st").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("cs"))
+        nodes.join(contrib, nodes("source") === contrib("v"), "left")
+          .select(nodes("source"),
+            expr("cast(150000 + (coalesce(cs, 0L) * 85) div 100" +
+              " as bigint)").as("r"))
+      }
+      r3.join(strength, r3("source") === strength("u"), "left")
+        .select(r3("source"), col("r").as("rank"),
+          coalesce(col("st"), lit(0L)).as("strength"))
+    }),
+
+    // ---- PADDING-WASTE audit (length-bucketed batching): the
+    // training-efficiency ledger behind q110's packing — if sequences
+    // batch by padded length instead of concat-and-cut, how many pad
+    // tokens does 64-token bucketing burn vs naive pad-to-global-max?
+    // bucket = next multiple of 64, per-bucket docs/tokens/padding,
+    // naive padding against the corpus max via the one-row broadcast
+    // scalar idiom. Single scan, one map-combined aggregate to
+    // n_buckets rows; all-integer (house determinism rule).
+    "q142_padding_waste" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      val mx = t.agg(max(col("n_toks")).as("mx"))
+      t.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("((n_toks + 63) div 64) * 64"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("toks"),
+          sum(col("bucket") - col("n_toks")).as("pad_bucketed"),
+          sum(col("mx") - col("n_toks")).as("pad_naive"))
+    }),
+
     // ---- duplicated-span SCRUB (document rewrite): the C4/RefinedWeb
     // "remove any span that occurs verbatim elsewhere in the corpus"
     // step, at non-overlapping 8-word-block granularity. Every other
@@ -826,6 +896,57 @@ object CorpusQueries {
     "q115_bpe_merges" -> bpeSql,
     "q119_bpe_encode" -> bpeEncodeSql,
     "q133_tokenizer_fertility" -> fertilitySql,
+
+    "q142_padding_waste" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS n_toks FROM documents),
+        |m AS (SELECT max(n_toks) AS mx FROM t),
+        |b AS (SELECT n_toks, mx,
+        |    ((n_toks + 63) // 64) * 64 AS bucket FROM t, m)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS toks,
+        |  CAST(sum(bucket - n_toks) AS BIGINT) AS pad_bucketed,
+        |  CAST(sum(mx - n_toks) AS BIGINT) AS pad_naive
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    "q141_domain_pagerank" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |    md5(concat_ws(' ', ${gram8("tk")})) AS h
+        |  FROM (SELECT source, tk,
+        |      unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS p
+        |    FROM toks)),
+        |half AS (SELECT a.source AS u, b.source AS v,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT u, v, w FROM half
+        |  UNION ALL SELECT v AS u, u AS v, w FROM half),
+        |stg AS (SELECT u, CAST(sum(w) AS BIGINT) AS st FROM edges
+        |  GROUP BY u),
+        |e AS (SELECT edges.u, v, w, st FROM edges JOIN stg USING (u)),
+        |nodes AS (SELECT DISTINCT source FROM documents),
+        |r0 AS (SELECT source, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT v, CAST(sum((r * w) // st) AS BIGINT) AS cs
+        |  FROM e JOIN r0 ON e.u = r0.source GROUP BY v),
+        |r1 AS (SELECT source,
+        |    CAST(150000 + (coalesce(cs, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c1 ON source = v),
+        |c2 AS (SELECT v, CAST(sum((r * w) // st) AS BIGINT) AS cs
+        |  FROM e JOIN r1 ON e.u = r1.source GROUP BY v),
+        |r2 AS (SELECT source,
+        |    CAST(150000 + (coalesce(cs, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c2 ON source = v),
+        |c3 AS (SELECT v, CAST(sum((r * w) // st) AS BIGINT) AS cs
+        |  FROM e JOIN r2 ON e.u = r2.source GROUP BY v),
+        |r3 AS (SELECT source,
+        |    CAST(150000 + (coalesce(cs, 0) * 85) // 100 AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c3 ON source = v)
+        |SELECT r3.source, r AS rank,
+        |  coalesce(st, 0) AS strength
+        |FROM r3 LEFT JOIN stg ON r3.source = stg.u""".stripMargin,
 
     "q139_dup_span_scrub" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

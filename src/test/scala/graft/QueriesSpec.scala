@@ -195,6 +195,41 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       .filter(col("clean_chars") >= length(col("text"))).count() == 0)
   }
 
+  test("q141 pagerank: one row per source, base rank is the floor, " +
+    "isolated nodes sit exactly on it, and mass stays bounded") {
+    val out = SparkEntry.queries("q141_domain_pagerank")(spark, sf)
+      .collect()
+    val nSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(out.length == nSources)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 150000L,
+        s"rank below damping base: ${r.getLong(1)}")
+      if (r.getLong(2) == 0L)
+        assert(r.getLong(1) == 150000L,
+          "isolated node must hold exactly the base rank")
+    }
+    // total mass can't exceed the undamped initial mass: contributions
+    // redistribute (truncating division only loses), 0.85 damps, 0.15
+    // re-injects — Σr <= N·SCALE
+    assert(out.map(_.getLong(1)).sum <= nSources * 1000000L)
+  }
+
+  test("q142 padding: buckets align to 64, the bucket ledger balances " +
+    "exactly, and every doc lands in one bucket") {
+    val out = SparkEntry.queries("q142_padding_waste")(spark, sf)
+      .collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+    out.foreach { r =>
+      val (bucket, n, toks, padB) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bucket % 64 == 0)
+      // padded slots = bucket width × docs, exactly tokens + padding
+      assert(toks + padB == bucket * n)
+    }
+  }
+
   test("q140 boilerplate: thresholds hold and spans are real block " +
     "text from the flagged source") {
     val out = SparkEntry.queries("q140_boilerplate_blocks")(spark, sf)
