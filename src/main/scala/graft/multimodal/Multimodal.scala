@@ -159,6 +159,66 @@ object Multimodal {
     })
   }
 
+  /** REAL-codec image materialization: each doc becomes a genuine 16×16
+    * binary-PPM image whose raster stride-samples the full text (byte i
+    * of the raster is text byte (i·len)/768 — deterministic, covers the
+    * whole doc, no padding region to degenerate the fingerprint).
+    * Payloads round-trip through [[Ppm.encode]]/[[Ppm.decode]], so
+    * downstream consumers exercise the real codec path, not the fake.
+    */
+  def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tb = text.getBytes("US-ASCII")
+        val raster = new Array[Byte](16 * 16 * 3)
+        var i = 0
+        while (i < raster.length) {
+          raster(i) = tb(i * tb.length / raster.length)
+          i += 1
+        }
+        Asset(id, "image/x-portable-pixmap", Ppm.encode(16, 16, raster))
+      })
+  }
+
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** 63-bit perceptual difference hash (dHash) over REAL decoded
+    * pixels: integer grayscale (299r+587g+114b)/1000, nearest-neighbor
+    * 9×8 sample, bit (y·8+x) set when gray(x,y) > gray(x+1,y); the
+    * 64th bit stays clear so the hash lives in non-negative long range
+    * (bit arithmetic replays exactly in integer SQL). The sampling
+    * grid matches [[resizePpm]]'s nearest-neighbor map, so the hash is
+    * invariant under integer-factor upscales — the property that makes
+    * dHash a near-dup signal rather than a byte checksum (asserted in
+    * MultimodalSpec). Malformed payloads drop, as in [[PpmDecoder]].
+    */
+  def dHash(spark: SparkSession, assets: Dataset[Asset])
+      : Dataset[ImageHash] = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      Ppm.decode(a.payload).map { case (w, h, px) =>
+        def gray(gx: Int, gy: Int): Long = {
+          val o = ((gy * h / 8) * w + (gx * w / 9)) * 3
+          (299L * (px(o) & 0xff) + 587L * (px(o + 1) & 0xff) +
+            114L * (px(o + 2) & 0xff)) / 1000L
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val bit = y * 8 + x
+            if (bit < 63 && gray(x, y) > gray(x + 1, y)) hash |= 1L << bit
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(a.doc_id, hash)
+      }
+    })
+  }
+
   /** Encode step: wrap a text corpus as fake media assets (payload =
     * UTF-8 bytes standing in for image bytes). */
   def toAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {

@@ -68,6 +68,46 @@ object PipelineQueries {
       EmployeePipeline.quotaAbuse(quotaDim, leaveDim, "2000-06-15")
     }),
 
+    // ---- IMAGE near-dup via perceptual dHash: the multimodal analog
+    // of the q21/q112 text near-dup family — materialize a REAL 16×16
+    // binary-PPM image per doc (Multimodal.imageAssets; raster
+    // stride-samples the text so clones produce identical images),
+    // round-trip the real codec, hash decoded pixels with the 63-bit
+    // dHash, then 8-band × 8-bit LSH over the hash: only band-colliding
+    // pairs are scored (hamming64, the codegen'd expression), top-20
+    // nearest kept under a deterministic (dist, a, b) total order.
+    // Bucket cap (≤ 100 members) bounds pair generation at clone
+    // density — the q87/q112 discipline, oracle-mirrored. Band width is
+    // the recall/volume knob: 8-bit bands suit this corpus's distance
+    // spectrum; a 100 TB image store widens to 16-bit bands exactly as
+    // SrpCand/nprobe tune the vector legs. Payload bytes never shuffle
+    // — only (doc_id, 8-byte hash) leaves the decode partition.
+    "q143_image_neardup" -> ((s, d) => {
+      val assets = Multimodal.imageAssets(s, Tables.documents(s, d))
+      val hashes = Multimodal.dHash(s, assets).toDF()
+      val bandExprs = (0 until 8).map { b =>
+        val mask = if (b == 7) 127L else 255L
+        expr(s"shiftright(dhash, ${b * 8}) & $mask")
+      }
+      val banded = hashes.select(col("doc_id"), col("dhash"),
+        posexplode(array(bandExprs: _*)).as(Seq("band", "bv")))
+      val sz = banded.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("m")).filter(col("m") <= 100)
+        .select(col("band"), col("bv"))
+      val ok = banded.join(sz, Seq("band", "bv"))
+      val a = ok.select(col("band"), col("bv"), col("doc_id").as("a"),
+        col("dhash").as("ha"))
+      val b = ok.select(col("band"), col("bv"), col("doc_id").as("b"),
+        col("dhash").as("hb"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("hamming64(ha, hb)").as("dist"))
+        .distinct()
+        .orderBy(col("dist").asc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // ---- batch strike accounting: flagged events per user + INACTIVE
     // threshold (streaming StrikeMonitor's batch twin)
     "q33_strike_batch" -> ((s, d) => {
@@ -82,7 +122,50 @@ object PipelineQueries {
     })
   )
 
+  /** q143 oracle: replay of image materialization + dHash as integer
+    * SQL. Raster byte i = text byte (i·L)/768 (imageAssets' stride
+    * map); the 9×8 grid samples pixel (x·16/9, 2y) of the 16×16 image,
+    * gray = (299r+587g+114b)//1000, bit y·8+x set on a rightward gray
+    * drop — constants generated here so Spark (real codec round-trip)
+    * and DuckDB (pure arithmetic) must agree byte-for-byte.
+    */
+  private def dhashSql: String = {
+    val sxs = (0 to 8).map(x => x * 16 / 9)
+    def b(idx: Int) = s"ord(substr(text, (($idx*L)//768) + 1, 1))"
+    val gcols = for { y <- 0 to 7; x <- 0 to 8 } yield {
+      val o = ((2 * y) * 16 + sxs(x)) * 3
+      s"(299*${b(o)} + 587*${b(o + 1)} + 114*${b(o + 2)})//1000" +
+        s" AS g_${x}_$y"
+    }
+    val bits = for { y <- 0 to 7; x <- 0 to 7; if y * 8 + x < 63 } yield
+      s"CASE WHEN g_${x}_$y > g_${x + 1}_$y THEN ${1L << (y * 8 + x)}" +
+        " ELSE 0 END"
+    val bands = (0 until 8).map { bd =>
+      val mask = if (bd == 7) 127L else 255L
+      s"SELECT doc_id, dhash, $bd AS band," +
+        s" (dhash >> ${bd * 8}) & $mask AS bv FROM h"
+    }
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS L
+       |    FROM documents),
+       |g AS (SELECT doc_id, ${gcols.mkString(",\n    ")} FROM t),
+       |h AS (SELECT doc_id, CAST(${bits.mkString("\n    + ")}
+       |    AS BIGINT) AS dhash FROM g),
+       |bands AS (${bands.mkString("\n  UNION ALL ")}),
+       |sz AS (SELECT band, bv FROM
+       |    (SELECT band, bv, count(*) AS m FROM bands GROUP BY 1, 2)
+       |  WHERE m <= 100),
+       |ok AS (SELECT b.* FROM bands b JOIN sz USING (band, bv)),
+       |p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
+       |  FROM ok a JOIN ok b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT a, b, dist FROM p
+       |ORDER BY dist ASC, a ASC, b ASC LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q143_image_neardup" -> dhashSql,
+
     "q31_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -118,6 +118,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(new String(passed.payload) == "hello")
   }
 
+  test("dHash: clones collide, edits diverge, and the hash is " +
+    "invariant under a real 2x nearest-neighbor upscale") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 6),
+      (2L, "the quick brown fox jumps over the lazy dog " * 6), // clone
+      (3L, "a completely different document about spark engines " * 5))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.imageAssets(spark, docs)
+    // payloads are REAL P6 images the codec accepts
+    assets.collect().foreach { a =>
+      val dec = Multimodal.Ppm.decode(a.payload)
+      assert(dec.exists { case (w, h, px) =>
+        w == 16 && h == 16 && px.length == 768 })
+    }
+    val hs = Multimodal.dHash(spark, assets)
+      .collect().map(i => i.doc_id -> i.dhash).toMap
+    assert(hs(1L) == hs(2L), "identical docs must hash identically")
+    assert(hs(1L) != hs(3L), "different docs must diverge")
+    assert(hs.values.forall(_ >= 0L), "63-bit hash stays non-negative")
+    // perceptual property: upscaling the image 2x leaves the hash
+    // unchanged (floor(floor(2a)/2) == floor(a) through both samplers)
+    val up = Multimodal.resizePpm(spark, assets, 32, 32)
+    val hsUp = Multimodal.dHash(spark, up)
+      .collect().map(i => i.doc_id -> i.dhash).toMap
+    assert(hsUp == hs, "dHash must survive a 2x nearest-neighbor upscale")
+  }
+
   test("decoder is pluggable (stub swap point)") {
     import spark.implicits._
     val custom = new Multimodal.Decoder {
