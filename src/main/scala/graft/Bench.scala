@@ -101,8 +101,17 @@ object Bench {
         spark.sparkContext.setJobGroup(
           if (rep == 1) name else s"rep$rep:$name", name)
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
+        // evaluate via a noop sink, not count(): under count() Catalyst
+        // legitimately prunes every unreferenced column and ELIMINATES
+        // row-preserving joins (q139's scrub — a left join against a
+        // unique-keyed aggregate — benched as a bare scan, 59 bytes of
+        // shuffle at 10x clone density). The noop write materializes
+        // every output column, so a query's number is the cost of the
+        // result it actually claims to produce.
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
                    System.err.println(s"[bench] $name failed: ${e.getMessage}")
                    false
                  }
