@@ -173,4 +173,63 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
+
+  /** Tiny documents-only corpus on disk, for queries keyed to an sf dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)])
+      : String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q139 scrub: full clones scrub to the empty string, a lone " +
+    "distinct doc passes through untouched") {
+    val body = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    val d = docsDir(Seq(
+      (1L, body, "en", "s0", body.length.toLong),
+      (2L, body, "en", "s0", body.length.toLong), // exact clone
+      (3L, "one two three", "en", "s0", 13L)))
+    val out = SparkEntry.queries("q139_dup_span_scrub")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    // clones: every block is shared -> fully scrubbed to ''
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    for (id <- Seq(1L, 2L)) {
+      val (nb, nr, md5c, chars) = out(id)
+      assert(nb == nr && md5c == emptyMd5 && chars == 0L,
+        s"clone $id must scrub fully: $nb/$nr/$chars")
+    }
+    // the distinct doc keeps its exact text
+    val (nb3, nr3, _, chars3) = out(3L)
+    assert(nr3 == 0L && chars3 == 13L && nb3 == 1L)
+  }
+
+  test("q141 pagerank: a single-source corpus has no edges — rank " +
+    "sits exactly on the damping base with zero strength") {
+    val d = docsDir(Seq(
+      (1L, "a b c d e f g h i j", "en", "only", 19L),
+      (2L, "k l m n o p q r s t", "en", "only", 19L)))
+    val out = SparkEntry.queries("q141_domain_pagerank")(spark, d)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 150000L && out.head.getLong(2) == 0L)
+  }
+
+  test("dHash: malformed payloads drop; a constant raster hashes to 0") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val garbage = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "image/x-portable-pixmap",
+        Array[Byte]('P', '6', ' ')),
+      Multimodal.Asset(2L, "image/x-portable-pixmap",
+        "not an image at all".getBytes("US-ASCII"))))
+    assert(Multimodal.dHash(spark, garbage).collect().isEmpty)
+    // 1-char text -> every raster byte identical -> no gray drops
+    val flat = Multimodal.imageAssets(spark,
+      Seq((7L, "x")).toDF("doc_id", "text"))
+    val hs = Multimodal.dHash(spark, flat).collect()
+    assert(hs.length == 1 && hs.head.dhash == 0L)
+  }
 }
