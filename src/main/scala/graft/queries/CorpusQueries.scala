@@ -417,6 +417,14 @@ object CorpusQueries {
     // 3-stage plan, no driver iteration or collect. r·w products peak
     // at SCALE·Σw ≈ 1e6·1e9 at 100 TB — inside long range; DECIMAL(38,0)
     // is the documented headroom past that.
+    //
+    // edges/nodes are PERSISTed (the standard Spark iterative-graph
+    // posture, and the fix SURVEY §4 prescribes for the reference's
+    // own no-cache recomputation anti-pattern): without it, each
+    // round's lineage re-inlines the whole edge build — the unpersisted
+    // plan carries 64 parquet scans of `documents` and re-runs the
+    // shingle distinct once per reference (measured 2.8 s at sf0.1 /
+    // 94 s at 100×; persisted: the corpus is scanned once).
     "q141_domain_pagerank" -> ((s, d) => {
       val gs = Text.wordShingles(Tables.documents(s, d), "source",
           "text", 8, dedup = false)
@@ -432,9 +440,11 @@ object CorpusQueries {
           col("w"))
         .unionByName(half.select(col("src_b").as("u"),
           col("src_a").as("v"), col("w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val strength = edges.groupBy(col("u")).agg(sum(col("w")).as("st"))
       val e = edges.join(strength, "u")
       val nodes = Tables.documents(s, d).select(col("source")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val r3 = (1 to 3).foldLeft(
         nodes.select(col("source"), lit(1000000L).as("r"))) { (rank, _) =>
         val contrib = e.join(rank, e("u") === rank("source"))
