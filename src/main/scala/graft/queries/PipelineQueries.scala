@@ -108,6 +108,40 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // ---- VIDEO near-dup via shared frame fingerprints: the
+    // frame-grain complement of q143's whole-image dHash — two "videos"
+    // (payload = the doc's byte stream, frames = sampleFrames' 100-byte
+    // stripes) are near-dups when they share >= 2 distinct frame
+    // fingerprints, the content-ID shape real video dedup uses
+    // (per-frame hash -> inverted index -> overlap count). Rides the
+    // REAL sampleFrames plumbing; only (doc_id, 16-byte md5) leaves the
+    // slicing partition — payload bytes never shuffle. Empty tail
+    // frames (payload length a multiple of the stripe) are excluded:
+    // an empty frame is not shared content. Bucket cap (<= 20 docs per
+    // fingerprint) bounds pair generation at clone density,
+    // oracle-mirrored (q87/q143 discipline). The cap is TIGHTER than
+    // q143's because fingerprints here have per-doc multiplicity
+    // (~frames/doc buckets per clone group): a 100-clone corpus with
+    // cap 100 measured 100M pair rows and 7.9 GB of spill — cap 20
+    // drops those buckets at generation (their members are already
+    // known dups at that density; the q122 posture).
+    "q144_frame_neardup" -> ((s, d) => {
+      val assets = Multimodal.toAssets(s, Tables.documents(s, d))
+      val fh = Multimodal.sampleFrames(s, assets, everyK = 1).toDF()
+        .filter(length(col("frame")) > 0)
+        .select(col("doc_id"), md5(col("frame")).as("h"))
+        .distinct()
+      val sz = fh.groupBy(col("h")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= 20).select(col("h"))
+      val ok = fh.join(sz, "h")
+      val a = ok.select(col("h"), col("doc_id").as("a"))
+      val b = ok.select(col("h"), col("doc_id").as("b"))
+      a.join(b, "h").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
+    }),
+
     // ---- batch strike accounting: flagged events per user + INACTIVE
     // threshold (streaming StrikeMonitor's batch twin)
     "q33_strike_batch" -> ((s, d) => {
@@ -165,6 +199,24 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q143_image_neardup" -> dhashSql,
+
+    "q144_frame_neardup" ->
+      """WITH f AS (
+        |  SELECT doc_id, substr(text, i*100 + 1, 100) AS fr
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(0, length(text)//100)) AS i
+        |    FROM documents)),
+        |fh AS (SELECT DISTINCT doc_id, md5(fr) AS h FROM f
+        |  WHERE fr <> ''),
+        |sz AS (SELECT h FROM
+        |    (SELECT h, count(*) AS m FROM fh GROUP BY h)
+        |  WHERE m <= 20),
+        |ok AS (SELECT fh.* FROM fh JOIN sz USING (h))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  count(*) AS shared_frames
+        |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     "q31_multimodal_features" ->
       """SELECT doc_id,

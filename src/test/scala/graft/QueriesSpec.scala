@@ -230,6 +230,25 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q144 frame near-dup: pairs are ordered, thresholds hold, and " +
+    "shared counts never exceed either doc's frame budget") {
+    val out = SparkEntry.queries("q144_frame_neardup")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val frames = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") / 100 + 1).cast("long")
+          .as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (a, b, sh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b && sh >= 2)
+      assert(sh <= math.min(frames(a), frames(b)),
+        s"pair ($a,$b) shares $sh frames but budgets are " +
+          s"${frames(a)}/${frames(b)}")
+    }
+  }
+
   test("q140 boilerplate: thresholds hold and spans are real block " +
     "text from the flagged source") {
     val out = SparkEntry.queries("q140_boilerplate_blocks")(spark, sf)
