@@ -56,7 +56,12 @@ object AnalyticsQueries {
 
     // ---- discrete percentiles per group: percentile_disc returns an
     // ACTUAL stored value (no interpolation), so doubles hash-match
-    // bit-for-bit cross-engine
+    // bit-for-bit cross-engine. Scale posture: exact percentile is a
+    // per-group sort buffer — at 100 TB with 3 groups that is the
+    // low-cardinality-key single-reducer class, and the production
+    // answer is the approx_percentile sketch with the q106 audit
+    // gating the switch; this entry IS the exact leg those audits
+    // compare against, kept exact on purpose.
     "q50_percentile_disc" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

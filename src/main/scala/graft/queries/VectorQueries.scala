@@ -272,6 +272,50 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- BITEXT MINING with a margin criterion (the LASER/CCMatrix
+    // shape): for every en document, its nearest zh document by
+    // embedding similarity, accepted only when the best target beats
+    // the runner-up by a 10/9 ratio margin — the filter that separates
+    // true translation pairs from hubness noise in parallel-corpus
+    // mining. All-integer ranking: KmScale-quantized embeddings,
+    // codegen'd doti scores, margin decided by cross-multiplication
+    // (accept ⟺ best > 0 AND 10·second ≤ 9·best — sign-safe when the
+    // runner-up dot is negative), ties to the smallest tgt_id. The
+    // row_number window partitions on src_id (one partition per en
+    // doc — high-cardinality, the allowed class). This entry is the
+    // exact leg (the q28 posture); at 100 TB the candidate generation
+    // swaps to the ANN legs (q35/q57/q132) with this same margin
+    // applied to their top-2.
+    "q145_bitext_margin" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val qv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
+        .join(docs, col("vec_id") === col("doc_id"))
+      val src = qv.filter(col("lang") === "en")
+        .select(col("vec_id").as("src_id"), col("qv").as("sv"))
+      val tgt = qv.filter(col("lang") === "zh")
+        .select(col("vec_id").as("tgt_id"), col("qv").as("tv"))
+      val w = Window.partitionBy(col("src_id"))
+        .orderBy(col("dot").desc, col("tgt_id").asc)
+      src.crossJoin(broadcast(tgt))
+        .select(col("src_id"), col("tgt_id"),
+          expr("doti(sv, tv)").as("dot"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("src_id"))
+        .agg(
+          max(when(col("rn") === 1, col("tgt_id"))).as("tgt_id"),
+          max(when(col("rn") === 1, col("dot"))).as("best_dot"),
+          max(when(col("rn") === 2, col("dot"))).as("second_dot"))
+        .select(col("src_id"), col("tgt_id"), col("best_dot"),
+          col("second_dot"),
+          (col("best_dot") > 0 &&
+            col("second_dot") * 10 <= col("best_dot") * 9).as("accepted"))
+    }),
+
     // ---- embedding near-duplicate pairs: 8-bit sign buckets bound the
     // candidate set; exact cosine filters inside buckets. The shuffle key
     // is a small int; vectors move once.
@@ -1050,6 +1094,34 @@ object VectorQueries {
         |  count(*) AS n_hits,
         |  count(*) / 5 AS recall
         |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
+
+    "q145_bitext_margin" -> {
+      val idot = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> sv[i] * tv[i]), (acc, v) -> acc + v)"
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |      AS qv
+        |  FROM embeddings),
+        |wl AS (SELECT vec_id, lang, qv FROM q
+        |  JOIN documents ON vec_id = doc_id),
+        |src AS (SELECT vec_id AS src_id, qv AS sv FROM wl
+        |  WHERE lang = 'en'),
+        |tgt AS (SELECT vec_id AS tgt_id, qv AS tv FROM wl
+        |  WHERE lang = 'zh'),
+        |scored AS (SELECT src_id, tgt_id, $idot AS dot FROM src, tgt),
+        |ranked AS (SELECT src_id, tgt_id, dot,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY dot DESC, tgt_id ASC) AS rn
+        |  FROM scored),
+        |tops AS (SELECT src_id,
+        |    max(CASE WHEN rn = 1 THEN tgt_id END) AS tgt_id,
+        |    max(CASE WHEN rn = 1 THEN dot END) AS best_dot,
+        |    max(CASE WHEN rn = 2 THEN dot END) AS second_dot
+        |  FROM ranked WHERE rn <= 2 GROUP BY src_id)
+        |SELECT src_id, tgt_id, best_dot, second_dot,
+        |  (best_dot > 0 AND second_dot * 10 <= best_dot * 9) AS accepted
+        |FROM tops""".stripMargin
+    },
 
     "q30_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,

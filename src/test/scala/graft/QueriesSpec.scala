@@ -249,6 +249,23 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q145 bitext: one row per en doc, targets are zh docs, best " +
+    "dominates second, and accept tracks the margin rule exactly") {
+    val out = SparkEntry.queries("q145_bitext_margin")(spark, sf)
+      .collect()
+    val langs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == langs.values.count(_ == "en"))
+    out.foreach { r =>
+      val (src, tgt, best, second, acc) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(langs(src) == "en" && langs(tgt) == "zh")
+      assert(best >= second, "rank-1 dot must dominate rank-2")
+      assert(acc == (best > 0 && second * 10 <= best * 9))
+    }
+  }
+
   test("q140 boilerplate: thresholds hold and spans are real block " +
     "text from the flagged source") {
     val out = SparkEntry.queries("q140_boilerplate_blocks")(spark, sf)
