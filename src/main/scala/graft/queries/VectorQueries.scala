@@ -272,6 +272,61 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- DEDUP-AGREEMENT matrix: which dedup family catches what?
+    // One-row meta-audit a pipeline owner reads before choosing the
+    // dedup stack — per-doc membership flags from three independent
+    // legs (P: exact 64-char-prefix duplicates, the q55 family;
+    // M: MinHash-LSH candidate-pair membership, the q21/q62 family;
+    // V: embedding sign-bucket near-dup membership, the q30 family)
+    // folded into corpus-level counts + pairwise overlaps. The legs
+    // reuse the exact pinned configs of their home queries, so this
+    // audit measures the REAL operators, not lookalikes. Scale shape:
+    // each leg is its home query's shape; the fold is three doc-grain
+    // left joins + one map-combined 1-row aggregate.
+    "q146_dedup_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p = docs.select(col("doc_id"),
+        substring(col("text"), 1, 64).as("pfx"))
+      val pdup = p.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("pfx"))
+      val pset = p.join(pdup, "pfx").select(col("doc_id")).distinct()
+        .withColumn("p", lit(1L))
+      val mp = graft.functions.Text.candidatePairs(docs, "doc_id", "text")
+      val mset = mp.select(col("doc_a").as("doc_id"))
+        .unionByName(mp.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("m", lit(1L))
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", Vectors.signBucket("embedding", 8))
+        .withColumn("nrm", Vectors.norm("embedding"))
+      val a = e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
+      val bb = e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"),
+        col("bucket").as("bucket_b"))
+      val vp = a.join(bb, col("bucket") === col("bucket_b")
+          && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (Vectors.dot("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= 0.2)
+      val vset = vp.select(col("vec_a").as("doc_id"))
+        .unionByName(vp.select(col("vec_b").as("doc_id"))).distinct()
+        .withColumn("v", lit(1L))
+      docs.select(col("doc_id"))
+        .join(pset, Seq("doc_id"), "left")
+        .join(mset, Seq("doc_id"), "left")
+        .join(vset, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("p", "m", "v"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p")).as("n_prefix"),
+          sum(col("m")).as("n_minhash"),
+          sum(col("v")).as("n_embed"),
+          sum(col("p") * col("m")).as("n_pm"),
+          sum(col("p") * col("v")).as("n_pv"),
+          sum(col("m") * col("v")).as("n_mv"),
+          sum(when(col("p") + col("m") + col("v") > 0, 1L)
+            .otherwise(0L)).as("n_any"))
+    }),
+
     // ---- BITEXT MINING with a margin criterion (the LASER/CCMatrix
     // shape): for every en document, its nearest zh document by
     // embedding similarity, accepted only when the best target beats
@@ -1094,6 +1149,47 @@ object VectorQueries {
         |  count(*) AS n_hits,
         |  count(*) / 5 AS recall
         |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
+
+    "q146_dedup_agreement" ->
+      s"""WITH mpairs AS (${TextQueries.minhashPairsSql}),
+        |mset AS (SELECT DISTINCT doc_id FROM
+        |    (SELECT doc_a AS doc_id FROM mpairs
+        |     UNION ALL SELECT doc_b FROM mpairs)),
+        |p AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents),
+        |pd AS (SELECT pfx FROM
+        |    (SELECT pfx, count(*) AS n FROM p GROUP BY pfx)
+        |  WHERE n >= 2),
+        |pset AS (SELECT DISTINCT doc_id FROM p JOIN pd USING (pfx)),
+        |e AS (SELECT vec_id, embedding,
+        |    ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+        |vpairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM e a JOIN e b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE (${dotSql("a.embedding", "b.embedding")}
+        |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+        |         * sqrt(${dotSql("b.embedding", "b.embedding")})))
+        |    >= CAST(0.2 AS DOUBLE)),
+        |vset AS (SELECT DISTINCT doc_id FROM
+        |    (SELECT va AS doc_id FROM vpairs
+        |     UNION ALL SELECT vb FROM vpairs)),
+        |fl AS (SELECT d.doc_id,
+        |    CASE WHEN ps.doc_id IS NOT NULL THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN ms.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m,
+        |    CASE WHEN vs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS v
+        |  FROM documents d
+        |  LEFT JOIN pset ps ON d.doc_id = ps.doc_id
+        |  LEFT JOIN mset ms ON d.doc_id = ms.doc_id
+        |  LEFT JOIN vset vs ON d.doc_id = vs.doc_id)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(p) AS BIGINT) AS n_prefix,
+        |  CAST(sum(m) AS BIGINT) AS n_minhash,
+        |  CAST(sum(v) AS BIGINT) AS n_embed,
+        |  CAST(sum(p * m) AS BIGINT) AS n_pm,
+        |  CAST(sum(p * v) AS BIGINT) AS n_pv,
+        |  CAST(sum(m * v) AS BIGINT) AS n_mv,
+        |  CAST(sum(CASE WHEN p + m + v > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_any
+        |FROM fl""".stripMargin,
 
     "q145_bitext_margin" -> {
       val idot = "list_reduce(list_transform(generate_series(1, 64), " +

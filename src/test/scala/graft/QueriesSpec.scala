@@ -249,6 +249,20 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q146 dedup agreement: one row, set algebra holds") {
+    val r = SparkEntry.queries("q146_dedup_agreement")(spark, sf)
+      .collect().head
+    val (nDocs, nP, nM, nV) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (nPm, nPv, nMv, nAny) =
+      (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(nPm <= math.min(nP, nM) && nPv <= math.min(nP, nV) &&
+      nMv <= math.min(nM, nV))
+    assert(nAny <= nDocs && nAny >= Seq(nP, nM, nV).max)
+    // inclusion-exclusion lower bound: |P∪M∪V| >= ΣnX − Σpairwise
+    assert(nAny >= nP + nM + nV - nPm - nPv - nMv)
+  }
+
   test("q145 bitext: one row per en doc, targets are zh docs, best " +
     "dominates second, and accept tracks the margin rule exactly") {
     val out = SparkEntry.queries("q145_bitext_margin")(spark, sf)
