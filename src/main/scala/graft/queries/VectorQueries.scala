@@ -281,10 +281,18 @@ object VectorQueries {
     // folded into corpus-level counts + pairwise overlaps. The legs
     // reuse the exact pinned configs of their home queries, so this
     // audit measures the REAL operators, not lookalikes. Scale shape:
-    // each leg is its home query's shape; the fold is three doc-grain
-    // left joins + one map-combined 1-row aggregate.
+    // the audit runs on a DETERMINISTIC HASH-SAMPLE of the corpus
+    // (1/2 here; the q74/q106/q118 audit-on-a-tractable-slice
+    // discipline — production sets the rate by target audit cost, the
+    // relative catch rates are the product), and the embedding leg
+    // additionally caps sign-buckets at 256 members (oracle-mirrored)
+    // — uncapped, 100× clone density measured 53 GB of spill in that
+    // leg's pair join; capped + sampled it is bounded at any density.
+    // The fold is three doc-grain left joins + one map-combined 1-row
+    // aggregate.
     "q146_dedup_agreement" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+        .filter(SamplingQueries.hashBucket("doc_id", 4, 2) === 0)
       val p = docs.select(col("doc_id"),
         substring(col("text"), 1, 64).as("pfx"))
       val pdup = p.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
@@ -296,11 +304,15 @@ object VectorQueries {
         .unionByName(mp.select(col("doc_b").as("doc_id"))).distinct()
         .withColumn("m", lit(1L))
       val e = Tables.embeddings(s, d)
+        .join(docs.select(col("doc_id").as("vec_id")), "vec_id")
         .withColumn("bucket", Vectors.signBucket("embedding", 8))
         .withColumn("nrm", Vectors.norm("embedding"))
-      val a = e.select(col("vec_id").as("vec_a"),
+      val bcap = e.groupBy(col("bucket")).agg(count(lit(1)).as("bm"))
+        .filter(col("bm") <= 256).select(col("bucket"))
+      val ec = e.join(bcap, "bucket")
+      val a = ec.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
-      val bb = e.select(col("vec_id").as("vec_b"),
+      val bb = ec.select(col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("nrm").as("nb"),
         col("bucket").as("bucket_b"))
       val vp = a.join(bb, col("bucket") === col("bucket_b")
@@ -335,12 +347,20 @@ object VectorQueries {
     // mining. All-integer ranking: KmScale-quantized embeddings,
     // codegen'd doti scores, margin decided by cross-multiplication
     // (accept ⟺ best > 0 AND 10·second ≤ 9·best — sign-safe when the
-    // runner-up dot is negative), ties to the smallest tgt_id. The
-    // row_number window partitions on src_id (one partition per en
-    // doc — high-cardinality, the allowed class). This entry is the
-    // exact leg (the q28 posture); at 100 TB the candidate generation
-    // swaps to the ANN legs (q35/q57/q132) with this same margin
-    // applied to their top-2.
+    // runner-up dot is negative), ties to the smallest tgt_id. Scale
+    // shape: mining is BATCH-INCREMENTAL (the q96 posture) — the src
+    // side is today's drop (doc_id % 10 == 7 stands in), so per-run
+    // cost is batch × pool, not corpus × corpus; at 100 TB the pool
+    // side additionally comes pre-filtered by the ANN legs
+    // (q35/q57/q132) with this same margin applied to their top-2 —
+    // this entry is the exact leg those serve (the q28 posture).
+    // Top-2 via a row_number window partitioned on src_id: partition
+    // count = batch size (bounded by the slice), rows per partition =
+    // pool size — 76 s / 2.4 GB exchanged / zero spill at 100× clone
+    // density. An aggregation-based top-2 (two max(struct) passes)
+    // was measured 5× WORSE (396 s): struct max falls out of hash
+    // aggregation into sort-based partials, so each pass sorts every
+    // scored row — the window sorts them once.
     "q145_bitext_margin" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
@@ -349,7 +369,7 @@ object VectorQueries {
           s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
           .as("qv"))
         .join(docs, col("vec_id") === col("doc_id"))
-      val src = qv.filter(col("lang") === "en")
+      val src = qv.filter(col("lang") === "en" && col("vec_id") % 10 === 7)
         .select(col("vec_id").as("src_id"), col("qv").as("sv"))
       val tgt = qv.filter(col("lang") === "zh")
         .select(col("vec_id").as("tgt_id"), col("qv").as("tv"))
@@ -1150,20 +1170,35 @@ object VectorQueries {
         |  count(*) / 5 AS recall
         |FROM brute JOIN ivf USING (vec_id)""".stripMargin,
 
+    // minhash band-collision pair membership depends only on the two
+    // endpoints' own signatures, so full-corpus pairs filtered to
+    // sampled endpoints == pairs computed within the sample (the Spark
+    // side runs candidatePairs on the sampled docs directly); the
+    // prefix groups and embedding buckets/caps are recomputed WITHIN
+    // the sample on both engines.
     "q146_dedup_agreement" ->
-      s"""WITH mpairs AS (${TextQueries.minhashPairsSql}),
+      s"""WITH sd AS (SELECT doc_id, text FROM documents
+        |  WHERE ${SamplingQueries.hashBucketSql("doc_id", 4, 2)} = 0),
+        |mpairs AS (SELECT * FROM (${TextQueries.minhashPairsSql})
+        |  WHERE doc_a IN (SELECT doc_id FROM sd)
+        |    AND doc_b IN (SELECT doc_id FROM sd)),
         |mset AS (SELECT DISTINCT doc_id FROM
         |    (SELECT doc_a AS doc_id FROM mpairs
         |     UNION ALL SELECT doc_b FROM mpairs)),
-        |p AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents),
+        |p AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM sd),
         |pd AS (SELECT pfx FROM
         |    (SELECT pfx, count(*) AS n FROM p GROUP BY pfx)
         |  WHERE n >= 2),
         |pset AS (SELECT DISTINCT doc_id FROM p JOIN pd USING (pfx)),
         |e AS (SELECT vec_id, embedding,
-        |    ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+        |    ${bucketSql("embedding", 8)} AS bucket FROM embeddings
+        |  JOIN sd ON vec_id = sd.doc_id),
+        |bcap AS (SELECT bucket FROM
+        |    (SELECT bucket, count(*) AS bm FROM e GROUP BY bucket)
+        |  WHERE bm <= 256),
+        |ec AS (SELECT e.* FROM e JOIN bcap USING (bucket)),
         |vpairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-        |  FROM e a JOIN e b
+        |  FROM ec a JOIN ec b
         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |  WHERE (${dotSql("a.embedding", "b.embedding")}
         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
@@ -1176,7 +1211,7 @@ object VectorQueries {
         |    CASE WHEN ps.doc_id IS NOT NULL THEN 1 ELSE 0 END AS p,
         |    CASE WHEN ms.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m,
         |    CASE WHEN vs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS v
-        |  FROM documents d
+        |  FROM sd d
         |  LEFT JOIN pset ps ON d.doc_id = ps.doc_id
         |  LEFT JOIN mset ms ON d.doc_id = ms.doc_id
         |  LEFT JOIN vset vs ON d.doc_id = vs.doc_id)
@@ -1201,7 +1236,7 @@ object VectorQueries {
         |wl AS (SELECT vec_id, lang, qv FROM q
         |  JOIN documents ON vec_id = doc_id),
         |src AS (SELECT vec_id AS src_id, qv AS sv FROM wl
-        |  WHERE lang = 'en'),
+        |  WHERE lang = 'en' AND vec_id % 10 = 7),
         |tgt AS (SELECT vec_id AS tgt_id, qv AS tv FROM wl
         |  WHERE lang = 'zh'),
         |scored AS (SELECT src_id, tgt_id, $idot AS dot FROM src, tgt),

@@ -270,7 +270,9 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     val langs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.length == langs.values.count(_ == "en"))
+    assert(out.length == langs.count { case (id, l) =>
+      l == "en" && id % 10 == 7 })
+    assert(out.nonEmpty)
     out.foreach { r =>
       val (src, tgt, best, second, acc) = (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3), r.getBoolean(4))
