@@ -36,8 +36,11 @@ object Engine {
       // cluster initialPartitionNum scales with executors; locally the
       // static 32 is the measured optimum.
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's reader
-      // rejects; read as epoch-nanos long and convert in Tables.events.
+      // Some events.parquet generations carry INT64 TIMESTAMP(NANOS), which
+      // Spark's reader rejects outright; this conf surfaces those as
+      // epoch-nanos long instead. It is a no-op on timestamp[us]/[ms] files.
+      // Tables.events branches on the surfaced type (SURVEY.md §1.5's
+      // explicit-schema mandate: validate physical type at load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,15 +63,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) in parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as epoch-nanos
-    * long. Expose both `ts_us` (epoch micros, exact) and `ts`
-    * (microsecond-precision timestamp) — all downstream logic uses these.
+  /** events.ts has shipped as INT64 TIMESTAMP(NANOS) in some testdata
+    * generations and timestamp[us] in others. Normalize both: expose
+    * `ts_us` (epoch micros, exact long) and `ts` (microsecond-precision
+    * timestamp) — all downstream logic uses these two, never the raw
+    * column, so a physical-type change in the source can't reach a query.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    withEventTime(table(s, d, "events"))
+
+  /** Schema-adaptive event-time normalization (the source contract for the
+    * events feed). Branches on the surfaced type of `ts`:
+    *  - LongType: INT64 TIMESTAMP(NANOS) surfaced as epoch-nanos via
+    *    `spark.sql.legacy.parquet.nanosAsLong` → integer div to micros.
+    *  - TimestampType: already micros-precision → `unix_micros`.
+    *  - TimestampNTZType: parquet timestamp with isAdjustedToUTC=false;
+    *    the session zone is pinned UTC (Engine.session), so the NTZ→LTZ
+    *    cast is exact.
+    * Any other type is a contract violation and fails loudly at load
+    * rather than deep inside a query plan.
+    */
+  def withEventTime(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    import org.apache.spark.sql.types._
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType           => expr("ts div 1000")
+      case TimestampType      => unix_micros(col("ts"))
+      case TimestampNTZType   => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected INT64 nanos, timestamp, or timestamp_ntz)")
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
