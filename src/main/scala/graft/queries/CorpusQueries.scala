@@ -160,6 +160,64 @@ object CorpusQueries {
         .limit(20)
     }),
 
+    // ---- COMPOSITE n-gram repetition gate (the Gopher/MassiveText
+    // "repetition" rule family, Rae et al. 2021 §A1.1, alongside q54's
+    // single-token ratio): for n ∈ {2,3,4}, the fraction of the doc's
+    // n-gram OCCURRENCES claimed by its single most frequent n-gram,
+    // thresholded at 20/18/16% — a doc fails if ANY n-gram family is
+    // dominated by one phrase (loops, boilerplate chant, SEO stuffing).
+    // House determinism rules: thresholds are integer cross-
+    // multiplications (top*100 <= total*thr), no doubles anywhere.
+    // Scale: the gram frames are map-side array surgery on the scanned
+    // row (transform over sequence — no window, no self-join); the only
+    // shuffles carry (doc_id, n, 8-byte xxhash64 gram key) pre-combined
+    // by groupBy, and the three gram lengths ride ONE union pipeline so
+    // the scan runs once. Grams hash before the shuffle — the exchange
+    // moves fixed-width keys, not phrase strings (the q22 discipline);
+    // xxhash64 collisions can only MERGE two gram counts (birthday
+    // ~n²/2⁶⁵ — at 1e12 grams a handful of merged pairs, each moving
+    // one doc's top-count by a hair on a 20% threshold).
+    "q147_gopher_repetition" -> ((s, d) => {
+      val grams = (2 to 4).map { n =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), lit(n).as("n"),
+            explode(expr(
+              s"if(size(tk) >= $n, transform(sequence(1, size(tk)-$n+1)," +
+                s" i -> xxhash64(array_join(slice(tk, i, $n), ' '))), " +
+                "array())")).as("g"))
+      }.reduce(_ unionByName _)
+      val perGram = grams.groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val perN = perGram.groupBy(col("doc_id"), col("n"))
+        .agg(max(col("c")).as("top"), sum(col("c")).as("nb"))
+      val wide = perN.groupBy(col("doc_id"))
+        .agg(
+          coalesce(max(when(col("n") === 2, col("top"))), lit(0L)).as("top2"),
+          coalesce(max(when(col("n") === 2, col("nb"))), lit(0L)).as("nb2"),
+          coalesce(max(when(col("n") === 3, col("top"))), lit(0L)).as("top3"),
+          coalesce(max(when(col("n") === 3, col("nb"))), lit(0L)).as("nb3"),
+          coalesce(max(when(col("n") === 4, col("top"))), lit(0L)).as("top4"),
+          coalesce(max(when(col("n") === 4, col("nb"))), lit(0L)).as("nb4"))
+      // docs too short for even a bigram never reach `wide`; the left
+      // join restores them with all-zero counts (vacuously keep=true)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+        .join(wide, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("top2"), lit(0L)).as("top2"),
+          coalesce(col("nb2"), lit(0L)).as("nb2"),
+          coalesce(col("top3"), lit(0L)).as("top3"),
+          coalesce(col("nb3"), lit(0L)).as("nb3"),
+          coalesce(col("top4"), lit(0L)).as("top4"),
+          coalesce(col("nb4"), lit(0L)).as("nb4"))
+        .withColumn("keep",
+          col("top2") * 100 <= col("nb2") * 20
+            && col("top3") * 100 <= col("nb3") * 18
+            && col("top4") * 100 <= col("nb4") * 16)
+    }),
+
     // ---- repetition ratio: max single-token frequency / token count per
     // doc — the standard "repetitive junk" quality signal
     "q54_repetition" -> ((s, d) => {
@@ -835,6 +893,51 @@ object CorpusQueries {
         |GROUP BY tok
         |ORDER BY cnt DESC, tok ASC
         |LIMIT 20""".stripMargin,
+
+    // grams grouped by STRING here vs xxhash64 in Spark — identical
+    // counts absent 64-bit collisions (none at test scale; see the
+    // query comment for the 100 TB collision bound)
+    "q147_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    array_to_string(list_slice(tk, i, i + n - 1), ' ') AS g
+        |  FROM (SELECT doc_id, n, tk,
+        |      unnest(generate_series(1, len(tk) - n + 1)) AS i
+        |    FROM t, (VALUES (2), (3), (4)) v(n)
+        |    WHERE len(tk) >= n)),
+        |pg AS (SELECT doc_id, n, g, count(*) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |pn AS (SELECT doc_id, n, max(c) AS top, sum(c) AS nb
+        |  FROM pg GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n = 2 THEN top END), 0) AS BIGINT)
+        |      AS top2,
+        |    CAST(coalesce(max(CASE WHEN n = 2 THEN nb END), 0) AS BIGINT)
+        |      AS nb2,
+        |    CAST(coalesce(max(CASE WHEN n = 3 THEN top END), 0) AS BIGINT)
+        |      AS top3,
+        |    CAST(coalesce(max(CASE WHEN n = 3 THEN nb END), 0) AS BIGINT)
+        |      AS nb3,
+        |    CAST(coalesce(max(CASE WHEN n = 4 THEN top END), 0) AS BIGINT)
+        |      AS top4,
+        |    CAST(coalesce(max(CASE WHEN n = 4 THEN nb END), 0) AS BIGINT)
+        |      AS nb4
+        |  FROM pn GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(w.top2, 0) AS BIGINT) AS top2,
+        |  CAST(coalesce(w.nb2, 0) AS BIGINT) AS nb2,
+        |  CAST(coalesce(w.top3, 0) AS BIGINT) AS top3,
+        |  CAST(coalesce(w.nb3, 0) AS BIGINT) AS nb3,
+        |  CAST(coalesce(w.top4, 0) AS BIGINT) AS top4,
+        |  CAST(coalesce(w.nb4, 0) AS BIGINT) AS nb4,
+        |  (coalesce(w.top2, 0) * 100 <= coalesce(w.nb2, 0) * 20
+        |    AND coalesce(w.top3, 0) * 100 <= coalesce(w.nb3, 0) * 18
+        |    AND coalesce(w.top4, 0) * 100 <= coalesce(w.nb4, 0) * 16)
+        |    AS keep
+        |FROM documents d LEFT JOIN wide w USING (doc_id)""".stripMargin,
 
     "q54_repetition" ->
       """WITH tc AS (

@@ -68,6 +68,54 @@ object SamplingQueries {
           sum(col("toks")).as("n_tokens"))
     }),
 
+    // ---- DETERMINISTIC EPOCH SHUFFLE + shard assignment: the global
+    // training-order pass every corpus ships through before the trainer
+    // reads it. Each doc gets an order key from one md5 window (chars
+    // 17-24) and a shard from an independent window (chars 25-32) —
+    // same doc, same (shard, pos) on any cluster, any day, no rand().
+    // pos = rank within the shard by (skey, doc_id). Scale: ONE shuffle,
+    // partitioned BY THE SHARD KEY — the window's partition count IS
+    // the output shard count, and the per-shard sort is exactly the
+    // sort the shard writer does anyway (repartition +
+    // sortWithinPartitions); nothing global orders the corpus. Shard
+    // count is a config constant sized so a shard fits a write task
+    // (64 here; ~25k at 100 TB / 4 GB shards).
+    "q148_epoch_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 17, 8)")
+            .as("skey"),
+          hashBucket("doc_id", 25, 64).as("shard"))
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("skey"), col("doc_id"))).cast("bigint"))
+    }),
+
+    // ---- SPLIT LEAKAGE AUDIT: near-duplicate pairs that straddle the
+    // q59 train/val/test boundary — the eval-integrity check every
+    // pipeline needs (a test doc whose near-twin sits in train is a
+    // leaked answer, Lee et al. 2022 §6). Rides the ONE shared LSH
+    // candidate-pair frame (built once per run, Shared.frame) and a
+    // stateless hash-split projection on each side; the audit itself
+    // shuffles only (doc_id, split) pairs and aggregates to at most
+    // 3×3 rows. leaky marks cross-split rows.
+    "q149_split_leakage" -> ((s, d) => {
+      val split = Tables.documents(s, d).select(col("doc_id"),
+        when(hashBucket("doc_id", 1, 100) < 80, lit("train"))
+          .when(hashBucket("doc_id", 1, 100) < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      TextQueries.sharedCandidatePairs(s, d)
+        .join(split.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "split_a"), "doc_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "split_b"), "doc_b")
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+    }),
+
     // ---- stratified sampling with per-stratum rates (upsample scarce
     // languages, downsample English): en 20%, others 50%, decided by an
     // independent hash window. Emits the sampled docs themselves.
@@ -435,6 +483,30 @@ object SamplingQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "q148_epoch_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 17, 8) AS skey,
+        |    ${hashBucketSql("doc_id", 25, 64)} AS shard
+        |  FROM documents)
+        |SELECT doc_id, skey, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
+
+    "q149_split_leakage" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |sp AS (SELECT doc_id, CASE
+        |    WHEN ${hashBucketSql("doc_id", 1, 100)} < 80 THEN 'train'
+        |    WHEN ${hashBucketSql("doc_id", 1, 100)} < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT sa.split AS split_a, sb.split AS split_b,
+        |  count(*) AS n_pairs, (sa.split <> sb.split) AS leaky
+        |FROM pairs p
+        |JOIN sp sa ON sa.doc_id = p.doc_a
+        |JOIN sp sb ON sb.doc_id = p.doc_b
+        |GROUP BY sa.split, sb.split""".stripMargin,
 
     "q60_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

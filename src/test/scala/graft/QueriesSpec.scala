@@ -42,6 +42,50 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       == again.map(_.toString).sorted.toSeq)
   }
 
+  test("q147 gopher gate: fractions well-formed, keep matches the rule") {
+    val rows = SparkEntry.queries("q147_gopher_repetition")(spark, sf)
+      .collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val Seq(nToks, top2, nb2, top3, nb3, top4, nb4) =
+        (1 to 7).map(r.getLong)
+      // gram totals shrink by one per extra gram length; tops bounded
+      assert(nb2 == math.max(nToks - 1, 0), r.toString)
+      assert(nb3 == math.max(nToks - 2, 0))
+      assert(nb4 == math.max(nToks - 3, 0))
+      assert(top2 <= nb2 && top3 <= nb3 && top4 <= nb4)
+      assert(r.getBoolean(8) ==
+        (top2 * 100 <= nb2 * 20 && top3 * 100 <= nb3 * 18
+          && top4 * 100 <= nb4 * 16))
+    }
+  }
+
+  test("q148 epoch shuffle: a permutation — every doc once, contiguous " +
+    "pos per shard, deterministic across runs") {
+    val out = SparkEntry.queries("q148_epoch_shuffle")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.groupBy(_.getLong(2)).foreach { case (_, rows) =>
+      val pos = rows.map(_.getLong(3)).sorted
+      assert(pos.head == 1L && pos.last == pos.length.toLong,
+        "pos not contiguous from 1 within shard")
+    }
+    val again = SparkEntry.queries("q148_epoch_shuffle")(spark, sf)
+      .collect()
+    assert(out.map(_.toString).sorted.toSeq
+      == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("q149 split leakage: pair counts conserve the LSH pair total") {
+    val total = SparkEntry.queries("q21_minhash_pairs")(spark, sf).count()
+    val audit = SparkEntry.queries("q149_split_leakage")(spark, sf)
+      .collect()
+    assert(audit.map(_.getLong(2)).sum == total)
+    audit.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
