@@ -168,50 +168,49 @@ object CorpusQueries {
     // dominated by one phrase (loops, boilerplate chant, SEO stuffing).
     // House determinism rules: thresholds are integer cross-
     // multiplications (top*100 <= total*thr), no doubles anywhere.
-    // Scale: the gram frames are map-side array surgery on the scanned
-    // row (transform over sequence — no window, no self-join); the only
-    // shuffles carry (doc_id, n, 8-byte xxhash64 gram key) pre-combined
-    // by groupBy, and the three gram lengths ride ONE union pipeline so
-    // the scan runs once. Grams hash before the shuffle — the exchange
-    // moves fixed-width keys, not phrase strings (the q22 discipline);
-    // xxhash64 collisions can only MERGE two gram counts (birthday
-    // ~n²/2⁶⁵ — at 1e12 grams a handful of merged pairs, each moving
-    // one doc's top-count by a hair on a 20% threshold).
+    // Scale: ZERO shuffle — the statistic is per-doc, so it never needs
+    // to leave the row. Grams hash to xxhash64 in-row, the hash array is
+    // array_sort'ed, and the top count is the longest equal run (one
+    // aggregate() fold, O(L log L) per doc) — scan → project, no
+    // exchange at any corpus size. The first cut shuffled pre-combined
+    // (doc_id, n, gram-hash) groups and measured 140 MB of exchange at
+    // 10× clone density; corpus-token-scale shuffle for a per-row
+    // statistic is exactly the shape that dies at 100 TB, so the fold
+    // replaced it (same outputs, oracle unchanged). xxhash64 collisions
+    // can only MERGE two gram counts (birthday ~n²/2⁶⁵ per doc-local
+    // gram set — vanishing, and only ever nudges one doc's top count).
     "q147_gopher_repetition" -> ((s, d) => {
-      val grams = (2 to 4).map { n =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), lit(n).as("n"),
-            explode(expr(
-              s"if(size(tk) >= $n, transform(sequence(1, size(tk)-$n+1)," +
-                s" i -> xxhash64(array_join(slice(tk, i, $n), ' '))), " +
-                "array())")).as("g"))
-      }.reduce(_ unionByName _)
-      val perGram = grams.groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("c"))
-      val perN = perGram.groupBy(col("doc_id"), col("n"))
-        .agg(max(col("c")).as("top"), sum(col("c")).as("nb"))
-      val wide = perN.groupBy(col("doc_id"))
-        .agg(
-          coalesce(max(when(col("n") === 2, col("top"))), lit(0L)).as("top2"),
-          coalesce(max(when(col("n") === 2, col("nb"))), lit(0L)).as("nb2"),
-          coalesce(max(when(col("n") === 3, col("top"))), lit(0L)).as("top3"),
-          coalesce(max(when(col("n") === 3, col("nb"))), lit(0L)).as("nb3"),
-          coalesce(max(when(col("n") === 4, col("top"))), lit(0L)).as("top4"),
-          coalesce(max(when(col("n") === 4, col("nb"))), lit(0L)).as("nb4"))
-      // docs too short for even a bigram never reach `wide`; the left
-      // join restores them with all-zero counts (vacuously keep=true)
+      // longest equal run in the SORTED hash array == max gram
+      // frequency; fold state = (prev, run, best), null-safe <=> so the
+      // first element starts run 1. Gram key = variadic xxhash64 over
+      // the gram's per-TOKEN hashes (each token hashed once per doc,
+      // not once per gram it appears in — no per-gram string
+      // allocation, and position-sensitive by construction).
+      def top(n: Int): String = {
+        val poly = "xxhash64(" +
+          (0 until n).map(j => s"th[i + $j]").mkString(", ") + ")"
+        s"""aggregate(
+           |  array_sort(if(size(th) >= $n,
+           |    transform(sequence(0, size(th) - $n),
+           |      i -> ($poly)),
+           |    array())),
+           |  named_struct('prev', CAST(NULL AS BIGINT),
+           |    'run', 0L, 'best', 0L),
+           |  (a, x) -> named_struct('prev', x,
+           |    'run', IF(x <=> a.prev, a.run + 1L, 1L),
+           |    'best', greatest(a.best, IF(x <=> a.prev, a.run + 1L, 1L))),
+           |  a -> a.best)""".stripMargin
+      }
+      def nb(n: Int): String =
+        s"greatest(size(th) - ${n - 1}, 0)"
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
-        .join(wide, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_toks"),
-          coalesce(col("top2"), lit(0L)).as("top2"),
-          coalesce(col("nb2"), lit(0L)).as("nb2"),
-          coalesce(col("top3"), lit(0L)).as("top3"),
-          coalesce(col("nb3"), lit(0L)).as("nb3"),
-          coalesce(col("top4"), lit(0L)).as("top4"),
-          coalesce(col("nb4"), lit(0L)).as("nb4"))
+          expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
+        .select(col("doc_id"),
+          size(col("th")).cast("bigint").as("n_toks"),
+          expr(top(2)).as("top2"), expr(nb(2)).cast("bigint").as("nb2"),
+          expr(top(3)).as("top3"), expr(nb(3)).cast("bigint").as("nb3"),
+          expr(top(4)).as("top4"), expr(nb(4)).cast("bigint").as("nb4"))
         .withColumn("keep",
           col("top2") * 100 <= col("nb2") * 20
             && col("top3") * 100 <= col("nb3") * 18
