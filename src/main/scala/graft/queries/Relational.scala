@@ -353,6 +353,51 @@ object Relational {
     }),
 
     // ---- O1 + window rank: top-3 per group with explicit rank column
+    // ---- STAR-SCHEMA multi-hop join (the TPC-H Q5 shape): revenue per
+    // nation for orders in one region + one year, where the supplier
+    // sits in the customer's nation — lineitem ⋈ orders ⋈ customer ⋈
+    // supplier ⋈ nation ⋈ region, the canonical OLAP join chain the
+    // relational corner otherwise never exercises (region/nation were
+    // load-only until this query). Scale: region⋈nation (≤25 rows) is
+    // an explicit broadcast into customer; date + region filters push
+    // into the orders/region scans BEFORE the fact joins; the three
+    // fact joins (orderkey, custkey, suppkey) are plain equi-shuffles
+    // AQE is free to re-plan (supplier broadcasts itself at small SF).
+    // Revenue is EXACT integer arithmetic: cents × (100−discount%) in
+    // BIGINT per row, summed in DECIMAL(38,0) (overflow-safe at any
+    // corpus), emitted as its double image (the q131 idiom — DuckDB's
+    // compare narrows DECIMAL to float64, so the decimal itself must
+    // not be the output column).
+    "q150_star_revenue" -> ((s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L)
+              - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rev").cast("decimal(38,0)")).cast("double")
+            .as("revenue"))
+    }),
+
     "q18_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -365,6 +410,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q150_star_revenue" ->
+      """SELECT n.n_name,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND s.s_nationkey = c.c_nationkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name""".stripMargin,
+
     "q01_filter_group_count" ->
       """SELECT o_orderpriority, count(*) AS cnt
         |FROM orders WHERE o_orderstatus = 'O'

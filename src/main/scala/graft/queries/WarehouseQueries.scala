@@ -468,6 +468,32 @@ object WarehouseQueries {
           max(col("l_orderkey")).as("max_ok"),
           min(col("l_partkey")).as("min_pk"),
           max(col("l_partkey")).as("max_pk"))
+    }),
+
+    // ---- ANALYZE-style column statistics in ONE pass: the stats a
+    // cost-based optimizer (and a data-quality dashboard) needs —
+    // row count, per-column min/max, exact NDV, null counts — collected
+    // by a single aggregate over the fact table instead of one scan per
+    // column. Scale: everything is map-combinable; the three exact
+    // count-distincts expand the row 3× pre-combine (Spark's Expand),
+    // which is the price of EXACT ndv — production swaps
+    // approx_count_distinct per column once estimates suffice (the
+    // q74/q123 HLL family is the audited version of that trade).
+    // min/max doubles are raw data values (bit-exact cross-engine).
+    "q151_analyze_stats" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        countDistinct(col("l_quantity")).as("qty_ndv"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        countDistinct(col("l_extendedprice")).as("price_ndv"),
+        min(to_date(col("l_shipdate"))).as("ship_min"),
+        max(to_date(col("l_shipdate"))).as("ship_max"),
+        countDistinct(col("l_returnflag")).as("flag_ndv"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("qty_nulls"))
     })
   )
 
@@ -484,6 +510,21 @@ object WarehouseQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q151_analyze_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS qty_ndv,
+        |  min(l_extendedprice) AS price_min,
+        |  max(l_extendedprice) AS price_max,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS price_ndv,
+        |  min(CAST(l_shipdate AS DATE)) AS ship_min,
+        |  max(CAST(l_shipdate AS DATE)) AS ship_max,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS flag_ndv,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS qty_nulls
+        |FROM lineitem""".stripMargin,
+
     "q117_zorder_layout" ->
       s"""WITH mx AS (SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp
         |    FROM lineitem),

@@ -86,6 +86,30 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q150 star revenue: rows only for the filtered region's " +
+    "nations, positive counts and revenue") {
+    val out = SparkEntry.queries("q150_star_revenue")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 5) // ASIA has 5 nations
+    out.foreach { r => assert(r.getLong(1) > 0 && r.getDouble(2) > 0) }
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet.subsetOf(asiaNations))
+  }
+
+  test("q151 analyze stats: one row, bounds ordered, ndv sane") {
+    val r = SparkEntry.queries("q151_analyze_stats")(spark, sf)
+      .collect().head
+    val nRows = r.getLong(0)
+    assert(nRows == Tables.lineitem(spark, sf).count())
+    assert(r.getDouble(1) <= r.getDouble(2)) // qty min <= max
+    assert(r.getDouble(4) <= r.getDouble(5)) // price min <= max
+    assert(r.getLong(3) <= nRows && r.getLong(6) <= nRows)
+    assert(r.getLong(9) >= 1 && r.getLong(9) <= 3) // returnflag ndv
+    assert(r.getLong(10) == 0) // no null quantities in testdata
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
