@@ -15,6 +15,27 @@ import graft.functions.Text
 object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Source-overlap pair frame (src_a < src_b, w = shared distinct
+    * 8-gram count) — one build per run (Shared.frame), consumed by q105
+    * (the contamination matrix itself) and q141 (as the PageRank edge
+    * weights). dedup = false in wordShingles: its default distinct
+    * would shuffle the raw 50+-char shingle strings only for the
+    * digest-level distinct below to shuffle again — one exchange over
+    * 16-byte digests is the whole set-semantics cost (q22 precedent).
+    */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "src_overlap", d) {
+      val gs = Text.wordShingles(Tables.documents(s, d), "source",
+          "text", 8, dedup = false)
+        .select(col("source"), md5(col("sh").cast("binary")).as("h"))
+        .distinct()
+      val a = gs.select(col("source").as("src_a"), col("h"))
+      val b = gs.select(col("source").as("src_b"), col("h").as("h_b"))
+      a.join(b, col("h") === col("h_b") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("w"))
+    }
+
   val queries: Map[String, Q] = Map(
     // ---- MODEL-BASED quality filtering (the fastText-classifier shape
     // of CCNet/LLaMA-style pipelines, next to the heuristic scores of
@@ -309,21 +330,10 @@ object CorpusQueries {
     // Join fan-out is structurally bounded: the join key set is
     // DISTINCT (source, digest), so a digest emits at most
     // C(n_sources, 2) pairs however often it repeats inside sources.
-    "q105_source_overlap" -> ((s, d) => {
-      // dedup = false: wordShingles' default distinct would shuffle the
-      // raw 50+-char shingle strings only for the digest-level distinct
-      // below to shuffle again — one exchange over 16-byte digests is
-      // the whole set-semantics cost (the q22 precedent)
-      val gs = Text.wordShingles(Tables.documents(s, d), "source",
-          "text", 8, dedup = false)
-        .select(col("source"), md5(col("sh").cast("binary")).as("h"))
-        .distinct()
-      val a = gs.select(col("source").as("src_a"), col("h"))
-      val b = gs.select(col("source").as("src_b"), col("h").as("h_b"))
-      a.join(b, col("h") === col("h_b") && col("src_a") < col("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("shared_8grams"))
-    }),
+    "q105_source_overlap" -> ((s, d) =>
+      sourceOverlap(s, d)
+        .select(col("src_a"), col("src_b"),
+          col("w").as("shared_8grams"))),
 
     // ---- sequence PACKING (concat-and-cut): per source, documents in
     // doc_id order are concatenated into one token stream and cut into
@@ -483,16 +493,7 @@ object CorpusQueries {
     // shingle distinct once per reference (measured 2.8 s at sf0.1 /
     // 94 s at 100×; persisted: the corpus is scanned once).
     "q141_domain_pagerank" -> ((s, d) => {
-      val gs = Text.wordShingles(Tables.documents(s, d), "source",
-          "text", 8, dedup = false)
-        .select(col("source"), md5(col("sh").cast("binary")).as("h"))
-        .distinct()
-      val a = gs.select(col("source").as("src_a"), col("h"))
-      val b = gs.select(col("source").as("src_b"), col("h").as("h_b"))
-      val half = a.join(b, col("h") === col("h_b")
-          && col("src_a") < col("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("w"))
+      val half = sourceOverlap(s, d)
       val edges = half.select(col("src_a").as("u"), col("src_b").as("v"),
           col("w"))
         .unionByName(half.select(col("src_b").as("u"),
