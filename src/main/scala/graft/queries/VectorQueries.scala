@@ -157,6 +157,33 @@ object VectorQueries {
   val queries: Map[String, Q] = Map(
     // ---- brute-force cosine top-10 vs the vec_id=0 query vector:
     // broadcast 1-row query side, one codegen'd pass, no shuffle
+    // ---- EMBEDDING CENTERING (per-dim mean removal — the standard
+    // pre-ANN normalization; centered corpora make SRP planes and IVF
+    // cells balance): per-dimension means from ONE map-combined stats
+    // pass over the shared quantized frame (64 output rows), folded to
+    // a one-row broadcast array, applied map-side with zip_with. The
+    // mean is the kmeansQ floor idiom (floor of double division over
+    // the exact integer sum) so the oracle replays it bit-for-bit.
+    // Scale: stats are 64 rows regardless of corpus; centering never
+    // shuffles a vector — the only exchange is the 64-row aggregate.
+    "q152_embed_center" -> ((s, d) => {
+      val qv = quantizedVecs(s, d)
+      val means = qv
+        .select(posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("pos"),
+          expr("CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT)").as("m"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(expr("transform(pm, p -> p.m)").as("ms"))
+      qv.crossJoin(broadcast(means))
+        .select(col("vec_id"),
+          expr("zip_with(qv, ms, (x, m) -> x - m)").as("cv"))
+        .withColumn("l1",
+          expr("aggregate(cv, 0L, (a, v) -> a + abs(v))"))
+    }),
+
     "q28_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // query norm computed ONCE in the broadcast 1-row frame — not per
@@ -902,6 +929,23 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q120_pq_recall" -> pqOracle,
     "q28_cosine_topk" -> oracle28,
+
+    "q152_embed_center" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, unnest(qv) AS x,
+        |    unnest(generate_series(1, len(qv))) AS pos
+        |  FROM q),
+        |st AS (SELECT pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        |  FROM e GROUP BY pos),
+        |c AS (SELECT e.vec_id, e.pos, e.x - st.m AS v
+        |  FROM e JOIN st USING (pos))
+        |SELECT vec_id, list(v ORDER BY pos) AS cv,
+        |  CAST(sum(abs(v)) AS BIGINT) AS l1
+        |FROM c GROUP BY vec_id""".stripMargin,
 
     "q29_ann_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -110,6 +110,19 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(10) == 0) // no null quantities in testdata
   }
 
+  test("q152 centering: every doc kept, residual per-dim mass in " +
+    "[0, n) — the floor-mean identity") {
+    val out = SparkEntry.queries("q152_embed_center")(spark, sf).collect()
+    val n = out.length
+    assert(n == Tables.embeddings(spark, sf).count())
+    val dims = out.head.getSeq[Long](1).length
+    // sum_d(centered) = sx - n*floor(sx/n) ∈ [0, n) for every dimension
+    (0 until dims).foreach { dMin =>
+      val s = out.map(_.getSeq[Long](1)(dMin)).sum
+      assert(s >= 0 && s < n, s"dim $dMin residual $s out of [0, $n)")
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
