@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "l1i takes exactly 2 arguments")
         L1DistanceI(exprs.head, exprs(1))
       } }))
+    e.injectFunction((
+      FunctionIdentifier("maxfreq"),
+      new ExpressionInfo(classOf[MaxFreqL].getName, "maxfreq"),
+      { exprs => {
+        require(exprs.length == 1, "maxfreq takes exactly 1 argument")
+        MaxFreqL(exprs.head)
+      } }))
     // window-top-k → bounded-heap custom operator (rule + strategy pair)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectPlannerStrategy(_ => TopKStrategy)

@@ -190,37 +190,31 @@ object CorpusQueries {
     // House determinism rules: thresholds are integer cross-
     // multiplications (top*100 <= total*thr), no doubles anywhere.
     // Scale: ZERO shuffle — the statistic is per-doc, so it never needs
-    // to leave the row. Grams hash to xxhash64 in-row, the hash array is
-    // array_sort'ed, and the top count is the longest equal run (one
-    // aggregate() fold, O(L log L) per doc) — scan → project, no
-    // exchange at any corpus size. The first cut shuffled pre-combined
-    // (doc_id, n, gram-hash) groups and measured 140 MB of exchange at
-    // 10× clone density; corpus-token-scale shuffle for a per-row
-    // statistic is exactly the shape that dies at 100 TB, so the fold
-    // replaced it (same outputs, oracle unchanged). xxhash64 collisions
+    // to leave the row. Grams hash to xxhash64 in-row and the top count
+    // comes from the native `maxfreq` expression (primitive long[]
+    // sort + run scan, O(L log L) per doc, whole-stage codegen) —
+    // scan → project, no exchange at any corpus size. The first cut
+    // shuffled pre-combined (doc_id, n, gram-hash) groups and measured
+    // 140 MB of exchange at 10× clone density; corpus-token-scale
+    // shuffle for a per-row statistic is exactly the shape that dies at
+    // 100 TB, so the in-row form replaced it (same outputs, oracle
+    // unchanged). xxhash64 collisions
     // can only MERGE two gram counts (birthday ~n²/2⁶⁵ per doc-local
     // gram set — vanishing, and only ever nudges one doc's top count).
     "q147_gopher_repetition" -> ((s, d) => {
-      // longest equal run in the SORTED hash array == max gram
-      // frequency; fold state = (prev, run, best), null-safe <=> so the
-      // first element starts run 1. Gram key = variadic xxhash64 over
-      // the gram's per-TOKEN hashes (each token hashed once per doc,
-      // not once per gram it appears in — no per-gram string
-      // allocation, and position-sensitive by construction).
+      // max gram frequency = maxfreq (native codegen'd Expression:
+      // primitive long[] sort + run scan — the aggregate()-fold
+      // formulation it replaced ran interpreted with a boxed struct per
+      // step). Gram key = variadic xxhash64 over the gram's per-TOKEN
+      // hashes (each token hashed once per doc, not once per gram it
+      // appears in — no per-gram string allocation, and
+      // position-sensitive by construction).
       def top(n: Int): String = {
         val poly = "xxhash64(" +
           (0 until n).map(j => s"th[i + $j]").mkString(", ") + ")"
-        s"""aggregate(
-           |  array_sort(if(size(th) >= $n,
-           |    transform(sequence(0, size(th) - $n),
-           |      i -> ($poly)),
-           |    array())),
-           |  named_struct('prev', CAST(NULL AS BIGINT),
-           |    'run', 0L, 'best', 0L),
-           |  (a, x) -> named_struct('prev', x,
-           |    'run', IF(x <=> a.prev, a.run + 1L, 1L),
-           |    'best', greatest(a.best, IF(x <=> a.prev, a.run + 1L, 1L))),
-           |  a -> a.best)""".stripMargin
+        s"""maxfreq(if(size(th) >= $n,
+           |  transform(sequence(0, size(th) - $n), i -> ($poly)),
+           |  array()))""".stripMargin
       }
       def nb(n: Int): String =
         s"greatest(size(th) - ${n - 1}, 0)"
