@@ -184,6 +184,61 @@ object VectorQueries {
           expr("aggregate(cv, 0L, (a, v) -> a + abs(v))"))
     }),
 
+    // ---- RETRIEVAL METRICS HARNESS (precision@10 / MRR / nDCG@10):
+    // the eval step every retrieval stack needs and none of the index
+    // queries provide — how good is a ranking against labeled ground
+    // truth, not just against a brute-force twin (q138's recall audits
+    // measure index fidelity; this measures ranking QUALITY). Ranking =
+    // the integer-dot exact leg over the shared quantized frame (ties
+    // to smallest vec_id); relevant = shares the query vector's label.
+    // nDCG's 1/log2(i+1) weights are PINNED integer constants (×1e6) —
+    // the rank domain is 1..10, so the whole metric family stays in
+    // exact integer arithmetic (no runtime libm; the one emitted double
+    // is a single division). Scale: ranking is the q28 top-k shape
+    // (corpus-wide top-10 of 16-byte rows), metrics touch 10 rows, the
+    // ideal-DCG leg is one map-combined label count.
+    "q153_retrieval_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val wExpr = s"array(${w.mkString("L, ")}L)"
+      val e = Tables.embeddings(s, d)
+      val qv = quantizedVecs(s, d)
+      val q = qv.filter(col("vec_id") === 0).select(col("qv").as("qb"))
+      val qLabel = e.filter(col("vec_id") === 0)
+        .select(col("label").as("ql"))
+      val top10 = qv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("doti(qv, qb)").as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .withColumn("rank", row_number().over( // post-limit 10-row frame
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .crossJoin(broadcast(qLabel))
+        .select(col("rank"),
+          when(col("label") === col("ql"), 1L).otherwise(0L).as("rel"))
+      // ideal DCG: total relevant count in the corpus (minus the query
+      // itself), capped at 10, summed over the best-case weight prefix
+      val nRel = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qLabel))
+        .agg(sum(when(col("label") === col("ql"), 1L).otherwise(0L))
+          .as("n_rel_total"))
+      top10.agg(
+          sum(col("rel")).as("hits"),
+          coalesce(max(when(col("rel") === 1L,
+            expr("1000000L div rank"))), lit(0L)).as("mrr_x1e6"),
+          sum(expr(s"rel * element_at($wExpr, rank)")).as("dcg_x1e6"))
+        .crossJoin(broadcast(nRel))
+        .select(lit(10).as("k"), col("hits"), col("mrr_x1e6"),
+          col("dcg_x1e6"), col("n_rel_total"),
+          expr(s"aggregate(slice($wExpr, 1, " +
+            "CAST(least(n_rel_total, 10L) AS INT)), 0L, (a, x) -> a + x)")
+            .as("idcg_x1e6"))
+        .withColumn("ndcg",
+          col("dcg_x1e6").cast("double") / col("idcg_x1e6"))
+    }),
+
     "q28_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // query norm computed ONCE in the broadcast 1-row frame — not per
@@ -929,6 +984,43 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q120_pq_recall" -> pqOracle,
     "q28_cosine_topk" -> oracle28,
+
+    "q153_retrieval_metrics" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |qb AS (SELECT qv FROM q WHERE vec_id = 0),
+        |ql AS (SELECT label AS ql FROM embeddings WHERE vec_id = 0),
+        |ranked AS (SELECT vec_id, row_number() OVER (ORDER BY
+        |    score DESC, vec_id ASC) AS rank
+        |  FROM (SELECT t.vec_id,
+        |      list_reduce(list_transform(generate_series(1, 64),
+        |        i -> t.qv[i] * qb.qv[i]), (a, v) -> a + v) AS score
+        |    FROM q t, qb WHERE t.vec_id <> 0)),
+        |w(i, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |  (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+        |  (8, 315465), (9, 301030), (10, 289065)),
+        |rel AS (SELECT r.rank,
+        |    CASE WHEN e.label = ql.ql THEN 1 ELSE 0 END AS rel
+        |  FROM ranked r JOIN embeddings e USING (vec_id), ql
+        |  WHERE r.rank <= 10),
+        |nrel AS (SELECT CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rel_total
+        |  FROM embeddings, ql WHERE vec_id <> 0)
+        |SELECT CAST(10 AS INT) AS k,
+        |  CAST(sum(rel) AS BIGINT) AS hits,
+        |  CAST(coalesce(max(CASE WHEN rel = 1
+        |    THEN 1000000 // rank END), 0) AS BIGINT) AS mrr_x1e6,
+        |  CAST(sum(rel * w.wt) AS BIGINT) AS dcg_x1e6,
+        |  nrel.n_rel_total,
+        |  (SELECT CAST(sum(wt) AS BIGINT) FROM w
+        |    WHERE i <= least(nrel.n_rel_total, 10)) AS idcg_x1e6,
+        |  (CAST(sum(rel * w.wt) AS BIGINT)
+        |    / (SELECT CAST(sum(wt) AS BIGINT) FROM w
+        |       WHERE i <= least(nrel.n_rel_total, 10))) AS ndcg
+        |FROM rel JOIN w ON w.i = rel.rank, nrel
+        |GROUP BY nrel.n_rel_total""".stripMargin,
 
     "q152_embed_center" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,

@@ -123,6 +123,22 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q153 retrieval metrics: bounds and internal consistency") {
+    val r = SparkEntry.queries("q153_retrieval_metrics")(spark, sf)
+      .collect().head
+    val (hits, mrr, dcg, nRelTotal, idcg, ndcg) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6))
+    assert(hits >= 0 && hits <= 10)
+    if (hits > 0) assert(mrr >= 100000L && mrr <= 1000000L)
+    else assert(mrr == 0L)
+    assert(dcg <= idcg && ndcg >= 0.0 && ndcg <= 1.0)
+    val expectRel = Tables.embeddings(spark, sf).collect()
+    val ql = expectRel.find(_.getLong(0) == 0L).get.getInt(2)
+    assert(nRelTotal ==
+      expectRel.count(x => x.getLong(0) != 0L && x.getInt(2) == ql))
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
