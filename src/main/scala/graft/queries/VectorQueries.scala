@@ -377,6 +377,44 @@ object VectorQueries {
         .toDF("cid", "pos", "cval")
     }),
 
+    // ---- INCREMENTAL CENTROID REFRESH (mini-batch k-means step):
+    // completes the index lifecycle the suite already covers — build
+    // (q113) → serve (q114) → audit staleness (q130) → REFRESH, the
+    // maintenance pass a 100 TB index runs per arriving batch instead
+    // of retraining. Today's batch (vec_id%10==7, the q145/q96
+    // batch-incremental posture) is assigned to the frozen shared
+    // centroids (broadcast, map-combined argmax); each touched
+    // (cid, dim) blends old value with the batch mean under a pinned
+    // prior mass W=100 — new = floor((old·W + Σbatch)/(W + n)) — the
+    // standard EMA-style update in exact integer+floor arithmetic.
+    // Untouched cells keep their value. Scale: cost is batch × k, never
+    // corpus × k; the output is the k×64 centroid table itself.
+    "q154_centroid_refresh" -> ((s, d) => {
+      import s.implicits._
+      val cents = centroidsFull(s, d)
+      val old = cents.flatMap { case (cid, ce) =>
+          ce.zipWithIndex.map { case (v, i) => (cid, i + 1, v) } }
+        .toDF("cid", "pos", "old_val")
+      val batch = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 10 === 7)
+      val assign = Vectors.assignTrained(batch, "vec_id", "embedding",
+        cents, KmScale)
+      val sums = assign
+        .join(quantizedVecs(s, d).select(col("vec_id"), col("qv")),
+          "vec_id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("p0", "x")))
+        .select(col("cid"), (col("p0") + 1).as("pos"), col("x"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      old.join(sums, Seq("cid", "pos"), "left")
+        .select(col("cid"), col("pos"), col("old_val"),
+          coalesce(
+            expr("CAST(floor(CAST(old_val * 100 + sx AS DOUBLE)" +
+              " / (100 + n)) AS BIGINT)"),
+            col("old_val")).as("new_val"),
+          coalesce(col("n"), lit(0L)).as("n_new"))
+    }),
+
     // ---- trained-IVF recall audit: the q102 measurement re-run with
     // centroids from q113's k-means instead of the fixed vec_id<16 set,
     // probing the query's 3 nearest lists. The synthetic embeddings are
@@ -1153,6 +1191,25 @@ object VectorQueries {
       s"""WITH $kmeansCtes
         |SELECT c.cid, CAST(g.pos AS INT) AS pos, c.ce[g.pos] AS cval
         |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)""".stripMargin,
+
+    "q154_centroid_refresh" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |b AS (SELECT a.cid, g.pos,
+        |    CAST(sum(q.qv[g.pos]) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM a${KmIters + 1} a JOIN q USING (vec_id)
+        |  CROSS JOIN generate_series(1, 64) g(pos)
+        |  WHERE vec_id % 10 = 7
+        |  GROUP BY 1, 2)
+        |SELECT c.cid, CAST(g.pos AS INT) AS pos,
+        |  c.ce[g.pos] AS old_val,
+        |  CAST(coalesce(CAST(floor(CAST(c.ce[g.pos] * 100 + b.sx
+        |      AS DOUBLE) / (100 + b.n)) AS BIGINT),
+        |    c.ce[g.pos]) AS BIGINT) AS new_val,
+        |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_new
+        |FROM c$KmIters c CROSS JOIN generate_series(1, 64) g(pos)
+        |LEFT JOIN b ON b.cid = c.cid AND b.pos = g.pos""".stripMargin,
 
     "q130_ivf_staleness" ->
       s"""WITH ${kmeansCtesWhere(

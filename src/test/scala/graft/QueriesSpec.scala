@@ -139,6 +139,22 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       expectRel.count(x => x.getLong(0) != 0L && x.getInt(2) == ql))
   }
 
+  test("q154 centroid refresh: k x 64 cells, untouched cells identical, " +
+    "batch mass conserved per dimension") {
+    val out = SparkEntry.queries("q154_centroid_refresh")(spark, sf)
+      .collect()
+    assert(out.length == 8 * 64)
+    out.foreach { r =>
+      if (r.getLong(4) == 0L) assert(r.getLong(2) == r.getLong(3),
+        s"untouched cell moved: $r")
+    }
+    val batchN = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 7).count()
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(4)).sum == batchN)
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
