@@ -232,6 +232,34 @@ object CorpusQueries {
             && col("top4") * 100 <= col("nb4") * 16)
     }),
 
+    // ---- CORPUS DATASHEET (the "dataset card" composition table every
+    // released corpus ships — docs/tokens/chars, exact-dup rate, mean
+    // doc length per (source, lang) stratum): the one-stop report a mix
+    // designer reads before q61/q99/q136 decide budgets. Scale: one
+    // scan; everything map-combines except the exact-dup leg, which
+    // exchanges 16-byte text digests pre-combined per stratum (the q20
+    // discipline). Output is n_sources × n_langs rows; the two ratios
+    // are single divisions of exact integers.
+    "q155_corpus_datasheet" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          md5(col("text").cast("binary")).as("h"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          length(col("text")).cast("bigint").as("chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"),
+          countDistinct(col("h")).as("n_unique"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_tokens"), col("n_chars"), col("n_unique"),
+          (col("n_docs") - col("n_unique")).as("dup_docs"),
+          (col("n_tokens").cast("double") / col("n_docs"))
+            .as("avg_tokens"),
+          (col("n_unique").cast("double") / col("n_docs"))
+            .as("unique_ratio"))
+    }),
+
     // ---- repetition ratio: max single-token frequency / token count per
     // doc — the standard "repetitive junk" quality signal
     "q54_repetition" -> ((s, d) => {
@@ -932,6 +960,21 @@ object CorpusQueries {
         |    AND coalesce(w.top4, 0) * 100 <= coalesce(w.nb4, 0) * 16)
         |    AS keep
         |FROM documents d LEFT JOIN wide w USING (doc_id)""".stripMargin,
+
+    "q155_corpus_datasheet" ->
+      """SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |    AS dup_docs,
+        |  (CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT)) AS avg_tokens,
+        |  (CAST(count(DISTINCT md5(text)) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT)) AS unique_ratio
+        |FROM documents
+        |GROUP BY source, lang""".stripMargin,
 
     "q54_repetition" ->
       """WITH tc AS (

@@ -155,6 +155,18 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q155 datasheet: strata cover the corpus exactly, ledger sane") {
+    val out = SparkEntry.queries("q155_corpus_datasheet")(spark, sf)
+      .collect()
+    assert(out.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (nDocs, nUnique, dup) = (r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(nUnique >= 1 && nUnique <= nDocs && dup == nDocs - nUnique)
+      assert(r.getDouble(8) > 0.0 && r.getDouble(8) <= 1.0)
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
