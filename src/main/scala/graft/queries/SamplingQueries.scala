@@ -100,7 +100,13 @@ object SamplingQueries {
     // candidate-pair frame (built once per run, Shared.frame) and a
     // stateless hash-split projection on each side; the audit itself
     // shuffles only (doc_id, split) pairs and aggregates to at most
-    // 3×3 rows. leaky marks cross-split rows.
+    // 3×3 rows. leaky marks cross-split rows. Staging contract: the
+    // pair frame is the q21/q62/q111 one — clone-quadratic BY
+    // DEFINITION (every near-dup pair is its subject matter), so like
+    // the rest of that family this audit runs AFTER exact dedup; the
+    // 100× pure-clone smoke (148 s, 26.7 GB spill, all in the
+    // inherited pair build) measures the adversarial input that stage
+    // ordering exists to rule out.
     "q149_split_leakage" -> ((s, d) => {
       val split = Tables.documents(s, d).select(col("doc_id"),
         when(hashBucket("doc_id", 1, 100) < 80, lit("train"))

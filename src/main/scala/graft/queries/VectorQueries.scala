@@ -399,9 +399,16 @@ object VectorQueries {
         .filter(col("vec_id") % 10 === 7)
       val assign = Vectors.assignTrained(batch, "vec_id", "embedding",
         cents, KmScale)
+      // batch vectors re-quantize INLINE (the quantizedVecs expression)
+      // rather than joining the full shared corpus frame — the 100×
+      // smoke measured that join moving 275 MB of corpus qv rows for a
+      // 10% batch; this way only batch rows ever exist in the plan
+      val batchQv = batch.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * ${KmScale}L) AS BIGINT))")
+          .as("qv"))
       val sums = assign
-        .join(quantizedVecs(s, d).select(col("vec_id"), col("qv")),
-          "vec_id")
+        .join(batchQv, "vec_id")
         .select(col("cid"), posexplode(col("qv")).as(Seq("p0", "x")))
         .select(col("cid"), (col("p0") + 1).as("pos"), col("x"))
         .groupBy(col("cid"), col("pos"))
