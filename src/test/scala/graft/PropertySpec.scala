@@ -36,6 +36,23 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("maxfreq == reference multiplicity count on random long arrays") {
+    graft.plans.MaxFreqL.register(spark)
+    import spark.implicits._
+    // small value domain forces collisions; varying lengths hit the
+    // empty/singleton edges
+    val arrGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-3L, 3L)))
+    val arrays = samples(arrGen, 40)
+    val got = arrays.map(_.toSeq).toDF("xs")
+      .select(expr("maxfreq(xs)")).collect().map(_.getLong(0))
+    val want = arrays.map { xs =>
+      if (xs.isEmpty) 0L
+      else xs.groupBy(identity).values.map(_.length).max.toLong
+    }
+    assert(got.toSeq == want)
+  }
+
   test("upsert: output keys = union of inputs, staging wins on overlap") {
     val dimGen = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 10L), Gen.alphaStr))
     val stgGen = Gen.listOfN(20, Gen.zip(Gen.choose(5L, 15L), Gen.alphaStr))
