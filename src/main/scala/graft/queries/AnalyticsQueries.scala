@@ -259,10 +259,58 @@ object AnalyticsQueries {
         Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price")),
         "measure", "val")
+    }),
+
+    // ---- EVENT-RATE SPIKE DETECTION: per (user, hour) event counts
+    // flagged when the current hour reaches 1.5× the mean of the
+    // user's previous three OBSERVED active hours (cur×2 ≥ Σtrail3,
+    // integer cross-multiplied; a full 3-hour baseline is required —
+    // partial histories never flag). The abuse/runaway-client monitor
+    // on the events feed, complementing q137's corpus-level drift with
+    // an entity-level rate signal. Hours are epoch-micros truncated by
+    // integer arithmetic on the normalized ts_us (the q41 idiom — no
+    // timestamp comparisons cross-engine). Scale: one map-combined
+    // (user, hour) count, then a window partitioned by user_id —
+    // high-cardinality grain (the q75/q98 audit class), rows-bounded
+    // frame of 3.
+    "q156_rate_spike" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("user_id"),
+          (col("ts_us") - (col("ts_us") % 3600000000L)).as("hour_us"))
+        .groupBy(col("user_id"), col("hour_us"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+        .rowsBetween(-3, -1)
+      hourly.select(col("user_id"), col("hour_us"), col("n"),
+          coalesce(sum(col("n")).over(w), lit(0L)).as("trail_sum"),
+          count(lit(1)).over(w).as("trail_n"))
+        .withColumn("spike",
+          col("trail_n") === 3 && col("n") * 2 >= col("trail_sum"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q156_rate_spike" ->
+      """WITH t AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000)
+        |      % 3600000000) AS hour_us
+        |  FROM events),
+        |h AS (SELECT user_id, hour_us, CAST(count(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1, 2)
+        |SELECT user_id, hour_us, n,
+        |  CAST(coalesce(sum(n) OVER (PARTITION BY user_id
+        |    ORDER BY hour_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS trail_sum,
+        |  CAST(count(*) OVER (PARTITION BY user_id
+        |    ORDER BY hour_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT) AS trail_n,
+        |  (count(*) OVER (PARTITION BY user_id ORDER BY hour_us
+        |     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) = 3
+        |   AND n * 2 >= coalesce(sum(n) OVER (PARTITION BY user_id
+        |     ORDER BY hour_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |     0)) AS spike
+        |FROM h""".stripMargin,
+
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,

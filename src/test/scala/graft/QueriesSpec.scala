@@ -167,6 +167,18 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q156 rate spike: hourly counts conserve events, spikes only " +
+    "with a full 3-hour baseline and the 1.5x rule") {
+    val out = SparkEntry.queries("q156_rate_spike")(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+    out.foreach { r =>
+      val (n, trailSum, trailN, spike) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(trailN >= 0 && trailN <= 3)
+      assert(spike == (trailN == 3 && n * 2 >= trailSum))
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
