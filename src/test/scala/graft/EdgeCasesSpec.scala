@@ -217,6 +217,33 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getLong(1) == 150000L && out.head.getLong(2) == 0L)
   }
 
+  test("q147 gopher gate: single-token and short docs are vacuous " +
+    "keeps; a pure chant doc fails every family") {
+    val d = docsDir(Seq(
+      (1L, "solo", "en", "s0", 4L), // 1 token: no grams at any n
+      (2L, "a b", "en", "s0", 3L), // bigram only, top2==nb2==1 → fail 2
+      (3L, ("spam ham " * 20).trim, "en", "s0", 159L), // chant
+      (4L, "one two three four five six seven eight nine ten",
+        "en", "s0", 49L))) // all-distinct grams
+    val out = SparkEntry.queries("q147_gopher_repetition")(spark, d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 0L && out(1L).getBoolean(8)) // vacuous
+    // 2 tokens: the single bigram is 100% of bigrams → fails the 20% rule
+    assert(!out(2L).getBoolean(8))
+    assert(!out(3L).getBoolean(8)) // chant dominated at every n
+    assert(out(4L).getBoolean(8)) // all-distinct: top == 1 everywhere
+  }
+
+  test("q155 datasheet: all-clone stratum reports n_unique=1") {
+    val d = docsDir(Seq(
+      (1L, "same text", "en", "s0", 9L),
+      (2L, "same text", "en", "s0", 9L),
+      (3L, "same text", "en", "s0", 9L)))
+    val r = SparkEntry.queries("q155_corpus_datasheet")(spark, d)
+      .collect().head
+    assert(r.getLong(2) == 3L && r.getLong(5) == 1L && r.getLong(6) == 2L)
+  }
+
   test("dHash: malformed payloads drop; a constant raster hashes to 0") {
     import graft.multimodal.Multimodal
     import spark.implicits._
