@@ -122,6 +122,41 @@ object SamplingQueries {
         .withColumn("leaky", col("split_a") =!= col("split_b"))
     }),
 
+    // ---- RIGHT-TO-BE-FORGOTTEN propagation audit: given a tombstone
+    // set (a deterministic ~2% hash slice stands in for the deletion-
+    // request table), report every surface a purge job must touch —
+    // documents, the embedding store (shared id space), and the LSH
+    // candidate-pair frame (pairs citing a tombstoned doc) — plus the
+    // post-purge row counts. The compliance sweep a 100 TB lake runs
+    // before certifying a deletion batch; derived surfaces (pairs,
+    // indexes) are exactly the places naive delete jobs miss. Scale:
+    // tombstones join as a plain equi-join (hash-distributable at any
+    // tombstone cardinality — NOT a broadcast contract), the pair leg
+    // rides the one shared frame, and each leg folds to one row before
+    // the 1-row joins combine them.
+    "q158_forget_audit" -> ((s, d) => {
+      val tomb = Tables.documents(s, d).select(col("doc_id"))
+        .filter(hashBucket("doc_id", 7, 50) === 13)
+      val docs = Tables.documents(s, d)
+      val nTomb = tomb.agg(count(lit(1)).as("n_tombstones"))
+      val nVec = Tables.embeddings(s, d)
+        .join(tomb.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+        .agg(count(lit(1)).as("n_vec_rows"))
+      val pairs = TextQueries.sharedCandidatePairs(s, d)
+      val nPair = pairs
+        .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+          "left_semi")
+        .unionByName(pairs
+          .join(tomb.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+            "left_semi")
+          .select(col("doc_a"), col("doc_b")))
+        .distinct()
+        .agg(count(lit(1)).as("n_pairs_touched"))
+      val nAfter = docs.join(tomb, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs_after"))
+      nTomb.crossJoin(nVec).crossJoin(nPair).crossJoin(nAfter)
+    }),
+
     // ---- stratified sampling with per-stratum rates (upsample scarce
     // languages, downsample English): en 20%, others 50%, decided by an
     // independent hash window. Emits the sampled docs themselves.
@@ -489,6 +524,22 @@ object SamplingQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "q158_forget_audit" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |tomb AS (SELECT doc_id FROM documents
+        |  WHERE ${hashBucketSql("doc_id", 7, 50)} = 13)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tomb) AS n_tombstones,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings e
+        |     JOIN tomb t ON e.vec_id = t.doc_id) AS n_vec_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+        |     WHERE p.doc_a IN (SELECT doc_id FROM tomb)
+        |        OR p.doc_b IN (SELECT doc_id FROM tomb))
+        |    AS n_pairs_touched,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE doc_id NOT IN (SELECT doc_id FROM tomb))
+        |    AS n_docs_after""".stripMargin,
 
     "q148_epoch_shuffle" ->
       s"""WITH k AS (SELECT doc_id,

@@ -184,6 +184,27 @@ object VectorQueries {
           expr("aggregate(cv, 0L, (a, v) -> a + abs(v))"))
     }),
 
+    // ---- EMBEDDING NORM QA (pre-index data-quality audit): the
+    // distribution of squared norms, log2-bucketed, plus degenerate
+    // counts — the check that catches broken encoders (zero vectors,
+    // magnitude blowups, mixed scales) BEFORE an index is built on
+    // them; the vector-side sibling of q78's relational DQ audit.
+    // log2 bucketing is INTEGER-EXACT: bucket = length(bin(n2)) — the
+    // bit length of the exact integer squared norm from the shared
+    // quantized frame — so no libm log enters the contract. Scale: one
+    // map-side pass over (vec_id, n2), one map-combined aggregate to
+    // ≤64 buckets.
+    "q157_norm_audit" -> ((s, d) => {
+      quantizedVecs(s, d)
+        .select(col("vec_id"), col("n2"),
+          length(expr("bin(n2)")).cast("bigint").as("bits"))
+        .groupBy(col("bits"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("n2")).as("min_n2"),
+          max(col("n2")).as("max_n2"),
+          sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    }),
+
     // ---- RETRIEVAL METRICS HARNESS (precision@10 / MRR / nDCG@10):
     // the eval step every retrieval stack needs and none of the index
     // queries provide — how good is a ranking against labeled ground
@@ -1029,6 +1050,23 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q120_pq_recall" -> pqOracle,
     "q28_cosine_topk" -> oracle28,
+
+    "q157_norm_audit" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    CAST(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> qv[i] * qv[i]), (a, v) -> a + v) AS BIGINT) AS n2
+        |  FROM q)
+        |SELECT CAST(length(bin(n2)) AS BIGINT) AS bits,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(n2) AS min_n2,
+        |  max(n2) AS max_n2,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero
+        |FROM n GROUP BY 1""".stripMargin,
 
     "q153_retrieval_metrics" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,

@@ -179,6 +179,36 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q157 norm audit: buckets cover every vector, bit-length bounds " +
+    "hold") {
+    val out = SparkEntry.queries("q157_norm_audit")(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      val (bits, minN2, maxN2) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(minN2 <= maxN2)
+      // bit length of both extremes must be the bucket's bit count
+      assert(java.lang.Long.toBinaryString(math.max(minN2, 0L)).length
+        == bits.toInt || minN2 == 0L && bits == 1L)
+      assert(java.lang.Long.toBinaryString(math.max(maxN2, 1L)).length
+        == bits.toInt || maxN2 == 0L && bits == 1L)
+    }
+  }
+
+  test("q158 forget audit: tombstone ledger balances across surfaces") {
+    val r = SparkEntry.queries("q158_forget_audit")(spark, sf)
+      .collect().head
+    val (nTomb, nVec, nPairs, nAfter) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val total = Tables.documents(spark, sf).count()
+    assert(nTomb > 0 && nAfter == total - nTomb)
+    // embeddings share the id space 1:1 on this data
+    assert(nVec == nTomb)
+    val allPairs = SparkEntry.queries("q21_minhash_pairs")(spark, sf)
+      .count()
+    assert(nPairs >= 0 && nPairs <= allPairs)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
