@@ -32,6 +32,8 @@ import org.apache.spark.storage.StorageLevel
 object Shared {
   private val centCache =
     TrieMap.empty[(String, String, String), Seq[(Int, Seq[Long])]]
+  private val bookCache =
+    TrieMap.empty[(String, String, String), Map[Int, Seq[(Int, Seq[Long])]]]
   private val frameCache = TrieMap.empty[(String, String, String), DataFrame]
 
   private def appId(s: SparkSession): String = s.sparkContext.applicationId
@@ -40,6 +42,13 @@ object Shared {
   def centroids(s: SparkSession, key: String, dir: String)(
       train: => Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] =
     centCache.getOrElseUpdate((appId(s), key, dir), train)
+
+  /** Memoize a deterministic multi-codebook training run (one codebook
+    * set per subspace group id — the kmeansQMulti shape) under
+    * (session, key, dir). */
+  def books(s: SparkSession, key: String, dir: String)(
+      train: => Map[Int, Seq[(Int, Seq[Long])]]): Map[Int, Seq[(Int, Seq[Long])]] =
+    bookCache.getOrElseUpdate((appId(s), key, dir), train)
 
   /** Memoize + persist a deterministic frame under (session, key, dir).
     * The builder runs at most once per session per dir; consumers share
@@ -54,6 +63,7 @@ object Shared {
   private[graft] def reset(s: SparkSession): Unit = {
     val id = appId(s)
     centCache.keys.filter(_._1 == id).foreach(centCache.remove)
+    bookCache.keys.filter(_._1 == id).foreach(bookCache.remove)
     frameCache.keys.filter(_._1 == id).foreach { k =>
       frameCache.remove(k).foreach(_.unpersist(blocking = false))
     }

@@ -25,6 +25,110 @@ object WarehouseQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- QUANTILE SKETCH audit (the q74/q123 idiom for order
+    // statistics): per group, exact discrete percentiles (the values a
+    // replayable engine must agree on) next to approx_percentile's
+    // KLL-style sketch estimates, with tolerance verdicts asserted as
+    // columns — the oracle pins the verdicts TRUE, so a sketch drifting
+    // past 1% on these group sizes fails the hash, not just a log line.
+    // At 100 TB exact per-group percentiles need a full sort per group;
+    // the sketch is the production path and THIS audit is what licenses
+    // it. One pass, all aggregates map-side combinable (the sketch
+    // merges associatively).
+    "q160_quantile_sketch_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("percentile_disc(0.25) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("p25"),
+          expr("percentile_disc(0.50) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("p75"),
+          expr("percentile_disc(0.95) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("p95"),
+          expr("approx_percentile(l_extendedprice, " +
+            "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("p25"), col("p50"), col("p75"), col("p95"),
+          (abs(element_at(col("ap"), 1) - col("p25"))
+            <= col("p25") * 0.01).as("p25_ok"),
+          (abs(element_at(col("ap"), 2) - col("p50"))
+            <= col("p50") * 0.01).as("p50_ok"),
+          (abs(element_at(col("ap"), 3) - col("p75"))
+            <= col("p75") * 0.01).as("p75_ok"),
+          (abs(element_at(col("ap"), 4) - col("p95"))
+            <= col("p95") * 0.01).as("p95_ok"))
+    }),
+
+    // ---- SMALL-FILE COMPACTION planner (the Delta/Iceberg OPTIMIZE
+    // shape): given a per-partition file inventory (simulated here at
+    // doc_id-div-8 grain with byte sizes from n_chars), plan merge
+    // groups targeting ~20 kB bins — files ordered largest-first within
+    // their table partition, assigned to a bin by exclusive running
+    // sum div target (sorted greedy sequential fill, the q110 prefix
+    // idiom at file grain). The window is per-PARTITION over file
+    // METADATA — thousands of rows per partition at 100 TB, never data
+    // rows — which is exactly the scale a production compaction planner
+    // operates at (the driver-side Delta OPTIMIZE planner does the same
+    // with a collect; this stays distributed). Output: one row per
+    // (partition, bin) with its file count and byte total.
+    "q161_compaction_plan" -> ((s, d) => {
+      val target = 20000L
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"), expr("doc_id div 8").as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bytes").desc, col("file_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before",
+          coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .groupBy(col("source"),
+          expr(s"cum_before div ${target}L").as("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          max(col("bytes")).as("max_file_bytes"))
+    }),
+
+    // ---- ZONE-MAP file-skipping audit: how many files would per-file
+    // min/max statistics prune for a date-range predicate, compared
+    // across two physical layouts — "arrival" (files grouped by
+    // l_orderkey ranges: every file spans the full shipdate range,
+    // nothing prunes) vs "clustered" (files laid out by ship month:
+    // almost everything outside the predicate window prunes). The
+    // comparison IS the lesson a 100 TB table owner acts on: zone maps
+    // are only as good as the clustering that feeds them (q117's
+    // z-order is the 2-D version of the fix). Stats are one group-by
+    // per layout at file grain; the audit folds to two rows; row-level
+    // ground truth (rows_matching) exposes the false-positive scan cost
+    // alongside the file counts. All date/int comparisons exact.
+    "q162_zonemap_audit" -> ((s, d) => {
+      val lo = lit("1997-01-01").cast("date")
+      val hi = lit("1997-06-30").cast("date")
+      val li = Tables.lineitem(s, d)
+        .select(to_date(col("l_shipdate")).as("sd"), col("l_orderkey"))
+      def audit(withFile: DataFrame, layout: String): DataFrame =
+        withFile
+          .groupBy(col("file_id"))
+          .agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"),
+            count(lit(1)).as("n_rows"),
+            sum(when(col("sd").between(lo, hi), 1L).otherwise(0L))
+              .as("n_match"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mx") < lo || col("mn") > hi, 1L).otherwise(0L))
+              .as("n_pruned"),
+            sum(when(!(col("mx") < lo || col("mn") > hi), col("n_rows"))
+              .otherwise(0L)).as("rows_scanned"),
+            sum(col("n_match")).as("rows_matching"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("n_pruned"), col("rows_scanned"), col("rows_matching"))
+      audit(li.withColumn("file_id", expr("l_orderkey div 1024")),
+          "arrival")
+        .unionByName(audit(li.withColumn("file_id",
+          (year(col("sd")) * 100 + month(col("sd"))).cast("bigint")),
+          "clustered"))
+    }),
+
     // ---- TF-IDF term ranking: top token per doc by tf/df. The score is
     // one double division of two small ints (exact same bits on both
     // engines); ties break on token. df is a token-keyed shuffle whose
@@ -510,6 +614,70 @@ object WarehouseQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // exact discrete percentiles replayed; the sketch-tolerance verdicts
+    // are pinned TRUE — drift past 1% fails the hash (the q74 idiom)
+    "q160_quantile_sketch_audit" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  quantile_disc(l_extendedprice, 0.25) AS p25,
+        |  quantile_disc(l_extendedprice, 0.50) AS p50,
+        |  quantile_disc(l_extendedprice, 0.75) AS p75,
+        |  quantile_disc(l_extendedprice, 0.95) AS p95,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q161_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id // 8 AS file_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, file_id, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+        |      ORDER BY bytes DESC, file_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM f)
+        |SELECT source, cum_before // 20000 AS bin,
+        |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  max(bytes) AS max_file_bytes
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q162_zonemap_audit" ->
+      """WITH li AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS sd, l_orderkey
+        |  FROM lineitem),
+        |fa AS (
+        |  SELECT l_orderkey // 1024 AS file_id, min(sd) AS mn,
+        |    max(sd) AS mx, count(*) AS n_rows,
+        |    sum(CASE WHEN sd BETWEEN DATE '1997-01-01'
+        |      AND DATE '1997-06-30' THEN 1 ELSE 0 END) AS n_match
+        |  FROM li GROUP BY 1),
+        |fc AS (
+        |  SELECT CAST(year(sd) * 100 + month(sd) AS BIGINT) AS file_id,
+        |    min(sd) AS mn, max(sd) AS mx, count(*) AS n_rows,
+        |    sum(CASE WHEN sd BETWEEN DATE '1997-01-01'
+        |      AND DATE '1997-06-30' THEN 1 ELSE 0 END) AS n_match
+        |  FROM li GROUP BY 1)
+        |SELECT 'arrival' AS layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN mx < DATE '1997-01-01'
+        |    OR mn > DATE '1997-06-30' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pruned,
+        |  CAST(sum(CASE WHEN NOT (mx < DATE '1997-01-01'
+        |    OR mn > DATE '1997-06-30') THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned,
+        |  CAST(sum(n_match) AS BIGINT) AS rows_matching
+        |FROM fa
+        |UNION ALL
+        |SELECT 'clustered' AS layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN mx < DATE '1997-01-01'
+        |    OR mn > DATE '1997-06-30' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pruned,
+        |  CAST(sum(CASE WHEN NOT (mx < DATE '1997-01-01'
+        |    OR mn > DATE '1997-06-30') THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned,
+        |  CAST(sum(n_match) AS BIGINT) AS rows_matching
+        |FROM fc""".stripMargin,
+
     "q151_analyze_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  min(l_quantity) AS qty_min,

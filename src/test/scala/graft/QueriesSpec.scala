@@ -209,6 +209,67 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(nPairs >= 0 && nPairs <= allPairs)
   }
 
+  test("q159 ivf-pq: recall well-formed, deterministic across runs") {
+    val r = SparkEntry.queries("q159_ivfpq_recall")(spark, sf)
+      .collect().head
+    val (k, hits, recall) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+    assert(k == 10 && hits >= 0 && hits <= 10)
+    assert(recall == hits.toDouble / 10)
+    val again = SparkEntry.queries("q159_ivfpq_recall")(spark, sf)
+      .collect().head
+    assert(again.getLong(1) == hits)
+  }
+
+  test("q160 quantile sketch audit: percentiles ordered, drawn from the " +
+    "data, and every sketch verdict within tolerance") {
+    val out = SparkEntry.queries("q160_quantile_sketch_audit")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).toSet).toMap
+    out.foreach { r =>
+      val ps = (2 to 5).map(r.getDouble)
+      assert(ps == ps.sorted, s"percentiles not ordered: $r")
+      // discrete percentiles are actual group members, never interpolated
+      ps.foreach(p => assert(li(r.getString(0)).contains(p)))
+      (6 to 9).foreach(i => assert(r.getBoolean(i),
+        s"sketch out of tolerance: $r"))
+    }
+  }
+
+  test("q161 compaction plan: files and bytes conserve, bins contiguous " +
+    "from 0 per source") {
+    val out = SparkEntry.queries("q161_compaction_plan")(spark, sf)
+      .collect()
+    val files = Tables.documents(spark, sf)
+      .groupBy(col("source"), expr("doc_id div 8")).count()
+    assert(out.map(_.getLong(2)).sum == files.count())
+    assert(out.map(_.getLong(3)).sum ==
+      Tables.documents(spark, sf).agg(sum("n_chars")).collect()
+        .head.getLong(0))
+    out.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L, "first bin per source must be 0")
+    }
+  }
+
+  test("q162 zone-map audit: both layouts agree on ground truth; " +
+    "clustering never prunes less") {
+    val out = SparkEntry.queries("q162_zonemap_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (aF, aP, aS, aM) = out("arrival")
+    val (cF, cP, cS, cM) = out("clustered")
+    assert(aM == cM, "layouts disagree on matching rows")
+    assert(aP <= aF && cP <= cF)
+    assert(aS >= aM && cS >= cM)
+    // month-clustered files prune at least as well as arrival order
+    assert(cP * aF >= aP * cF)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
