@@ -260,6 +260,53 @@ object Multimodal {
     })
   }
 
+  /** One audio subfingerprint shingle: `key` joins `shingle` consecutive
+    * 7-bit band-energy-delta subfingerprints starting at window `idx`. */
+  case class AudioShingle(doc_id: Long, idx: Int, key: String)
+
+  /** STUB audio framing standing in for a PCM decoder (payload bytes =
+    * the waveform, per the toAssets contract) with REAL fingerprint
+    * arithmetic: the Haitsma–Kalker (2002) energy-difference scheme —
+    * `win`-byte windows at `hop` stride (overlapping, unlike
+    * sampleFrames' disjoint stripes), 8 equal time bands per window,
+    * bit m of a window's subfingerprint set when the band-energy
+    * difference (E(i,m) − E(i,m+1)) increased vs the previous window.
+    * Matching robustness comes from shingling `shingle` consecutive
+    * subfingerprints into one key. All-integer; fingerprinting runs per
+    * partition off the scan — payload bytes never shuffle, only
+    * (doc_id, idx, key) rows leave the decode partition.
+    */
+  def audioShingles(spark: SparkSession, assets: Dataset[Asset],
+                    win: Int = 64, hop: Int = 32,
+                    shingle: Int = 8): Dataset[AudioShingle] = {
+    import spark.implicits._
+    require(win > 0 && hop > 0 && shingle > 0 && win % 8 == 0,
+      s"bad audio framing: win=$win hop=$hop shingle=$shingle")
+    val bands = 8
+    val bw = win / bands
+    assets.mapPartitions(_.flatMap { a =>
+      val p = a.payload
+      val nWin = if (p.length < win) 0 else (p.length - win) / hop + 1
+      val en = Array.tabulate(nWin, bands) { (i, m) =>
+        var s = 0; var j = 0
+        while (j < bw) { s += p(i * hop + m * bw + j) & 0xFF; j += 1 }
+        s
+      }
+      val sfs = (1 until nWin).map { i =>
+        var v = 0; var m = 0
+        while (m < bands - 1) {
+          if ((en(i)(m) - en(i)(m + 1))
+            - (en(i - 1)(m) - en(i - 1)(m + 1)) > 0) v |= 1 << m
+          m += 1
+        }
+        v
+      }
+      (0 to sfs.length - shingle).iterator.map { k =>
+        AudioShingle(a.doc_id, k, sfs.slice(k, k + shingle).mkString("-"))
+      }
+    })
+  }
+
   /** STUB resize standing in for an image scaler: output payload is
     * exactly `w*h` bytes (truncated or 0x20-padded). Deterministic, so
     * downstream feature extraction stays oracle-checkable.

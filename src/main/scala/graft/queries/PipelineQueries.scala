@@ -153,6 +153,38 @@ object PipelineQueries {
         .filter(col("shared_frames") >= 2)
     }),
 
+    // ---- AUDIO near-dup via overlapping energy-delta fingerprints:
+    // the third modality leg beside q143 (whole-image dHash) and q144
+    // (disjoint video-frame stripes). The fingerprint is the
+    // Haitsma–Kalker shape real audio matchers use — band-energy
+    // DELTAS over OVERLAPPING windows (hop = win/2), which survive
+    // amplitude shifts that raw frame hashes don't — shingled 8 deep
+    // so only runs of matching windows count, then the q144 inverted-
+    // index discipline: distinct (doc_id, 16-byte md5) rows, bucket
+    // cap ≤ 20 (fingerprints carry per-doc multiplicity like q144's,
+    // oracle-mirrored), pairs sharing ≥ 2 distinct shingle keys.
+    // Payload bytes never shuffle (audioShingles slices per partition);
+    // the fingerprint frame persists once per run (production stores
+    // it as the match index). Oracle replays the window/band/delta
+    // arithmetic as integer SQL over the same bytes.
+    "q163_audio_neardup" -> ((s, d) => {
+      val sh = Shared.frame(s, "audio_fp", d)(
+        Multimodal.audioShingles(s,
+            Multimodal.toAssets(s, Tables.documents(s, d)))
+          .toDF()
+          .select(col("doc_id"), md5(col("key")).as("h"))
+          .distinct())
+      val sz = sh.groupBy(col("h")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= 20).select(col("h"))
+      val ok = sh.join(sz, "h")
+      val a = ok.select(col("h"), col("doc_id").as("a"))
+      val b = ok.select(col("h"), col("doc_id").as("b"))
+      a.join(b, "h").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_keys"))
+        .filter(col("shared_keys") >= 2)
+    }),
+
     // ---- batch strike accounting: flagged events per user + INACTIVE
     // threshold (streaming StrikeMonitor's batch twin)
     "q33_strike_batch" -> ((s, d) => {
@@ -225,6 +257,42 @@ object PipelineQueries {
         |ok AS (SELECT fh.* FROM fh JOIN sz USING (h))
         |SELECT a.doc_id AS a, b.doc_id AS b,
         |  count(*) AS shared_frames
+        |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // integer replay of audioShingles' window/band/delta arithmetic:
+    // en = 8 band sums per 64-byte window at stride 32; subfingerprint
+    // bit m−1 set when the band-delta increased vs the previous window;
+    // shingle = 8 consecutive subfingerprints joined '-'
+    "q163_audio_neardup" ->
+      """WITH w AS (SELECT doc_id, text, length(text) AS L
+        |  FROM documents WHERE length(text) >= 64),
+        |e AS (
+        |  SELECT doc_id, i,
+        |    list_transform(generate_series(0, 7), m ->
+        |      list_reduce(list_transform(generate_series(1, 8), j ->
+        |        ord(substr(text, i*32 + m*8 + j, 1))), (a, v) -> a + v))
+        |      AS en
+        |  FROM w, unnest(generate_series(0, (L - 64) // 32)) t(i)),
+        |sf AS (
+        |  SELECT c.doc_id, c.i,
+        |    list_reduce(list_transform(generate_series(1, 7), m ->
+        |      CASE WHEN (c.en[m] - c.en[m+1]) - (p.en[m] - p.en[m+1]) > 0
+        |        THEN 1 << (m - 1) ELSE 0 END), (a, v) -> a + v) AS sfp
+        |  FROM e c JOIN e p ON p.doc_id = c.doc_id AND p.i = c.i - 1),
+        |sl AS (SELECT doc_id, list(sfp ORDER BY i) AS sfs
+        |  FROM sf GROUP BY doc_id),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(sfs[k:k+7], '-')) AS h
+        |  FROM sl, unnest(generate_series(1, len(sfs) - 7)) t(k)),
+        |sz AS (SELECT h FROM
+        |    (SELECT h, count(*) AS m FROM sh GROUP BY h)
+        |  WHERE m <= 20),
+        |ok AS (SELECT sh.* FROM sh JOIN sz USING (h))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  count(*) AS shared_keys
         |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,

@@ -146,6 +146,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(hsUp == hs, "dHash must survive a 2x nearest-neighbor upscale")
   }
 
+  test("audio fingerprints: window math, clone collision, and " +
+    "amplitude-shift invariance (the point of the delta scheme)") {
+    import spark.implicits._
+    // deterministic pseudo-waveform long enough for several shingles
+    val wave = (0 until 800).map(i => ((i * 37 + i * i % 53) % 94 + 32)
+      .toChar).mkString
+    val docs = Seq((1L, wave), (2L, wave), (3L, wave.reverse))
+      .toDF("doc_id", "text")
+    val sh = Multimodal.audioShingles(spark,
+        Multimodal.toAssets(spark, docs)).collect()
+    // window count: (800-64)/32+1 = 24 windows -> 23 sfs -> 16 shingles
+    val byDoc = sh.groupBy(_.doc_id)
+    assert(byDoc(1L).length == 16)
+    assert(byDoc(1L).map(s => s.idx -> s.key).toMap
+      == byDoc(2L).map(s => s.idx -> s.key).toMap,
+      "clones must fingerprint identically")
+    assert(byDoc(1L).map(_.key).toSet != byDoc(3L).map(_.key).toSet,
+      "different content must diverge")
+    // amplitude shift: +1 on every sample (no byte overflow: max 127)
+    // cancels in the double delta, so fingerprints are identical
+    val shifted = wave.map(c => (c + 1).toChar).mkString
+    val sh2 = Multimodal.audioShingles(spark,
+        Multimodal.toAssets(spark, Seq((9L, shifted))
+          .toDF("doc_id", "text"))).collect()
+    assert(sh2.map(s => s.idx -> s.key).toMap
+      == byDoc(1L).map(s => s.idx -> s.key).toMap,
+      "constant amplitude shift must not move the fingerprint")
+    // too-short payloads emit nothing (need >= shingle+1 windows)
+    val short = Multimodal.audioShingles(spark,
+      Multimodal.toAssets(spark, Seq((5L, "x" * 300))
+        .toDF("doc_id", "text"))).collect()
+    assert(short.isEmpty)
+  }
+
   test("decoder is pluggable (stub swap point)") {
     import spark.implicits._
     val custom = new Multimodal.Decoder {
