@@ -286,6 +286,65 @@ object AnalyticsQueries {
           count(lit(1)).over(w).as("trail_n"))
         .withColumn("spike",
           col("trail_n") === 3 && col("n") * 2 >= col("trail_sum"))
+    }),
+
+    // ---- RECURSIVE CTE hierarchy walk (Spark 4's WITH RECURSIVE —
+    // the SQL-surface twin of q62's connected-components operator):
+    // an org chart synthesized over supplier (parent = s_suppkey div
+    // 10, a 10-ary forest rooted at keys 0..9 — the recursive leg
+    // attaches only keys >= 10, since key 0 is numerically its own
+    // parent), walked root-down
+    // accumulating depth and the path-key sum. The engine executes
+    // this as iterated joins with a fixpoint check — depth is bounded
+    // by the hierarchy (log n levels), each level one equi-join; at
+    // 100 TB the per-level frontier shrinks geometrically. DuckDB
+    // replays the identical recursion.
+    "q164_recursive_org" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      s.sql("""
+        WITH RECURSIVE org AS (
+          SELECT s_suppkey AS id, CAST(0 AS INT) AS depth,
+                 s_suppkey AS path_sum
+          FROM v_supplier WHERE s_suppkey div 10 = 0
+          UNION ALL
+          SELECT s.s_suppkey AS id, o.depth + 1 AS depth,
+                 o.path_sum + s.s_suppkey AS path_sum
+          FROM v_supplier s JOIN org o ON s.s_suppkey div 10 = o.id
+          WHERE s.s_suppkey >= 10)
+        SELECT id, depth, path_sum FROM org""")
+    }),
+
+    // ---- GAP-FILL + LOCF (last observation carried forward): the
+    // time-series densification every metrics warehouse runs before
+    // charting/joining daily series — per user, a day spine from the
+    // user's first active day to the corpus max day, left-joined to
+    // observed daily counts, missing days filled by the most recent
+    // observation. Day grain stays in exact epoch-micros integer space
+    // (the q41/q156 idiom). Spine generation is sequence+explode per
+    // user (never a driver loop); the fill window partitions on
+    // high-cardinality user_id with the first row always observed, so
+    // n_filled is never NULL. Spine size = users × days — bounded by
+    // the retention horizon, not event volume.
+    "q165_gapfill_locf" -> ((s, d) => {
+      val day = 86400000000L
+      val daily = Tables.events(s, d)
+        .select(col("user_id"),
+          (col("ts_us") - (col("ts_us") % day)).as("day_us"))
+        .groupBy(col("user_id"), col("day_us"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = daily.groupBy(col("user_id"))
+        .agg(min(col("day_us")).as("lo"))
+      val gMax = daily.agg(max(col("day_us")).as("hi"))
+      val spine = bounds.crossJoin(broadcast(gMax))
+        .select(col("user_id"),
+          explode(expr(s"sequence(lo, hi, ${day}L)")).as("day_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_us"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day_us"), "left")
+        .select(col("user_id"), col("day_us"), col("n"))
+        .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
+        .withColumn("observed", col("n").isNotNull)
+        .drop("n")
     })
   )
 
@@ -310,6 +369,38 @@ object AnalyticsQueries {
         |     ORDER BY hour_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
         |     0)) AS spike
         |FROM h""".stripMargin,
+
+    "q164_recursive_org" ->
+      """WITH RECURSIVE org AS (
+        |  SELECT s_suppkey AS id, CAST(0 AS INT) AS depth,
+        |         s_suppkey AS path_sum
+        |  FROM supplier WHERE s_suppkey // 10 = 0
+        |  UNION ALL
+        |  SELECT s.s_suppkey AS id, o.depth + 1 AS depth,
+        |         o.path_sum + s.s_suppkey AS path_sum
+        |  FROM supplier s JOIN org o ON s.s_suppkey // 10 = o.id
+        |  WHERE s.s_suppkey >= 10)
+        |SELECT id, depth, path_sum FROM org""".stripMargin,
+
+    "q165_gapfill_locf" ->
+      """WITH t AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000)
+        |      % 86400000000) AS day_us
+        |  FROM events),
+        |d AS (SELECT user_id, day_us, CAST(count(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day_us) AS lo FROM d GROUP BY 1),
+        |g AS (SELECT max(day_us) AS hi FROM d),
+        |sp AS (SELECT user_id, CAST(u AS BIGINT) AS day_us
+        |  FROM b, g, unnest(generate_series(lo, hi, 86400000000)) s(u))
+        |SELECT sp.user_id, sp.day_us,
+        |  CAST(last_value(d.n IGNORE NULLS) OVER (PARTITION BY sp.user_id
+        |    ORDER BY sp.day_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_filled,
+        |  d.n IS NOT NULL AS observed
+        |FROM sp LEFT JOIN d
+        |  ON d.user_id = sp.user_id AND d.day_us = sp.day_us""".stripMargin,
 
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -326,6 +326,33 @@ object SamplingQueries {
         .select(col("doc_id"), col("source"), col("global_pos"))
     }),
 
+    // ---- CLASS-BALANCED DOWNSAMPLING: equalize language strata by
+    // keeping exactly min-class-count docs per language, chosen by a
+    // deterministic md5 order (same corpus → same sample on any
+    // cluster) — the class-rebalancing step classifier training data
+    // goes through, and the exact-count counterpart of q60's
+    // rate-based stratified sample. Per-language ranks run through the
+    // two-phase Prefix.runningSum (languages are a LOW-cardinality
+    // stratum — a plain window here is the q110 single-reducer
+    // killer); the min count is a broadcast scalar off a stratum-grain
+    // aggregate. Order keys append doc_id for uniqueness (exact-replay
+    // requirement, the q128 idiom).
+    "q166_balanced_downsample" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("ord",
+          hashBucket("doc_id", 5, 1000000) * lit(10000000000L)
+            + col("doc_id"))
+        .withColumn("one", lit(1L))
+      val ranked = graft.operators.Prefix.runningSum(
+        base, "lang", "ord", "one", "rnk")
+      val mn = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("mn"))
+      ranked.crossJoin(broadcast(mn))
+        .filter(col("rnk") <= col("mn"))
+        .select(col("doc_id"), col("lang"), col("rnk"))
+    }),
+
     "q99_mixture_sample" -> ((s, d) => {
       val budget = 50000L
       val docs = Tables.documents(s, d)
@@ -569,6 +596,19 @@ object SamplingQueries {
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE ${hashBucketSql("doc_id", 9, 10)}
         |  < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)""".stripMargin,
+
+    "q166_balanced_downsample" ->
+      s"""WITH o AS (SELECT doc_id, lang,
+        |    ${hashBucketSql("doc_id", 5, 1000000)} * 10000000000
+        |      + doc_id AS ord
+        |  FROM documents),
+        |m AS (SELECT CAST(min(c) AS BIGINT) AS mn FROM
+        |    (SELECT count(*) AS c FROM o GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY ord)
+        |      AS BIGINT) AS rnk
+        |  FROM o)
+        |SELECT doc_id, lang, rnk FROM r, m WHERE rnk <= mn""".stripMargin,
 
     "q61_domain_budget" ->
       """WITH s AS (

@@ -270,6 +270,65 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(cP * aF >= aP * cF)
   }
 
+  test("q164 recursive org: every supplier reached once, depth law " +
+    "holds against the parent function") {
+    val out = SparkEntry.queries("q164_recursive_org")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(out.size == Tables.supplier(spark, sf).count())
+    out.foreach { case (id, (depth, pathSum)) =>
+      if (id < 10) {
+        assert(depth == 0 && pathSum == id)
+      } else {
+        val (pd, pp) = out(id / 10)
+        assert(depth == pd + 1, s"depth law broken at $id")
+        assert(pathSum == pp + id, s"path sum broken at $id")
+      }
+    }
+  }
+
+  test("q165 gap-fill: contiguous day spine per user, LOCF never null, " +
+    "observed rows equal the raw daily grain") {
+    val out = SparkEntry.queries("q165_gapfill_locf")(spark, sf).collect()
+    val day = 86400000000L
+    assert(out.forall(!_.isNullAt(2)), "LOCF must never leave a null")
+    val observed = out.count(_.getBoolean(3))
+    val rawDays = Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("ts_us") - (col("ts_us") % day)).as("d"))
+      .distinct().count()
+    assert(observed == rawDays)
+    val globalMax = out.map(_.getLong(1)).max
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val days = rows.map(_.getLong(1)).sorted
+      assert(days.last == globalMax, "spine must reach the corpus max day")
+      assert(days.zip(days.tail).forall { case (a, b) => b - a == day },
+        "spine must be gapless")
+      // first spine day is the user's first observation by construction
+      assert(rows.minBy(_.getLong(1)).getBoolean(3))
+    }
+  }
+
+  test("q166 balanced downsample: every language keeps exactly the " +
+    "min-class count with contiguous ranks, deterministically") {
+    val out = SparkEntry.queries("q166_balanced_downsample")(spark, sf)
+      .collect()
+    val classes = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = classes.values.min
+    val byLang = out.groupBy(_.getString(1))
+    assert(byLang.keySet == classes.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == mn, s"$lang kept ${rows.length}, want $mn")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to mn))
+    }
+    val again = SparkEntry.queries("q166_balanced_downsample")(spark, sf)
+      .collect()
+    assert(out.map(_.toString).sorted.toSeq
+      == again.map(_.toString).sorted.toSeq)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
