@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamSpike
+
+/** StreamSpike: finalized hours replay the batch q156 rule exactly,
+  * finalization fires on event-time timers (no further events needed
+  * for a user), late events are dropped, and the trailing window never
+  * exceeds 3 observed hours.
+  */
+class StreamSpikeSpec extends AnyFunSuite with SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def evts(u: Long, hour: Int, n: Int): Seq[StreamSpike.Evt] =
+    (0 until n).map(i =>
+      StreamSpike.Evt(u, t(f"2024-01-01 $hour%02d:${i % 60}%02d:00")))
+
+  test("finalized hours == the batch q156 rule; timers finalize idle " +
+    "users; spike fires at >= 1.5x the trailing mean") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamSpike.Evt]
+    val out = StreamSpike.spikes(input.toDF(), "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sspike")
+      .outputMode("append").start()
+    // user 1: counts 1,2,3 then a 9-burst (9*2 >= 6 -> spike), then 1;
+    // user 2: a single hour (no baseline -> never a spike)
+    val all = evts(1, 10, 1) ++ evts(1, 11, 2) ++ evts(1, 12, 3) ++
+      evts(1, 13, 9) ++ evts(2, 13, 4) ++ evts(1, 14, 1)
+    try {
+      input.addData(all.take(6): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(6): _*)
+      q.processAllAvailable()
+      // watermark-advancing sentinels: user 99's events push the
+      // watermark past every open hour; users 1/2 receive NO further
+      // events, so their finalization happens purely via timers
+      input.addData(StreamSpike.Evt(99, t("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      input.addData(StreamSpike.Evt(99, t("2024-01-02 06:00:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("sspike")
+        .filter(col("user_id") =!= 99)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+
+      // batch twin: the q156 window idiom over the same events
+      val batch = all.toDF("user_id", "ts")
+        .select(col("user_id"),
+          (unix_micros(col("ts"))
+            - (unix_micros(col("ts")) % StreamSpike.HourUs)).as("hour_us"))
+        .groupBy(col("user_id"), col("hour_us"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+        .rowsBetween(-3, -1)
+      val expected = batch
+        .select(col("user_id"), col("hour_us"), col("n"),
+          coalesce(sum(col("n")).over(w), lit(0L)).as("trail_sum"),
+          count(lit(1)).over(w).as("trail_n"))
+        .withColumn("spike",
+          col("trail_n") === 3 && col("n") * 2 >= col("trail_sum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(got == expected)
+      // the burst hour is the only spike
+      assert(got.count(_._6) == 1)
+      val burst = got.find(_._6).get
+      assert(burst._1 == 1L && burst._3 == 9L && burst._4 == 6L)
+    } finally q.stop()
+  }
+
+  test("late events past the watermark cannot resurrect a finalized " +
+    "hour; pure fold caps the trail at 3") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamSpike.Evt]
+    val out = StreamSpike.spikes(input.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sspike_late")
+      .outputMode("append").start()
+    try {
+      input.addData(evts(7, 10, 2): _*)
+      q.processAllAvailable()
+      input.addData(StreamSpike.Evt(7, t("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      // hour 10 finalized (n=2); this straggler is far below the
+      // watermark and must be dropped, not double-counted
+      input.addData(StreamSpike.Evt(7, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      input.addData(StreamSpike.Evt(7, t("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val ten = spark.table("sspike_late")
+        .filter(col("hour_us") === unix_micros(lit(t("2024-01-01 10:00:00"))))
+        .collect()
+      assert(ten.length == 1 && ten.head.getLong(2) == 2L)
+    } finally q.stop()
+
+    // pure-fold unit: trail never exceeds 3 and drops the oldest
+    val hours = (0 until 6).map(i => i * StreamSpike.HourUs)
+    val (rows, st) = StreamSpike.fold(1L, None, hours.flatMap(h =>
+      Seq.fill(1)(h)), 7 * StreamSpike.HourUs)
+    assert(rows.length == 6)
+    assert(st.trail.length == 3)
+    assert(st.trail.map(_._1) == hours.takeRight(3))
+  }
+}
