@@ -716,6 +716,38 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- MAXSIM late-interaction retrieval (the ColBERT shape): the
+    // query and each document are treated as BAGS of 8 sub-vectors
+    // (the 64-dim embedding sliced 8×8 — standing in for per-token
+    // embeddings), and the score is Σ_j max_k <q_j, d_k>: each query
+    // sub-vector independently finds its best-matching document
+    // sub-vector. This is the retrieval family's fourth scoring model
+    // beside whole-vector dot (q28), lexical BM25 (q129) and their RRF
+    // fusion (q135) — late interaction catches partial/term-level
+    // matches a single pooled vector averages away. All 64 sub-dots
+    // run IN-ROW as codegen'd doti over array slices against literal
+    // query slices (no explode, no join, no shuffle before the global
+    // top-10 of 16-byte rows); integer-exact end to end. At 100 TB the
+    // production form stores sub-vectors pre-sliced and prunes
+    // candidates with an ANN leg first (q132/q159); the scoring
+    // semantics here are exact.
+    "q169_maxsim_topk" -> ((s, d) => {
+      val qv = quantizedVecs(s, d).select(col("vec_id"), col("qv"))
+      val qrow: Seq[Long] = qv.filter(col("vec_id") === 0)
+        .collect()(0).getSeq[Long](1).toIndexedSeq
+      val scoreExpr = (0 until 8).map { j =>
+        val qj = qrow.slice(j * 8, j * 8 + 8).map(v => s"${v}L")
+          .mkString(", ")
+        (0 until 8).map(k =>
+          s"doti(slice(qv, ${k * 8 + 1}, 8), array($qj))")
+          .mkString("greatest(", ", ", ")")
+      }.mkString("(", " + ", ")")
+      qv.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), expr(scoreExpr).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- IVF-PQ combined search (the FAISS IVFPQ posture, and the
     // first leg that composes TWO index structures): the trained IVF
     // coarse quantizer (q113's shared centroids) routes the query to
@@ -1172,6 +1204,27 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q120_pq_recall" -> pqOracle,
     "q159_ivfpq_recall" -> ivfpqOracle,
+
+    "q169_maxsim_topk" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |q0 AS (SELECT qv AS q0v FROM q WHERE vec_id = 0),
+        |d AS (
+        |  SELECT t.vec_id, j.j, k.k,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> t.qv[k.k*8 + i] * q0.q0v[j.j*8 + i]),
+        |      (a, v) -> a + v) AS dt
+        |  FROM q t, q0, generate_series(0, 7) j(j),
+        |    generate_series(0, 7) k(k)
+        |  WHERE t.vec_id <> 0),
+        |m AS (SELECT vec_id, j, max(dt) AS mx FROM d GROUP BY 1, 2),
+        |sc AS (SELECT vec_id, CAST(sum(mx) AS BIGINT) AS maxsim
+        |  FROM m GROUP BY 1)
+        |SELECT vec_id, maxsim FROM sc
+        |ORDER BY maxsim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q28_cosine_topk" -> oracle28,
 
     "q157_norm_audit" ->

@@ -129,6 +129,42 @@ object WarehouseQueries {
           "clustered"))
     }),
 
+    // ---- TABLE CHECKSUM (replication/reconciliation fingerprint): an
+    // ORDER-INDEPENDENT per-partition checksum — sum of a 32-bit md5
+    // window over each row's canonical projection — the cheap answer to
+    // "does the replica hold exactly the rows the primary does?" that
+    // warehouse reconciliation jobs run after every sync. Order
+    // independence (sum is commutative) means no sort anywhere; the
+    // 32-bit-per-row window keeps the 64-bit running sum overflow-free
+    // to ~4e9 rows per partition (widen to decimal beyond). Summing is
+    // map-side combined; text enters through its md5 so wide payloads
+    // never reach the checksum concat. Additivity (checksum(A ∪ B) =
+    // checksum(A) + checksum(B) for disjoint slices) makes incremental
+    // verification free — asserted in QueriesSpec.
+    "q167_table_checksum" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          expr("CAST(conv(substr(md5(CAST(concat_ws('|', doc_id, lang, " +
+            "source, n_chars, md5(CAST(text AS BINARY))) AS BINARY)), " +
+            "1, 8), 16, 10) AS BIGINT)").as("c32"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("c32")).as("checksum"))
+    }),
+
+    // ---- FK FANOUT HISTOGRAM (join-cardinality profile): the
+    // distribution of lineitem rows per order — the statistic a join
+    // planner (and a data modeler) reads to size the orders⋈lineitem
+    // output and spot fanout skew. Two hash aggregations: per-key
+    // counts (map-combined on the high-cardinality FK), then the
+    // count-of-counts fold to ≤7 rows; exact, no sampling.
+    "q168_fk_fanout" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
+        .groupBy(col("fanout"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("n_rows", col("fanout") * col("n_orders"))
+    }),
+
     // ---- TF-IDF term ranking: top token per doc by tf/df. The score is
     // one double division of two small ints (exact same bits on both
     // engines); ties break on token. df is a token-keyed shuffle whose
@@ -614,6 +650,20 @@ object WarehouseQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q167_table_checksum" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|', doc_id,
+        |    lang, source, n_chars, md5(text))), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q168_fk_fanout" ->
+      """WITH f AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout
+        |  FROM lineitem GROUP BY 1)
+        |SELECT fanout, count(*) AS n_orders,
+        |  fanout * count(*) AS n_rows
+        |FROM f GROUP BY fanout""".stripMargin,
+
     // exact discrete percentiles replayed; the sketch-tolerance verdicts
     // are pinned TRUE — drift past 1% fails the hash (the q74 idiom)
     "q160_quantile_sketch_audit" ->

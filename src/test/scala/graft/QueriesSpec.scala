@@ -329,6 +329,59 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       == again.map(_.toString).sorted.toSeq)
   }
 
+  test("q167 table checksum: order-independent and additive over " +
+    "disjoint slices") {
+    val out = SparkEntry.queries("q167_table_checksum")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rowC32 = expr("CAST(conv(substr(md5(CAST(concat_ws('|', doc_id, " +
+      "lang, source, n_chars, md5(CAST(text AS BINARY))) AS BINARY)), " +
+      "1, 8), 16, 10) AS BIGINT)")
+    val docs = Tables.documents(spark, sf).withColumn("c32", rowC32)
+    // whole-table checksum equals the sum of the per-source checksums
+    val whole = docs.agg(sum(col("c32")), count(lit(1))).collect().head
+    assert(out.values.map(_._2).sum == whole.getLong(0))
+    assert(out.values.map(_._1).sum == whole.getLong(1))
+    // additivity across an arbitrary disjoint split (incremental sync)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .agg(sum(col("c32"))).collect().head.getLong(0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+      .agg(sum(col("c32"))).collect().head.getLong(0)
+    assert(even + odd == whole.getLong(0))
+  }
+
+  test("q168 fk fanout: histogram conserves rows and orders") {
+    val out = SparkEntry.queries("q168_fk_fanout")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == li.count())
+    assert(out.map(_.getLong(1)).sum ==
+      li.select(col("l_orderkey")).distinct().count())
+    out.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+  }
+
+  test("q169 maxsim: dominates the whole-vector dot (sum of per-slice " +
+    "maxes >= sum of aligned-slice dots)") {
+    val out = SparkEntry.queries("q169_maxsim_topk")(spark, sf).collect()
+    assert(out.length == 10)
+    val quant = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000L) AS BIGINT)) AS qv")
+    val qrow = quant.filter(col("vec_id") === 0)
+      .collect().head.getSeq[Long](1)
+    val fullDot = quant.filter(col("vec_id") =!= 0)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Long](1).zip(qrow).map {
+          case (a, b) => a * b }.sum
+      }.toMap
+    out.foreach { r =>
+      assert(r.getLong(1) >= fullDot(r.getLong(0)),
+        s"maxsim must dominate the aligned dot for vec ${r.getLong(0)}")
+    }
+    // scores descend with the pinned tie order
+    val scores = out.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
