@@ -353,6 +353,33 @@ object SamplingQueries {
         .select(col("doc_id"), col("lang"), col("rnk"))
     }),
 
+    // ---- QUERY-TIME SAMPLING estimate + audit: corpus-level token
+    // totals from a deterministic 50% md5-bucket sample, scaled by the
+    // inverse rate, with the exact total and a 5% tolerance verdict in
+    // the same row — unlike the sketch audits (q74/q123/q160) BOTH legs
+    // here replay exactly in DuckDB (the sample is a pure hash
+    // predicate, not engine state), so the verdict is computed, not
+    // pinned. At 100 TB this is the dashboard-query pattern: scan 1-50%
+    // of the corpus for a number whose error the audit bounds; the rate
+    // (and the md5 window making this sample independent of the q59
+    // split) is the cost knob. Two map-combined aggregates, no joins
+    // beyond the two 1-row frames.
+    "q171_sample_estimate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("bigint").as("toks"),
+          hashBucket("doc_id", 13, 100).as("hb"))
+      val exact = docs.agg(sum(col("toks")).as("true_tokens"),
+        count(lit(1)).as("n_docs"))
+      val est = docs.filter(col("hb") < 50)
+        .agg((sum(col("toks")) * 2).as("est_tokens"),
+          (count(lit(1)) * 2).as("est_docs"))
+      exact.crossJoin(broadcast(est))
+        .select(col("true_tokens"), col("n_docs"), col("est_tokens"),
+          col("est_docs"),
+          (abs(col("est_tokens") - col("true_tokens")) * 20
+            <= col("true_tokens")).as("tokens_within_5pct"))
+    }),
+
     "q99_mixture_sample" -> ((s, d) => {
       val budget = 50000L
       val docs = Tables.documents(s, d)
@@ -596,6 +623,21 @@ object SamplingQueries {
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE ${hashBucketSql("doc_id", 9, 10)}
         |  < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)""".stripMargin,
+
+    "q171_sample_estimate" ->
+      s"""WITH d AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    ${hashBucketSql("doc_id", 13, 100)} AS hb
+        |  FROM documents),
+        |e AS (SELECT CAST(sum(toks) AS BIGINT) AS true_tokens,
+        |    count(*) AS n_docs FROM d),
+        |s AS (SELECT CAST(sum(toks) * 2 AS BIGINT) AS est_tokens,
+        |    CAST(count(*) * 2 AS BIGINT) AS est_docs
+        |  FROM d WHERE hb < 50)
+        |SELECT true_tokens, n_docs, est_tokens, est_docs,
+        |  (abs(est_tokens - true_tokens) * 20 <= true_tokens)
+        |    AS tokens_within_5pct
+        |FROM e, s""".stripMargin,
 
     "q166_balanced_downsample" ->
       s"""WITH o AS (SELECT doc_id, lang,

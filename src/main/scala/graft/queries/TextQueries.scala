@@ -48,6 +48,60 @@ object TextQueries {
       s"* CAST(1048576 AS DOUBLE)"
 
   val queries: Map[String, Q] = Map(
+    // ---- LSH BANDING-TUNING audit: the measurement that picks the
+    // near-dup index's (bands × rows) operating point — the same 16
+    // minhash minima banded three ways (2×8 high-precision, 4×4 the
+    // home config, 8×2 high-recall), each config's candidate set scored
+    // against exact trigram Jaccard ≥ 1/2 (integer form 3·|∩| ≥
+    // |A|+|B|) over the UNION of all candidates (relative ground truth
+    // — all-pairs exact Jaccard is the O(n²) this index exists to
+    // avoid; standard index-tuning practice, documented). Output per
+    // config: candidates, true positives, misses vs the union truth —
+    // the precision/recall trade the 100 TB operator reads before
+    // pinning a config. Signature built once; the truth table persists
+    // for the run (Shared.frame) so the three per-config folds share
+    // one exact-intersection join.
+    "q170_lsh_tuning" -> ((s, d) => {
+      val configs = Seq((2, 8), (4, 4), (8, 2))
+      val docs = Tables.documents(s, d)
+      val tri = Text.wordShingles(docs, "doc_id", "text", 3)
+      val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
+      val nsh = sig.select(col("doc_id"), col("n_sh"))
+      val cand = configs.map { case (b, r) =>
+        Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", b, r),
+          "doc_id").select(col("doc_a"), col("doc_b"))
+      }
+      val truth = Shared.frame(s, "lsh_tuning_truth", d) {
+        val union = cand.reduce(_ unionByName _).distinct()
+        val inter = tri.as("x")
+          .join(union, col("x.doc_id") === col("doc_a"))
+          .join(tri.as("y"),
+            col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        union
+          .join(nsh.toDF("doc_a", "na"), "doc_a")
+          .join(nsh.toDF("doc_b", "nb"), "doc_b")
+          .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+          .select(col("doc_a"), col("doc_b"),
+            (coalesce(col("inter"), lit(0L)) * 3
+              >= col("na") + col("nb")).as("is_true"))
+      }
+      val unionTrue = truth
+        .agg(coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
+          .as("n_true_union"))
+      configs.zip(cand).map { case ((b, r), c) =>
+        c.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_cand"),
+            coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
+              .as("n_true"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_cand"), col("n_true"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(unionTrue))
+        .withColumn("n_missed", col("n_true_union") - col("n_true"))
+    }),
+
     // ---- BM25 top-k retrieval (log-free, fixed-point): the lexical
     // ranking half of hybrid retrieval. Two deliberate departures from
     // textbook BM25, both for cross-engine exactness: (1) the IDF keeps
@@ -434,7 +488,69 @@ object TextQueries {
       |FROM bh a JOIN bh b
       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
 
+  private def lshTuningOracle: String = {
+    def candCte(name: String, bandCte: String): String =
+      s"""$name AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM $bandCte a JOIN $bandCte b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)"""
+        .stripMargin
+    def cfgSelect(cand: String, b: Int, r: Int): String =
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT)
+         |    AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(coalesce(sum(CASE WHEN t.is_true THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_true
+         |FROM $cand c JOIN truth t USING (doc_a, doc_b)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |shr AS (SELECT doc_id,
+       |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+       |  FROM (SELECT doc_id, tk,
+       |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+       |    FROM toks)),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM shr),
+       |hashed AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
+       |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
+       |  FROM sh),
+       |wide AS (SELECT doc_id,
+       |  ${minCols(16)}
+       |  FROM hashed GROUP BY doc_id),
+       |nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |  FROM sh GROUP BY 1),
+       |b2 AS (${bandRows(2, 8)}),
+       |b4 AS (${bandRows(4, 4)}),
+       |b8 AS (${bandRows(8, 2)}),
+       |${candCte("c2", "b2")},
+       |${candCte("c4", "b4")},
+       |${candCte("c8", "b8")},
+       |u AS (SELECT * FROM c2 UNION SELECT * FROM c4
+       |  UNION SELECT * FROM c8),
+       |iv AS (SELECT u.doc_a, u.doc_b, count(*) AS inter
+       |  FROM u JOIN sh x ON x.doc_id = u.doc_a
+       |  JOIN sh y ON y.doc_id = u.doc_b AND y.sh = x.sh
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT u.doc_a, u.doc_b,
+       |    (coalesce(iv.inter, 0) * 3 >= na.n_sh + nb.n_sh) AS is_true
+       |  FROM u JOIN nsh na ON na.doc_id = u.doc_a
+       |  JOIN nsh nb ON nb.doc_id = u.doc_b
+       |  LEFT JOIN iv ON iv.doc_a = u.doc_a AND iv.doc_b = u.doc_b),
+       |tu AS (SELECT CAST(coalesce(sum(CASE WHEN is_true THEN 1
+       |    ELSE 0 END), 0) AS BIGINT) AS n_true_union FROM truth),
+       |cfg AS (
+       |${cfgSelect("c2", 2, 8)}
+       |UNION ALL
+       |${cfgSelect("c4", 4, 4)}
+       |UNION ALL
+       |${cfgSelect("c8", 8, 2)})
+       |SELECT bands, rows_per_band, n_cand, n_true, tu.n_true_union,
+       |  tu.n_true_union - n_true AS n_missed
+       |FROM cfg, tu""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q170_lsh_tuning" -> lshTuningOracle,
+
     "q129_bm25_topk" ->
       s"""WITH toks AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -382,6 +382,36 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("q170 lsh tuning: truth ledger balances per config and the home " +
+    "4x4 config's candidate count equals q21's pair set") {
+    val out = SparkEntry.queries("q170_lsh_tuning")(spark, sf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (nCand, nTrue, nUnion, nMissed) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nTrue <= nCand)
+      assert(nTrue + nMissed == nUnion, s"truth ledger broken: $r")
+    }
+    val home = out.find(r => r.getInt(0) == 4 && r.getInt(1) == 4).get
+    assert(home.getLong(2) ==
+      SparkEntry.queries("q21_minhash_pairs")(spark, sf).count())
+  }
+
+  test("q171 sample estimate: exact leg matches a recount, scaled leg " +
+    "matches the sample, verdict is the computed inequality") {
+    val r = SparkEntry.queries("q171_sample_estimate")(spark, sf)
+      .collect().head
+    val (truT, nDocs, estT, estD, ok) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val docs = Tables.documents(spark, sf)
+    assert(nDocs == docs.count())
+    val toks = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(truT == toks.sum)
+    assert(estD % 2 == 0 && estD / 2 <= nDocs)
+    assert(ok == (math.abs(estT - truT) * 20 <= truT))
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
