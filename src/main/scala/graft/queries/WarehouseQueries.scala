@@ -67,23 +67,24 @@ object WarehouseQueries {
     // groups targeting ~20 kB bins — files ordered largest-first within
     // their table partition, assigned to a bin by exclusive running
     // sum div target (sorted greedy sequential fill, the q110 prefix
-    // idiom at file grain). The window is per-PARTITION over file
-    // METADATA — thousands of rows per partition at 100 TB, never data
-    // rows — which is exactly the scale a production compaction planner
-    // operates at (the driver-side Delta OPTIMIZE planner does the same
-    // with a collect; this stays distributed). Output: one row per
-    // (partition, bin) with its file count and byte total.
+    // idiom at file grain). The running sum goes through the TWO-PHASE
+    // Prefix.runningSum — table partitions are a low-cardinality
+    // stratum, and even metadata-scale inventories (10^5-10^6 files
+    // per partition at 100 TB) should not serialize through one
+    // reducer per partition (the q110 class; the plan auditor flagged
+    // the plain-window form). The composite order (bytes DESC, file_id
+    // ASC) is one ascending numeric key: -bytes·10^5 + file_id —
+    // exact while file_id < 10^5; widen the shift with the inventory.
+    // Output: one row per (partition, bin) with file count and bytes.
     "q161_compaction_plan" -> ((s, d) => {
       val target = 20000L
       val files = Tables.documents(s, d)
         .groupBy(col("source"), expr("doc_id div 8").as("file_id"))
         .agg(sum(col("n_chars")).as("bytes"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("bytes").desc, col("file_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      files
-        .withColumn("cum_before",
-          coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("ord", -col("bytes") * lit(100000L) + col("file_id"))
+      graft.operators.Prefix.runningSum(
+          files, "source", "ord", "bytes", "rs")
+        .withColumn("cum_before", col("rs") - col("bytes"))
         .groupBy(col("source"),
           expr(s"cum_before div ${target}L").as("bin"))
         .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),

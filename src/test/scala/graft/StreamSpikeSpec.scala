@@ -79,6 +79,47 @@ class StreamSpikeSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState twin emits exactly the fMGWS rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    spark.conf.set(graft.streaming.TwsStrikeMonitor.rocksdbConf._1,
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._2)
+    try {
+      val all = evts(1, 10, 1) ++ evts(1, 11, 2) ++ evts(1, 12, 3) ++
+        evts(1, 13, 9) ++ evts(2, 13, 4) ++ evts(1, 14, 1)
+      def run(name: String,
+              mk: org.apache.spark.sql.DataFrame
+                => org.apache.spark.sql.Dataset[_]): Set[String] = {
+        val input = MemoryStream[StreamSpike.Evt]
+        val q = mk(input.toDF()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          input.addData(all.take(6): _*)
+          q.processAllAvailable()
+          input.addData(all.drop(6): _*)
+          q.processAllAvailable()
+          input.addData(StreamSpike.Evt(99, t("2024-01-02 00:00:00")))
+          q.processAllAvailable()
+          input.addData(StreamSpike.Evt(99, t("2024-01-02 06:00:00")))
+          q.processAllAvailable()
+          spark.table(name).filter(col("user_id") =!= 99)
+            .collect().map(_.mkString("|")).toSet
+        } finally q.stop()
+      }
+      val fmgws = run("sspike_f", df => StreamSpike.spikes(df, "30 minutes"))
+      val tws = run("sspike_t",
+        df => graft.streaming.TwsStreamSpike.spikes(df, "30 minutes"))
+      assert(tws == fmgws && fmgws.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1, v)
+      case None => spark.conf.unset(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    }
+  }
+
   test("late events past the watermark cannot resurrect a finalized " +
     "hour; pure fold caps the trail at 3") {
     import spark.implicits._
