@@ -102,6 +102,33 @@ object TextQueries {
         .withColumn("n_missed", col("n_true_union") - col("n_true"))
     }),
 
+    // ---- DEDUP SAVINGS report: the before/after ledger every dedup
+    // run publishes — per source, documents and tokens in the raw
+    // corpus vs the canonical corpus (q38's rule: drop any doc that is
+    // the LARGER id of an LSH candidate pair), and the kept-token
+    // share as one double division. Rides the ONE shared LSH pair
+    // frame; the fold is a broadcast-anti-join shape + one
+    // map-combined aggregate per source — the report costs nothing
+    // beyond the index that already exists.
+    "q173_dedup_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+      val dropped = sharedCandidatePairs(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(dropped.withColumn("is_dup", lit(1L)), Seq("doc_id"),
+          "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_total"),
+          sum(when(col("is_dup").isNull, 1L).otherwise(0L))
+            .as("docs_kept"),
+          sum(col("toks")).as("tokens_total"),
+          sum(when(col("is_dup").isNull, col("toks")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("kept_share",
+          col("tokens_kept").cast("double") / col("tokens_total"))
+    }),
+
     // ---- BM25 top-k retrieval (log-free, fixed-point): the lexical
     // ranking half of hybrid retrieval. Two deliberate departures from
     // textbook BM25, both for cross-engine exactness: (1) the IDF keeps
@@ -550,6 +577,23 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q170_lsh_tuning" -> lshTuningOracle,
+
+    "q173_dedup_savings" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    doc_id IN (SELECT doc_id FROM dropped) AS is_dup
+        |  FROM documents)
+        |SELECT source, count(*) AS docs_total,
+        |  CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS docs_kept,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN is_dup THEN 0 ELSE toks END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(sum(CASE WHEN is_dup THEN 0 ELSE toks END) AS DOUBLE)
+        |    / CAST(sum(toks) AS DOUBLE) AS kept_share
+        |FROM d GROUP BY source""".stripMargin,
 
     "q129_bm25_topk" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -130,6 +130,27 @@ object WarehouseQueries {
           "clustered"))
     }),
 
+    // ---- CDC LOG → SCD2 intervals (the inverse of q66's snapshot
+    // diff, closing the SCD2 family: q07 builds by merge, q67 reads
+    // point-in-time, q66 diffs snapshots, THIS reconstructs the full
+    // validity history from a change stream): each change event opens
+    // an interval at its timestamp and closes at the key's next change
+    // (lead over the per-key total order; NULL end = the open row).
+    // The window partitions on high-cardinality user_id; ties inside a
+    // timestamp break on event_id so replay is total-ordered. This is
+    // how a warehouse bootstraps a type-2 dimension from a Debezium/
+    // binlog feed — one shuffle by key, no self-join.
+    "q172_cdc_to_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type").as("attr"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .withColumnRenamed("ts_us", "valid_from")
+    }),
+
     // ---- TABLE CHECKSUM (replication/reconciliation fingerprint): an
     // ORDER-INDEPENDENT per-partition checksum — sum of a 32-bit md5
     // window over each row's canonical projection — the cheap answer to
@@ -651,6 +672,17 @@ object WarehouseQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q172_cdc_to_scd2" ->
+      """SELECT user_id, event_id,
+        |  epoch_ns(ts) // 1000 AS valid_from, event_type AS attr,
+        |  lead(epoch_ns(ts) // 1000, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC)
+        |    AS valid_to,
+        |  (lead(epoch_ns(ts) // 1000, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) IS NULL)
+        |    AS is_current
+        |FROM events""".stripMargin,
+
     "q167_table_checksum" ->
       """SELECT source, count(*) AS n_rows,
         |  CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|', doc_id,

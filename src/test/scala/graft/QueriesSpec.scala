@@ -412,6 +412,36 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(ok == (math.abs(estT - truT) * 20 <= truT))
   }
 
+  test("q172 cdc->scd2: one interval per event, exactly one open row " +
+    "per user, intervals chain without gaps") {
+    val out = SparkEntry.queries("q172_cdc_to_scd2")(spark, sf).collect()
+    assert(out.length == Tables.events(spark, sf).count())
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.count(_.isNullAt(4)) == 1, "exactly one open interval")
+      val sorted = rows.sortBy(r => (r.getLong(2), r.getLong(1)))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getLong(4) == b.getLong(2),
+          "valid_to must chain to the next valid_from")
+      }
+      assert(sorted.last.isNullAt(4))
+    }
+  }
+
+  test("q173 dedup savings: ledgers balance and agree with the q38 " +
+    "canonical corpus") {
+    val out = SparkEntry.queries("q173_dedup_savings")(spark, sf)
+      .collect()
+    val docs = Tables.documents(spark, sf)
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    assert(out.map(_.getLong(2)).sum ==
+      SparkEntry.queries("q38_neardup_dedup")(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
