@@ -37,6 +37,64 @@ object CorpusQueries {
     }
 
   val queries: Map[String, Q] = Map(
+    // ---- BLOOM file-skipping audit (the point-lookup complement of
+    // q162's zone maps): min/max stats prune nothing for an equality
+    // predicate on an uncorrelated high-cardinality key (q162's
+    // arrival layout), so file-level indexes carry BLOOM filters —
+    // here a 2^13-bit, k=4 filter per simulated lineitem file over its
+    // partkeys, probed with 20 deterministic target keys. The filter
+    // is deliberately UNDERSIZED (~1 bit/distinct key) so the audit
+    // surfaces real false positives: scanned = truly-containing + FP
+    // files — the saturation trade a file-index designer sizes m
+    // against. Positions are the md5-derived Kirsch–Mitzenmacher pair
+    // ((h1 + i·h2) & (m−1), h2 forced odd — functions/Bloom's scheme
+    // on the cross-engine md5 idiom instead of xxhash64, which DuckDB
+    // cannot replay). Set bits per file: one explode to (file, pos)
+    // distinct — ≤ m rows per file regardless of row count; the probe
+    // join touches k rows per (probe, file).
+    "q174_bloom_skipping" -> ((s, d) => {
+      val mask = (1L << 13) - 1
+      def h(c: String, off: Int) =
+        s"CAST(conv(substr(md5(CAST(CAST($c AS STRING) AS BINARY)), " +
+          s"$off, 8), 16, 10) AS BIGINT)"
+      def posExpr(c: String) =
+        s"transform(sequence(0, 3), i -> ((${h(c, 1)} & $mask) + " +
+          s"(((${h(c, 17)} & $mask) | 1) * i)) & $mask)"
+      val li = Tables.lineitem(s, d)
+        .select(expr("l_orderkey div 1024").as("file_id"),
+          col("l_partkey"))
+        .distinct()
+      val bits = li
+        .select(col("file_id"),
+          explode(expr(posExpr("l_partkey"))).as("pos"))
+        .distinct()
+      val probeList = Tables.part(s, d)
+        .filter(col("p_partkey") % 100 === 3)
+        .select(col("p_partkey").as("probe_pk"))
+      val probes = probeList
+        .select(col("probe_pk"),
+          explode(expr(posExpr("probe_pk"))).as("pos"))
+      val nFiles = li.select(col("file_id")).distinct().count()
+      val bloomScan = probes.join(bits, "pos")
+        .groupBy(col("probe_pk"), col("file_id"))
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 4)
+        .groupBy(col("probe_pk"))
+        .agg(count(lit(1)).as("n_files_bloom"))
+      val truly = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_files_true"))
+        .withColumnRenamed("l_partkey", "probe_pk")
+      probeList
+        .join(bloomScan, Seq("probe_pk"), "left_outer")
+        .join(truly, Seq("probe_pk"), "left_outer")
+        .select(col("probe_pk"),
+          coalesce(col("n_files_bloom"), lit(0L)).as("n_files_bloom"),
+          coalesce(col("n_files_true"), lit(0L)).as("n_files_true"),
+          (coalesce(col("n_files_bloom"), lit(0L))
+            - coalesce(col("n_files_true"), lit(0L))).as("n_false_pos"),
+          lit(nFiles).as("n_files_total"))
+    }),
+
     // ---- MODEL-BASED quality filtering (the fastText-classifier shape
     // of CCNet/LLaMA-style pipelines, next to the heuristic scores of
     // q26 and the dedup family): every token hashes into one of 1024
@@ -786,7 +844,47 @@ object CorpusQueries {
        |FROM enc JOIN d USING (doc_id)
        |GROUP BY lang""".stripMargin
 
+  private def bloomSkippingOracle: String = {
+    def h(c: String, off: Int) =
+      s"(CAST(concat('0x', substr(md5(CAST($c AS VARCHAR)), $off, 8)) " +
+        s"AS BIGINT))"
+    s"""WITH li AS (SELECT DISTINCT l_orderkey // 1024 AS file_id,
+       |    l_partkey FROM lineitem),
+       |lih AS (SELECT file_id, l_partkey,
+       |    (${h("l_partkey", 1)} & 8191) AS h1,
+       |    ((${h("l_partkey", 17)} & 8191) | 1) AS h2
+       |  FROM li),
+       |bits AS (SELECT DISTINCT file_id,
+       |    ((h1 + h2 * i) & 8191) AS pos
+       |  FROM lih, generate_series(0, 3) g(i)),
+       |pl AS (SELECT p_partkey AS probe_pk FROM part
+       |  WHERE p_partkey % 100 = 3),
+       |plh AS (SELECT probe_pk,
+       |    (${h("probe_pk", 1)} & 8191) AS h1,
+       |    ((${h("probe_pk", 17)} & 8191) | 1) AS h2
+       |  FROM pl),
+       |pp AS (SELECT probe_pk, ((h1 + h2 * i) & 8191) AS pos
+       |  FROM plh, generate_series(0, 3) g(i)),
+       |bs AS (SELECT probe_pk, file_id FROM pp JOIN bits USING (pos)
+       |  GROUP BY 1, 2 HAVING count(*) = 4),
+       |bsc AS (SELECT probe_pk, CAST(count(*) AS BIGINT)
+       |    AS n_files_bloom FROM bs GROUP BY 1),
+       |tr AS (SELECT l_partkey AS probe_pk, CAST(count(*) AS BIGINT)
+       |    AS n_files_true FROM li GROUP BY 1),
+       |nf AS (SELECT CAST(count(DISTINCT file_id) AS BIGINT)
+       |    AS n_files_total FROM li)
+       |SELECT pl.probe_pk,
+       |  CAST(coalesce(bsc.n_files_bloom, 0) AS BIGINT) AS n_files_bloom,
+       |  CAST(coalesce(tr.n_files_true, 0) AS BIGINT) AS n_files_true,
+       |  CAST(coalesce(bsc.n_files_bloom, 0)
+       |    - coalesce(tr.n_files_true, 0) AS BIGINT) AS n_false_pos,
+       |  nf.n_files_total
+       |FROM pl LEFT JOIN bsc USING (probe_pk)
+       |LEFT JOIN tr USING (probe_pk), nf""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q174_bloom_skipping" -> bloomSkippingOracle,
     "q137_drift_audit" ->
       s"""WITH t AS (SELECT (doc_id % 10 >= 8) AS is_cur,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -61,6 +61,35 @@ object WarehouseQueries {
             <= col("p95") * 0.01).as("p95_ok"))
     }),
 
+    // ---- SCALABLE exact percentile (two-phase value histogram — the
+    // 100 TB answer to the cost asymmetry q160 measures): q160's exact
+    // leg sort-aggregates whole groups (low-cardinality sort-agg, all
+    // rows of a group through one aggregator); THIS computes the same
+    // discrete percentiles with no per-group sort — (group, value)
+    // histogram counts (map-combined), a running count over values via
+    // the two-phase Prefix.runningSum (groups are LOW-cardinality —
+    // the q110/q161 discipline), then the threshold rule
+    // cume_count·K ≥ p·K·n picks the smallest qualifying value in one
+    // map-combined conditional-min. Shuffle carries (group, value,
+    // count) — distinct values, never rows. Agrees with q160's
+    // percentile_disc by definition (asserted in QueriesSpec).
+    "q175_scalable_percentile" -> ((s, d) => {
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.Prefix.runningSum(
+        hist, "l_returnflag", "l_extendedprice", "cnt", "cum")
+      val totals = hist.groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).as("n"))
+      cum.join(broadcast(totals), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"),
+          min(when(col("cum") * 2 >= col("n"),
+            col("l_extendedprice"))).as("p50"),
+          min(when(col("cum") * 20 >= col("n") * 19,
+            col("l_extendedprice"))).as("p95"))
+    }),
+
     // ---- SMALL-FILE COMPACTION planner (the Delta/Iceberg OPTIMIZE
     // shape): given a per-partition file inventory (simulated here at
     // doc_id-div-8 grain with byte sizes from n_chars), plan merge
@@ -706,6 +735,12 @@ object WarehouseQueries {
         |  quantile_disc(l_extendedprice, 0.75) AS p75,
         |  quantile_disc(l_extendedprice, 0.95) AS p95,
         |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q175_scalable_percentile" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  quantile_disc(l_extendedprice, 0.50) AS p50,
+        |  quantile_disc(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q161_compaction_plan" ->

@@ -442,6 +442,35 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q174 bloom skipping: no false negatives ever, bounds hold") {
+    val out = SparkEntry.queries("q174_bloom_skipping")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (bloom, truly, fp, total) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bloom >= truly,
+        s"bloom false negative for probe ${r.getLong(0)}")
+      assert(fp == bloom - truly)
+      assert(bloom <= total && truly <= total)
+    }
+  }
+
+  test("q175 scalable percentile == q160's sort-agg percentile_disc") {
+    val scalable = SparkEntry.queries("q175_scalable_percentile")(
+      spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sorted = SparkEntry.queries("q160_quantile_sketch_audit")(
+      spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(5))).toMap
+    assert(scalable.keySet == sorted.keySet)
+    scalable.foreach { case (g, v) =>
+      assert(v == sorted(g), s"percentile paths disagree for group $g")
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
