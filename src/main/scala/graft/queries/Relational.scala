@@ -406,10 +406,141 @@ object Relational {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- TPC-H Q3 shape (shipping priority): segment-filtered
+    // customers × date-bracketed orders × post-pivot lineitems,
+    // revenue-ranked top-10 order keys. Both date filters push to the
+    // scans; the customer leg reduces before joining; revenue uses the
+    // q150 exact-cents idiom (BIGINT cents × (100−disc) summed in
+    // DECIMAL(38,0), emitted double) so the aggregate is order-free.
+    "q176_tpch_q3" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"))
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) > lit("1997-01-01").cast("date"))
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L)
+              - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("rev").cast("decimal(38,0)")).cast("double")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q10 shape (returned-item reporting): customers ranked
+    // by revenue lost to returns in one order quarter — lineitem
+    // filtered to returnflag R, orders bracketed to 1996-Q4, nation
+    // name broadcast in; top-20 by exact-cents revenue.
+    "q177_tpch_q10" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01")
+          && col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L)
+              - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("rev").cast("decimal(38,0)")).cast("double")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q18 shape (large-volume orders): the
+    // having-on-an-aggregated-subquery pattern — orders whose total
+    // line quantity exceeds 250, joined back to customer and lineitem
+    // detail. The qualifying-keys leg is a semi-join input built from
+    // the same lineitem scan's aggregate; quantities stay exact
+    // (doubles holding integers ≤ 50, summed exactly).
+    "q178_tpch_q18" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_date, o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q177_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q178_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_date, o.o_totalprice,
+        |  b.sum_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
     "q150_star_revenue" ->
       """SELECT n.n_name,
         |  count(*) AS n_rows,

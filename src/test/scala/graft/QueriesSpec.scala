@@ -471,6 +471,25 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tpc-h shapes q176/q177/q178: row budgets, ordering, and " +
+    "predicate invariants") {
+    val q3 = SparkEntry.queries("q176_tpch_q3")(spark, sf).collect()
+    assert(q3.length <= 10 && q3.nonEmpty)
+    val rev3 = q3.map(_.getDouble(3)).toSeq
+    assert(rev3 == rev3.sorted.reverse)
+    assert(q3.forall(_.getDate(1).toString < "1997-01-01"))
+    val q10 = SparkEntry.queries("q177_tpch_q10")(spark, sf).collect()
+    assert(q10.length <= 20 && q10.nonEmpty)
+    assert(q10.map(_.getLong(0)).distinct.length == q10.length)
+    val rev10 = q10.map(_.getDouble(4)).toSeq
+    assert(rev10 == rev10.sorted.reverse)
+    val q18 = SparkEntry.queries("q178_tpch_q18")(spark, sf).collect()
+    assert(q18.length <= 100 && q18.nonEmpty)
+    assert(q18.forall(_.getDouble(5) > 250.0))
+    val tp = q18.map(_.getDouble(4)).toSeq
+    assert(tp == tp.sorted.reverse)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
