@@ -86,6 +86,23 @@ object ABBench {
         expr(s"(cum - 1) div $win").as("bin_last"))
   }
 
+  /** q175's A side: exact percentiles via sort-agg percentile_disc —
+    * every group's rows sort through its aggregator (q160's exact leg,
+    * minus the sketch column). */
+  def pctSort(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile_disc(0.50) WITHIN GROUP " +
+          "(ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP " +
+          "(ORDER BY l_extendedprice)").as("p95"))
+
+  /** q175's B side: the two-phase value-histogram + prefix-sum path. */
+  def pctPrefix(s: SparkSession, d: String): DataFrame =
+    graft.queries.WarehouseQueries
+      .queries("q175_scalable_percentile")(s, d)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-ab", "32")
@@ -95,6 +112,8 @@ object ABBench {
       else if (args.headOption.contains("q110narrow"))
         Seq("A:window" -> packWindowNarrow _,
           "B:prefix" -> packPrefixNarrow _)
+      else if (args.headOption.contains("q175"))
+        Seq("A:sortagg" -> pctSort _, "B:histprefix" -> pctPrefix _)
       else Seq("A:join" -> q22Join _, "B:group" -> q22Group _)
     // force EVERY output column, not count(): a Window never changes
     // cardinality, so count() lets Catalyst prune the windowed columns
