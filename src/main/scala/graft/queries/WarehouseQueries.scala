@@ -180,6 +180,61 @@ object WarehouseQueries {
         .withColumnRenamed("ts_us", "valid_from")
     }),
 
+    // ---- ENCODING ADVISOR (the storage-codec decision q151's stats
+    // feed): per candidate column, rows vs exact NDV and the
+    // dictionary-encoding verdict (NDV ≤ 5% of rows — low-cardinality
+    // columns dictionary-encode; high-cardinality ones stay plain) —
+    // the per-column choice a parquet writer tunes at 100 TB, where a
+    // wrong encoding on one wide column is terabytes. One aggregate
+    // per column over a single scan (count + countDistinct; production
+    // downgrades NDV to the q74-audited sketch), folded to 4 rows by
+    // unionByName. Integer cross-multiplied verdict.
+    "q179_encoding_advisor" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def adv(c: String): DataFrame =
+        li.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("ndv"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("ndv"),
+            (col("ndv") * 20 <= col("n_rows")).as("dictionary_encode"))
+      Seq("l_returnflag", "l_linestatus", "l_partkey", "l_extendedprice")
+        .map(adv).reduce(_ unionByName _)
+    }),
+
+    // ---- INCLUSION-DEPENDENCY discovery (FK candidate audit — the
+    // data-modeling generalization of q78's orphan check): for each
+    // candidate child→parent column pair, how many distinct child
+    // values exist, how many are contained in the parent, and the
+    // verdict that the inclusion holds exactly — how referential
+    // structure is DISCOVERED on an unfamiliar 100 TB lake, not just
+    // validated. Each pair is one distinct-project per side + a
+    // left-anti-shaped aggregate; child distincts are value-grain
+    // (bounded by NDV, not rows).
+    "q180_fk_discovery" -> ((s, d) => {
+      def pair(name: String, child: DataFrame, childCol: String,
+               parent: DataFrame, parentCol: String): DataFrame = {
+        val c = child.select(col(childCol).as("v")).distinct()
+        val p = parent.select(col(parentCol).as("pv")).distinct()
+        c.join(p, col("v") === col("pv"), "left_outer")
+          .agg(count(lit(1)).as("n_child_distinct"),
+            sum(when(col("pv").isNotNull, 1L).otherwise(0L))
+              .as("n_contained"))
+          .select(lit(name).as("candidate"), col("n_child_distinct"),
+            col("n_contained"),
+            (col("n_child_distinct") === col("n_contained"))
+              .as("inclusion_holds"))
+      }
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      pair("lineitem.l_orderkey->orders.o_orderkey",
+          li, "l_orderkey", ord, "o_orderkey")
+        .unionByName(pair("lineitem.l_partkey->part.p_partkey",
+          li, "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(pair("orders.o_custkey->customer.c_custkey",
+          ord, "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionByName(pair("orders.o_custkey->supplier.s_suppkey",
+          ord, "o_custkey", Tables.supplier(s, d), "s_suppkey"))
+    }),
+
     // ---- TABLE CHECKSUM (replication/reconciliation fingerprint): an
     // ORDER-INDEPENDENT per-partition checksum — sum of a 32-bit md5
     // window over each row's canonical projection — the cheap answer to
@@ -701,6 +756,60 @@ object WarehouseQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q179_encoding_advisor" ->
+      """SELECT c AS column_name, n_rows, ndv,
+        |  (ndv * 20 <= n_rows) AS dictionary_encode
+        |FROM (
+        |  SELECT 'l_returnflag' AS c, count(*) AS n_rows,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*),
+        |    CAST(count(DISTINCT l_linestatus) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*),
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT)
+        |  FROM lineitem)""".stripMargin,
+
+    "q180_fk_discovery" ->
+      """SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+        |    AS n_child_distinct,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |    WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+        |    AS n_contained,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+        |    = (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+        |    AS inclusion_holds
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part.p_partkey',
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part)),
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem)
+        |    = (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer.c_custkey',
+        |  (SELECT count(DISTINCT o_custkey) FROM orders),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders)
+        |    = (SELECT count(DISTINCT o_custkey) FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->supplier.s_suppkey',
+        |  (SELECT count(DISTINCT o_custkey) FROM orders),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_custkey IN (SELECT s_suppkey FROM supplier)),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders)
+        |    = (SELECT count(DISTINCT o_custkey) FROM orders
+        |       WHERE o_custkey IN (SELECT s_suppkey FROM supplier))""".stripMargin,
+
     "q172_cdc_to_scd2" ->
       """SELECT user_id, event_id,
         |  epoch_ns(ts) // 1000 AS valid_from, event_type AS attr,

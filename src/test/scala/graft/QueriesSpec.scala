@@ -490,6 +490,33 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(tp == tp.sorted.reverse)
   }
 
+  test("q179 encoding advisor: verdict matches the 5% rule, flags are " +
+    "dictionary candidates, keys are not") {
+    val out = SparkEntry.queries("q179_encoding_advisor")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 4)
+    out.foreach { case (_, (n, ndv, dict)) =>
+      assert(ndv <= n && dict == (ndv * 20 <= n))
+    }
+    assert(out("l_returnflag")._3 && out("l_linestatus")._3)
+    assert(!out("l_extendedprice")._3)
+  }
+
+  test("q180 fk discovery: true keys hold, the decoy fails, " +
+    "containment never exceeds the distinct count") {
+    val out = SparkEntry.queries("q180_fk_discovery")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    out.foreach { case (_, (d, c, holds)) =>
+      assert(c <= d && holds == (c == d))
+    }
+    assert(out("lineitem.l_orderkey->orders.o_orderkey")._3)
+    assert(out("lineitem.l_partkey->part.p_partkey")._3)
+    assert(out("orders.o_custkey->customer.c_custkey")._3)
+    assert(!out("orders.o_custkey->supplier.s_suppkey")._3)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
