@@ -244,6 +244,62 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(2) == 3L && r.getLong(5) == 1L && r.getLong(6) == 2L)
   }
 
+  test("q163 audio near-dup: small clone groups pair fully; a clone " +
+    "group past the bucket cap is suppressed, not spilled") {
+    val wave = (0 until 800).map(i => ((i * 37 + i * i % 53) % 94 + 32)
+      .toChar).mkString
+    def clones(n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, wave, "en", "s0", wave.length.toLong))
+    val small = docsDir(clones(3, 1L))
+    val pairs = SparkEntry.queries("q163_audio_neardup")(spark, small)
+      .collect()
+    assert(pairs.length == 3, "3 clones must yield C(3,2) pairs")
+    pairs.foreach(r => assert(r.getLong(2) == 16L,
+      "clones share every shingle key"))
+    // 25 clones -> every fingerprint bucket holds 25 > 20 members ->
+    // the cap (oracle-mirrored) suppresses the quadratic pair set
+    val big = docsDir(clones(25, 1L))
+    assert(SparkEntry.queries("q163_audio_neardup")(spark, big)
+      .collect().isEmpty)
+  }
+
+  test("q161 compaction: a single-file partition plans one bin at " +
+    "offset zero") {
+    val d = docsDir(Seq((1L, "tiny", "en", "solo", 4L)))
+    val out = SparkEntry.queries("q161_compaction_plan")(spark, d)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1L
+      && r.getLong(3) == 4L && r.getLong(4) == 4L)
+  }
+
+  test("q166 balanced downsample: a single-class corpus keeps " +
+    "everything with contiguous ranks") {
+    val d = docsDir((1L to 7L).map(i =>
+      (i, s"doc number $i text", "en", "s0", 16L)))
+    val out = SparkEntry.queries("q166_balanced_downsample")(spark, d)
+      .collect()
+    assert(out.length == 7)
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to 7L))
+  }
+
+  test("q173 dedup savings: a pair-free corpus keeps every token " +
+    "(share exactly 1.0)") {
+    graft.queries.Shared.reset(spark)
+    val d = docsDir(Seq(
+      (1L, "alpha beta gamma delta", "en", "s0", 22L),
+      (2L, "one two three four", "en", "s0", 18L)))
+    try {
+      val out = SparkEntry.queries("q173_dedup_savings")(spark, d)
+        .collect()
+      out.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == r.getLong(4))
+        assert(r.getDouble(5) == 1.0)
+      }
+    } finally graft.queries.Shared.reset(spark)
+  }
+
   test("dHash: malformed payloads drop; a constant raster hashes to 0") {
     import graft.multimodal.Multimodal
     import spark.implicits._
