@@ -716,6 +716,39 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- CLUSTER PROTOTYPE selection (eval-set / inspection-set
+    // construction): the 2 most central members of every trained
+    // k-means cluster — centrality = integer dot with the cluster's
+    // own centroid — the representative-picking step behind SemDeDup
+    // inspection sets, label-efficient eval sampling, and "show me
+    // what this cluster IS" tooling. Per-cluster top-2 runs through
+    // the HEAP TopK Aggregator (operators/TopK — map-side-combined
+    // 2-element buffers; clusters are LOW-cardinality, so the window
+    // form would single-reduce each cluster's full membership, the
+    // q110 class). Dots ≤ ~1e14 sit exactly in double (< 2^53), so
+    // the Aggregator's double score is integer-exact; rides the
+    // shared centroids + quantized frame.
+    "q181_cluster_prototypes" -> ((s, d) => {
+      import s.implicits._
+      val cents = centroidsFull(s, d)
+      val centDf = cents.toDF("cid", "ce")
+      val qv = quantizedVecs(s, d).select(col("vec_id"), col("qv"))
+      val assign = Vectors.assignTrained(Tables.embeddings(s, d),
+        "vec_id", "embedding", cents, KmScale)
+      val topk = udaf(new graft.operators.TopKAgg(2))
+      assign.join(qv, "vec_id")
+        .join(broadcast(centDf), "cid")
+        .select(col("cid"),
+          expr("CAST(doti(qv, ce) AS DOUBLE)").as("score"),
+          col("vec_id").as("id"))
+        .groupBy(col("cid"))
+        .agg(topk(col("score"), col("id")).as("tops"))
+        .select(col("cid"), posexplode(col("tops")))
+        .select(col("cid"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("vec_id"),
+          col("col.score").cast("bigint").as("centrality"))
+    }),
+
     // ---- MAXSIM late-interaction retrieval (the ColBERT shape): the
     // query and each document are treated as BAGS of 8 sub-vectors
     // (the 64-dim embedding sliced 8×8 — standing in for per-token
@@ -1204,6 +1237,22 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q120_pq_recall" -> pqOracle,
     "q159_ivfpq_recall" -> ivfpqOracle,
+
+    "q181_cluster_prototypes" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |dt AS (
+        |  SELECT a.cid, a.vec_id,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> q.qv[i] * c.ce[i]), (x, v) -> x + v) AS dot
+        |  FROM a${KmIters + 1} a JOIN q USING (vec_id)
+        |  JOIN c$KmIters c ON c.cid = a.cid)
+        |SELECT cid, CAST(rn AS INT) AS rn, vec_id,
+        |  CAST(dot AS BIGINT) AS centrality
+        |FROM (SELECT cid, vec_id, dot, row_number() OVER (
+        |    PARTITION BY cid ORDER BY dot DESC, vec_id ASC) AS rn
+        |  FROM dt)
+        |WHERE rn <= 2""".stripMargin,
 
     "q169_maxsim_topk" ->
       s"""WITH q AS (

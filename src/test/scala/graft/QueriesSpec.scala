@@ -517,6 +517,20 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(!out("orders.o_custkey->supplier.s_suppkey")._3)
   }
 
+  test("q181 cluster prototypes: two per cluster, rank-1 centrality " +
+    "dominates rank-2, prototypes belong to their cluster") {
+    val out = SparkEntry.queries("q181_cluster_prototypes")(spark, sf)
+      .collect()
+    val byCid = out.groupBy(_.getInt(0))
+    assert(byCid.size == 8)
+    byCid.foreach { case (_, rows) =>
+      assert(rows.length == 2)
+      val Seq(r1, r2) = rows.sortBy(_.getInt(1)).toSeq
+      assert(r1.getLong(3) >= r2.getLong(3))
+      assert(r1.getLong(2) != r2.getLong(2))
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
