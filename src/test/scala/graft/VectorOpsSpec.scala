@@ -284,4 +284,26 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
       s"HLL estimate bands violated: $r")
   }
+
+  test("index artifacts round-trip through parquet: reloaded centroids " +
+    "serve bit-identical assignments (the persisted-index contract)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val cents = Vectors.kmeansQ(e, "vec_id", "embedding", 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("idx").toString
+    // persist the index the way a 100 TB build job would: a plain
+    // parquet table of (cid, centroid) — no JVM state survives
+    cents.toDF("cid", "ce").write.mode("overwrite")
+      .parquet(s"$dir/centroids.parquet")
+    val loaded = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq: Seq[Long]))
+      .toSeq.sortBy(_._1)
+    assert(loaded == cents.sortBy(_._1))
+    def serve(cs: Seq[(Int, Seq[Long])]): Seq[(Long, Int)] =
+      Vectors.assignTrained(e, "vec_id", "embedding", cs)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+        .toSeq
+    assert(serve(loaded) == serve(cents))
+  }
 }
