@@ -95,6 +95,44 @@ object CorpusQueries {
           lit(nFiles).as("n_files_total"))
     }),
 
+    // ---- SPAN-CORRUPTION example construction (the T5/UL2 denoising
+    // objective's data prep — the seq2seq member of the
+    // training-example family beside q103's chunk windows and q110's
+    // packed sequences): 3 of every 10 tokens masked in aligned runs,
+    // input = tokens with each masked run collapsed to one <Xm>
+    // sentinel, target = the sentinels with their masked tokens — the
+    // exact (input, target) pair a denoising trainer consumes. The
+    // mask phase is an md5-derived per-doc offset (same doc → same
+    // spans on any cluster, the q148 determinism rule); all string
+    // surgery is IN-ROW transform/filter/array_join off the scan — a
+    // map-only operator, no shuffle at any scale. The oracle replays
+    // token-for-token.
+    "q182_span_corruption" -> ((s, d) => {
+      val corrupt = "(p - 1 + off) % 10 < 3"
+      val runStart = "((p - 1 + off) % 10 = 0 OR p = 1)"
+      val sentinel = "concat('<X', CAST((p - 1 + off) div 10 AS STRING), '>')"
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"),
+          (SamplingQueries.hashBucket("doc_id", 21, 10)).as("off"))
+        .select(col("doc_id"),
+          expr(s"""array_join(filter(transform(
+            sequence(1, size(tk)), p ->
+              CASE WHEN $corrupt THEN
+                CASE WHEN $runStart THEN $sentinel ELSE '' END
+              ELSE element_at(tk, p) END), x -> x <> ''), ' ')""")
+            .as("input_text"),
+          expr(s"""array_join(filter(transform(
+            sequence(1, size(tk)), p ->
+              CASE WHEN $corrupt THEN
+                CASE WHEN $runStart
+                  THEN concat($sentinel, ' ', element_at(tk, p))
+                  ELSE element_at(tk, p) END
+              ELSE '' END), x -> x <> ''), ' ')""").as("target_text"),
+          expr(s"""aggregate(transform(sequence(1, size(tk)), p ->
+              CASE WHEN $corrupt AND $runStart THEN 1L ELSE 0L END),
+            0L, (a, x) -> a + x)""").as("n_spans"))
+    }),
+
     // ---- MODEL-BASED quality filtering (the fastText-classifier shape
     // of CCNet/LLaMA-style pipelines, next to the heuristic scores of
     // q26 and the dedup family): every token hashes into one of 1024
@@ -885,6 +923,34 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q174_bloom_skipping" -> bloomSkippingOracle,
+
+    "q182_span_corruption" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    ${SamplingQueries.hashBucketSql("doc_id", 21, 10)} AS off
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(list_transform(
+        |    generate_series(1, len(tk)), p ->
+        |      CASE WHEN (p - 1 + off) % 10 < 3 THEN
+        |        CASE WHEN (p - 1 + off) % 10 = 0 OR p = 1
+        |          THEN concat('<X',
+        |            CAST((p - 1 + off) // 10 AS VARCHAR), '>')
+        |          ELSE '' END
+        |        ELSE tk[p] END), x -> x <> ''), ' ') AS input_text,
+        |  array_to_string(list_filter(list_transform(
+        |    generate_series(1, len(tk)), p ->
+        |      CASE WHEN (p - 1 + off) % 10 < 3 THEN
+        |        CASE WHEN (p - 1 + off) % 10 = 0 OR p = 1
+        |          THEN concat('<X',
+        |            CAST((p - 1 + off) // 10 AS VARCHAR), '> ', tk[p])
+        |          ELSE tk[p] END
+        |        ELSE '' END), x -> x <> ''), ' ') AS target_text,
+        |  CAST(list_sum(list_transform(generate_series(1, len(tk)),
+        |    p -> CASE WHEN (p - 1 + off) % 10 < 3
+        |      AND ((p - 1 + off) % 10 = 0 OR p = 1)
+        |      THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans
+        |FROM t""".stripMargin,
     "q137_drift_audit" ->
       s"""WITH t AS (SELECT (doc_id % 10 >= 8) AS is_cur,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -531,6 +531,34 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q182 span corruption: token conservation — input tokens + " +
+    "target tokens reassemble the original, sentinels align") {
+    val out = SparkEntry.queries("q182_span_corruption")(spark, sf)
+      .collect()
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == orig.size)
+    out.foreach { r =>
+      val (id, inp, tgt, nSpans) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+      val inpT = inp.split(" ").toSeq
+      val tgtT = tgt.split(" ").toSeq
+      val sentI = inpT.filter(_.startsWith("<X"))
+      val sentT = tgtT.filter(_.startsWith("<X"))
+      assert(sentI == sentT, s"sentinel streams differ for doc $id")
+      assert(sentI.length == nSpans)
+      assert(sentI.distinct.length == sentI.length,
+        "sentinel ids must be unique per doc")
+      // non-sentinel tokens partition the original token multiset
+      val plain = inpT.filterNot(_.startsWith("<X")) ++
+        tgtT.filterNot(_.startsWith("<X"))
+      val origT = orig(id).split(" ").toSeq
+      assert(plain.sorted == origT.sorted,
+        s"token conservation broken for doc $id")
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
