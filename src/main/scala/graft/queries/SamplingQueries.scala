@@ -208,6 +208,20 @@ object SamplingQueries {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // ---- DUP-CLUSTER SIZE histogram (the headline table of a dedup
+    // report: "how big are the duplicate families?"): q62's connected
+    // components folded to a count-of-counts — cluster size vs number
+    // of clusters vs docs covered. Singletons (docs in no candidate
+    // pair) are by construction absent, so every size is ≥ 2; the fold
+    // is two hash aggregations over doc-grain rows.
+    "q185_cluster_sizes" -> ((s, d) => {
+      queries("q62_dup_clusters")(s, d)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    }),
+
     // ---- CANONICAL SELECTION per duplicate cluster: q62's clusters,
     // but the keeper is the LONGEST member (token count, min-doc_id
     // tiebreak) instead of the min id — the curation policy that keeps
@@ -774,6 +788,23 @@ object SamplingQueries {
         |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.node = e.t)
         |SELECT node AS doc_id, min(r) AS cluster
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q185_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.node = e.t),
+        |cl AS (SELECT node AS doc_id, min(r) AS cluster
+        |  FROM reach GROUP BY node),
+        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM cl GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size""".stripMargin,
 
     "q63_domain_mix" ->
       """WITH s AS (

@@ -716,6 +716,28 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- BITEXT LENGTH-RATIO QA (the Moore–Lewis-era parallel-corpus
+    // cleaning heuristic, applied to q145's mined pairs): aligned
+    // sentence pairs whose lengths diverge past 2:1 are usually
+    // misalignments — emit each ACCEPTED pair with both character
+    // lengths and the integer-cross-multiplied ratio verdict. Rides
+    // q145's margin-mined pairs (the pool-scale work lives there);
+    // this QA adds two doc-grain joins over a ≤|batch|-row frame.
+    "q184_bitext_ratio" -> ((s, d) => {
+      val acc = queries("q145_bitext_margin")(s, d)
+        .filter(col("accepted"))
+        .select(col("src_id"), col("tgt_id"))
+      val len = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      acc
+        .join(len.toDF("src_id", "src_chars"), "src_id")
+        .join(len.toDF("tgt_id", "tgt_chars"), "tgt_id")
+        .select(col("src_id"), col("tgt_id"), col("src_chars"),
+          col("tgt_chars"),
+          (least(col("src_chars"), col("tgt_chars")) * 2
+            >= greatest(col("src_chars"), col("tgt_chars"))).as("len_ok"))
+    }),
+
     // ---- CLUSTER PROTOTYPE selection (eval-set / inspection-set
     // construction): the 2 most central members of every trained
     // k-means cluster — centrality = integer dot with the cluster's
@@ -1194,6 +1216,35 @@ object VectorQueries {
        |SELECT CAST(5 AS INT) AS k, count(*) AS n_hits,
        |  count(*) / 5 AS recall
        |FROM brute JOIN pq USING (vec_id)""".stripMargin
+  }
+
+  /** q145's replay, shared with the q184 length-ratio QA. */
+  private def bitextOracle: String = {
+    val idot = "list_reduce(list_transform(generate_series(1, 64), " +
+      "i -> sv[i] * tv[i]), (acc, v) -> acc + v)"
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings),
+       |wl AS (SELECT vec_id, lang, qv FROM q
+       |  JOIN documents ON vec_id = doc_id),
+       |src AS (SELECT vec_id AS src_id, qv AS sv FROM wl
+       |  WHERE lang = 'en' AND vec_id % 10 = 7),
+       |tgt AS (SELECT vec_id AS tgt_id, qv AS tv FROM wl
+       |  WHERE lang = 'zh'),
+       |scored AS (SELECT src_id, tgt_id, $idot AS dot FROM src, tgt),
+       |ranked AS (SELECT src_id, tgt_id, dot,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY dot DESC, tgt_id ASC) AS rn
+       |  FROM scored),
+       |tops AS (SELECT src_id,
+       |    max(CASE WHEN rn = 1 THEN tgt_id END) AS tgt_id,
+       |    max(CASE WHEN rn = 1 THEN dot END) AS best_dot,
+       |    max(CASE WHEN rn = 2 THEN dot END) AS second_dot
+       |  FROM ranked WHERE rn <= 2 GROUP BY src_id)
+       |SELECT src_id, tgt_id, best_dot, second_dot,
+       |  (best_dot > 0 AND second_dot * 10 <= best_dot * 9) AS accepted
+       |FROM tops""".stripMargin
   }
 
   /** q159 oracle: full replay of BOTH index builds — the KmK-centroid
@@ -1699,33 +1750,20 @@ object VectorQueries {
         |    AS BIGINT) AS n_any
         |FROM fl""".stripMargin,
 
-    "q145_bitext_margin" -> {
-      val idot = "list_reduce(list_transform(generate_series(1, 64), " +
-        "i -> sv[i] * tv[i]), (acc, v) -> acc + v)"
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
-        |      AS qv
-        |  FROM embeddings),
-        |wl AS (SELECT vec_id, lang, qv FROM q
-        |  JOIN documents ON vec_id = doc_id),
-        |src AS (SELECT vec_id AS src_id, qv AS sv FROM wl
-        |  WHERE lang = 'en' AND vec_id % 10 = 7),
-        |tgt AS (SELECT vec_id AS tgt_id, qv AS tv FROM wl
-        |  WHERE lang = 'zh'),
-        |scored AS (SELECT src_id, tgt_id, $idot AS dot FROM src, tgt),
-        |ranked AS (SELECT src_id, tgt_id, dot,
-        |    row_number() OVER (PARTITION BY src_id
-        |      ORDER BY dot DESC, tgt_id ASC) AS rn
-        |  FROM scored),
-        |tops AS (SELECT src_id,
-        |    max(CASE WHEN rn = 1 THEN tgt_id END) AS tgt_id,
-        |    max(CASE WHEN rn = 1 THEN dot END) AS best_dot,
-        |    max(CASE WHEN rn = 2 THEN dot END) AS second_dot
-        |  FROM ranked WHERE rn <= 2 GROUP BY src_id)
-        |SELECT src_id, tgt_id, best_dot, second_dot,
-        |  (best_dot > 0 AND second_dot * 10 <= best_dot * 9) AS accepted
-        |FROM tops""".stripMargin
-    },
+    "q145_bitext_margin" -> bitextOracle,
+
+    // accepted bitext pairs (the q145 replay) joined to doc lengths for
+    // the parallel-corpus length-ratio QA
+    "q184_bitext_ratio" ->
+      s"""WITH acc AS ($bitextOracle)
+        |SELECT a.src_id, a.tgt_id,
+        |  s.n_chars AS src_chars, t.n_chars AS tgt_chars,
+        |  (least(s.n_chars, t.n_chars) * 2
+        |    >= greatest(s.n_chars, t.n_chars)) AS len_ok
+        |FROM acc a
+        |JOIN documents s ON s.doc_id = a.src_id
+        |JOIN documents t ON t.doc_id = a.tgt_id
+        |WHERE a.accepted""".stripMargin,
 
     "q30_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -593,6 +593,32 @@ object WarehouseQueries {
           expr("array_join(slice(tk, tok_start, 16), ' ')").as("chunk"))
     }),
 
+    // ---- ADJACENT-CHUNK positive pairs (contrastive-pretraining data
+    // prep — the pair-construction step of ICT/contriever-style
+    // retrieval training): each q103 stride window paired with its
+    // in-document successor as (anchor, positive); negatives come free
+    // in-batch at training time, so the data op emits positives only.
+    // Self-join on (doc_id, idx+1) — chunk frames carry md5 digests
+    // out, never chunk text, so the exchange stays narrow.
+    "q183_adjacent_pairs" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, size(tk), 12)")).as("tok_start"))
+        .select(col("doc_id"),
+          expr("(tok_start - 1) div 12").as("chunk_idx"),
+          md5(expr("array_join(slice(tk, tok_start, 16), ' ')")
+            .cast("binary")).as("h"))
+      val a = ch.select(col("doc_id"), col("chunk_idx").as("anchor_idx"),
+        col("h").as("anchor_md5"))
+      val b = ch.select(col("doc_id").as("doc_b"),
+        col("chunk_idx").as("b_idx"), col("h").as("positive_md5"))
+      a.join(b, col("doc_id") === col("doc_b")
+          && col("b_idx") === col("anchor_idx") + 1)
+        .select(col("doc_id"), col("anchor_idx"), col("anchor_md5"),
+          col("positive_md5"))
+    }),
+
     // ---- sketch audit: HLL++ approximate distinct vs exact, with the
     // tolerance check materialized as a column. HLL register-merge is
     // order-independent, so the approximation is partitioning-stable.
@@ -1094,6 +1120,22 @@ object WarehouseQueries {
         |  max(k.n) AS lang_docs, t.salted AS salted
         |FROM documents d JOIN k ON d.lang = k.lang, t
         |GROUP BY d.lang, t.salted""".stripMargin,
+
+    "q183_adjacent_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |st AS (SELECT doc_id, tk,
+        |    unnest(generate_series(1, len(tk), 12)) AS tok_start
+        |  FROM d),
+        |c AS (SELECT doc_id, (tok_start - 1) // 12 AS chunk_idx,
+        |    md5(array_to_string(
+        |      list_slice(tk, tok_start, tok_start + 15), ' ')) AS h
+        |  FROM st)
+        |SELECT a.doc_id, a.chunk_idx AS anchor_idx,
+        |  a.h AS anchor_md5, b.h AS positive_md5
+        |FROM c a JOIN c b
+        |  ON a.doc_id = b.doc_id AND b.chunk_idx = a.chunk_idx + 1"""
+        .stripMargin,
 
     "q103_chunk_emit" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -559,6 +559,53 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q183 adjacent pairs: one pair per non-final chunk, digests " +
+    "agree with the q103 chunk frame") {
+    val chunks = SparkEntry.queries("q103_chunk_emit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4))
+      .toMap
+    val out = SparkEntry.queries("q183_adjacent_pairs")(spark, sf)
+      .collect()
+    val perDoc = chunks.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(out.length == perDoc.values.map(_ - 1).sum)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.take(20).foreach { r =>
+      val (id, idx) = (r.getLong(0), r.getLong(1))
+      assert(r.getString(2) == hex(chunks((id, idx))))
+      assert(r.getString(3) == hex(chunks((id, idx + 1))))
+    }
+  }
+
+  test("q184 bitext ratio: only accepted q145 pairs, verdict matches " +
+    "the 2:1 rule") {
+    val accepted = SparkEntry.queries("q145_bitext_margin")(spark, sf)
+      .filter(col("accepted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SparkEntry.queries("q184_bitext_ratio")(spark, sf)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == accepted)
+    out.foreach { r =>
+      val (sc, tc) = (r.getLong(2), r.getLong(3))
+      assert(r.getBoolean(4) == (math.min(sc, tc) * 2 >= math.max(sc, tc)))
+    }
+  }
+
+  test("q185 cluster sizes: ledger covers exactly the q62 membership, " +
+    "every size at least 2") {
+    val out = SparkEntry.queries("q185_cluster_sizes")(spark, sf)
+      .collect()
+    val cl = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == cl.length)
+    assert(out.map(r => r.getLong(1)).sum ==
+      cl.map(_.getLong(1)).distinct.length)
+    out.foreach { r =>
+      assert(r.getLong(0) >= 2L)
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
