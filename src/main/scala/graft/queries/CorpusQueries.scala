@@ -95,6 +95,40 @@ object CorpusQueries {
           lit(nFiles).as("n_files_total"))
     }),
 
+    // ---- PIPELINE FUNNEL accounting (the curation run's summary
+    // table: docs/tokens surviving each stage): raw → exact-dedup
+    // canonical (q20's min-id-per-md5 rule) → near-dup survivor
+    // (q38's drop-the-larger-pair-member rule, riding the ONE shared
+    // LSH pair frame) → quality gate (q124's classifier keep). Each
+    // stage is the REAL home-query rule, so the funnel is an audit of
+    // the actual operators, not lookalikes; the fold per stage is one
+    // map-combined aggregate, and the whole report adds two anti-join
+    // shapes beyond indexes that already exist.
+    "q187_pipeline_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+      val exactKeep = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val nearDropped = TextQueries.sharedCandidatePairs(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val stage2 = docs.join(exactKeep, "doc_id")
+      val stage3 = stage2.join(nearDropped, Seq("doc_id"), "left_anti")
+      val quality = queries("q124_quality_classifier")(s, d)
+        .filter(col("keep")).select(col("doc_id"))
+      val stage4 = stage3.join(quality, "doc_id")
+      def row(order: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
+          .select(lit(order).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      row(1, "raw", docs)
+        .unionByName(row(2, "exact_dedup", stage2))
+        .unionByName(row(3, "near_dedup", stage3))
+        .unionByName(row(4, "quality_gate", stage4))
+    }),
+
     // ---- SPAN-CORRUPTION example construction (the T5/UL2 denoising
     // objective's data prep — the seq2seq member of the
     // training-example family beside q103's chunk windows and q110's
@@ -923,6 +957,39 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q174_bloom_skipping" -> bloomSkippingOracle,
+
+    "q187_pipeline_funnel" ->
+      s"""WITH d AS (SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |ek AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+        |pairs AS (${TextQueries.minhashPairsSql}),
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        |s2 AS (SELECT d.* FROM d JOIN ek USING (doc_id)),
+        |s3 AS (SELECT * FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        |t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fb AS (SELECT doc_id,
+        |    ${SamplingQueries.hashBucketSql("tok", 1, 1024)} AS b FROM t),
+        |fw AS (SELECT doc_id,
+        |    (${SamplingQueries.hashBucketSql("b", 9, 2001)}) - 1000 AS w
+        |  FROM fb),
+        |qk AS (SELECT doc_id FROM fw GROUP BY doc_id
+        |  HAVING sum(w) >= 0),
+        |s4 AS (SELECT s3.* FROM s3 JOIN qk USING (doc_id))
+        |SELECT CAST(1 AS INT) AS stage, 'raw' AS stage_name,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM d
+        |UNION ALL
+        |SELECT 2, 'exact_dedup', count(*), CAST(sum(toks) AS BIGINT)
+        |FROM s2
+        |UNION ALL
+        |SELECT 3, 'near_dedup', count(*), CAST(sum(toks) AS BIGINT)
+        |FROM s3
+        |UNION ALL
+        |SELECT 4, 'quality_gate', count(*), CAST(sum(toks) AS BIGINT)
+        |FROM s4""".stripMargin,
 
     "q182_span_corruption" ->
       s"""WITH t AS (

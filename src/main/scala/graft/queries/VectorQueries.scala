@@ -716,6 +716,44 @@ object VectorQueries {
           (col("n_hits") / lit(5)).as("recall"))
     }),
 
+    // ---- SEMANTIC decontamination (embedding-space contamination
+    // detection — the vector complement of the n-gram decontamination
+    // family q51/q116/q127, which paraphrased eval leakage slips
+    // past): for every eval-split vector (10% hash split), its nearest
+    // train-split vector by integer dot and the cos ≥ 0.5 verdict in
+    // exact cross-multiplied arithmetic (dot > 0 ∧ 4·dot² ≥
+    // |e|²·|t|², DECIMAL(38,0)/HUGEINT — the q122 idiom at a stricter
+    // threshold). Exact batch × pool leg by design (the q145 posture:
+    // eval sets are small; at 100 TB the pool side comes pre-filtered
+    // by the ANN legs and THIS is the final exact check); the window
+    // partitions on high-cardinality eval_id. Nearest-by-dot is the
+    // documented ranking heuristic; the contamination THRESHOLD is
+    // norm-corrected and exact.
+    "q186_semantic_decontam" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qv = quantizedVecs(s, d)
+      val ev = qv
+        .filter(SamplingQueries.hashBucket("vec_id", 1, 10) === 9)
+        .select(col("vec_id").as("eval_id"), col("qv").as("evv"),
+          col("n2").as("n2e"))
+      val tr = qv
+        .filter(SamplingQueries.hashBucket("vec_id", 1, 10) =!= 9)
+        .select(col("vec_id").as("train_id"), col("qv").as("tv"),
+          col("n2").as("n2t"))
+      val w = Window.partitionBy(col("eval_id"))
+        .orderBy(col("dot").desc, col("train_id").asc)
+      ev.crossJoin(tr)
+        .select(col("eval_id"), col("train_id"),
+          expr("doti(evv, tv)").as("dot"), col("n2e"), col("n2t"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eval_id"), col("train_id"), col("dot"),
+          (col("dot") > 0 &&
+            col("dot").cast("decimal(38,0)") * col("dot") * 4
+              >= col("n2e").cast("decimal(38,0)") * col("n2t"))
+            .as("contaminated"))
+    }),
+
     // ---- BITEXT LENGTH-RATIO QA (the Moore–Lewis-era parallel-corpus
     // cleaning heuristic, applied to q145's mined pairs): aligned
     // sentence pairs whose lengths diverge past 2:1 are usually
@@ -1751,6 +1789,34 @@ object VectorQueries {
         |FROM fl""".stripMargin,
 
     "q145_bitext_margin" -> bitextOracle,
+
+    "q186_semantic_decontam" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |      AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |    CAST(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> qv[i] * qv[i]), (a, v) -> a + v) AS BIGINT) AS n2
+        |  FROM q),
+        |ev AS (SELECT vec_id AS eval_id, qv AS evv, n2 AS n2e FROM n
+        |  WHERE ${SamplingQueries.hashBucketSql("vec_id", 1, 10)} = 9),
+        |tr AS (SELECT vec_id AS train_id, qv AS tv, n2 AS n2t FROM n
+        |  WHERE ${SamplingQueries.hashBucketSql("vec_id", 1, 10)} <> 9),
+        |sc AS (SELECT eval_id, train_id,
+        |    CAST(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> evv[i] * tv[i]), (a, v) -> a + v) AS BIGINT) AS dot,
+        |    n2e, n2t
+        |  FROM ev, tr),
+        |r AS (SELECT eval_id, train_id, dot, n2e, n2t,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY dot DESC, train_id ASC) AS rn
+        |  FROM sc)
+        |SELECT eval_id, train_id, dot,
+        |  (dot > 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 4
+        |    >= CAST(n2e AS HUGEINT) * CAST(n2t AS HUGEINT))
+        |    AS contaminated
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // accepted bitext pairs (the q145 replay) joined to doc lengths for
     // the parallel-corpus length-ratio QA

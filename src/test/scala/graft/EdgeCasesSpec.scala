@@ -300,6 +300,31 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     } finally graft.queries.Shared.reset(spark)
   }
 
+  test("q186 semantic decontam: planted clones flag, an orthogonal " +
+    "corpus stays clean") {
+    import spark.implicits._
+    def embDir(vecs: Seq[(Long, Array[Float])]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("emb").toString
+      vecs.toDF("vec_id", "embedding")
+        .withColumn("label", lit(0))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    // all-identical corpus: every eval vector's nearest train vector is
+    // an exact clone (cos = 1) -> everything flags
+    val one = Array.fill(64)(0.5f)
+    val clones = embDir((0L until 40L).map(i => (i, one)))
+    val flagged = SparkEntry.queries("q186_semantic_decontam")(
+      spark, clones).collect()
+    assert(flagged.nonEmpty && flagged.forall(_.getBoolean(3)))
+    // orthogonal corpus: cross dots are all zero -> nothing flags
+    val ortho = embDir((0L until 40L).map(i =>
+      (i, Array.tabulate(64)(j => if (j == i % 64) 1f else 0f))))
+    val clean = SparkEntry.queries("q186_semantic_decontam")(
+      spark, ortho).collect()
+    assert(clean.nonEmpty && clean.forall(!_.getBoolean(3)))
+  }
+
   test("dHash: malformed payloads drop; a constant raster hashes to 0") {
     import graft.multimodal.Multimodal
     import spark.implicits._

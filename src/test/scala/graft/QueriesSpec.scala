@@ -606,6 +606,33 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q186 semantic decontam: one row per eval vector, dot ranks, " +
+    "clean iid corpus flags nothing") {
+    val out = SparkEntry.queries("q186_semantic_decontam")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // synthetic iid Gaussians never reach cos >= 0.5 against a foreign
+    // vector — zero flags is the CORRECT answer here (the planted-
+    // contamination positive case lives in EdgeCasesSpec)
+    assert(out.forall(!_.getBoolean(3)))
+  }
+
+  test("q187 funnel: stages are monotone and agree with the home " +
+    "queries' own rules") {
+    val out = SparkEntry.queries("q187_pipeline_funnel")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 4)
+    (1 to 3).foreach { i =>
+      assert(out(i)._1 >= out(i + 1)._1 && out(i)._2 >= out(i + 1)._2,
+        s"funnel must shrink at stage ${i + 1}")
+    }
+    assert(out(1)._1 == Tables.documents(spark, sf).count())
+    assert(out(2)._1 ==
+      SparkEntry.queries("q20_dedup_exact")(spark, sf).count())
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
