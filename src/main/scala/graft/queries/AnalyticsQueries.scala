@@ -288,6 +288,67 @@ object AnalyticsQueries {
           col("trail_n") === 3 && col("n") * 2 >= col("trail_sum"))
     }),
 
+    // ---- PER-ENTITY distribution drift (the third drift lens: q137
+    // audits the corpus vs a reference, q156 an entity's RATE vs its
+    // own history — this audits each entity's event-type MIX vs the
+    // population): per user, the total-variation distance between the
+    // user's type distribution and the global one, in exact
+    // cross-multiplied integers — sum_abs = Σ_t |n_ut·G − g_t·n_u|,
+    // TV = sum_abs / (2·n_u·G), flagged at TV > 0.1 ⟺ 5·sum_abs >
+    // n_u·G. The bot/abuse shape: a scraper clicking one endpoint has
+    // TV near 1. Every (user, type) cell exists via a broadcast type
+    // list so vanished types count. Products ≤ n_ut·G — fits long to
+    // ~1e18 event corpora; widen to decimal beyond (the q99 note).
+    "q188_user_profile_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val types = ev.select(col("event_type")).distinct()
+      val glob = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("g_t"))
+        .crossJoin(broadcast(
+          ev.agg(count(lit(1)).as("g_total"))))
+      val userTotals = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_u"))
+      val cells = userTotals.crossJoin(broadcast(types))
+        .join(ev.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("n_ut")),
+          Seq("user_id", "event_type"), "left_outer")
+        .select(col("user_id"), col("event_type"), col("n_u"),
+          coalesce(col("n_ut"), lit(0L)).as("n_ut"))
+      cells.join(broadcast(glob), "event_type")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_u")).as("n_events"),
+          sum(abs(col("n_ut") * col("g_total")
+            - col("g_t") * col("n_u"))).as("sum_abs"),
+          max(col("g_total")).as("g_total"))
+        .select(col("user_id"), col("n_events"), col("sum_abs"),
+          (col("sum_abs") * 5 > col("n_events") * col("g_total"))
+            .as("drifted"))
+    }),
+
+    // ---- EVENT-SEQUENCE trigram mining (the 3-gram extension of
+    // q75's Markov transitions — the pattern-mining pass behind
+    // "what do users DO in order"): per-user totally-ordered event
+    // streams yield (e1, e2, e3) windows via two lags, counted
+    // globally, top-10 under a (count, pattern) total order. Lag
+    // windows partition on high-cardinality user_id; the count fold
+    // is |types|³ rows at most.
+    "q189_event_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("e2", lag(col("event_type"), 1).over(w))
+        .withColumn("e1", lag(col("event_type"), 2).over(w))
+        .filter(col("e1").isNotNull)
+        .groupBy(col("e1"), col("e2"),
+          col("event_type").as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1").asc, col("e2").asc,
+          col("e3").asc)
+        .limit(10)
+    }),
+
     // ---- RECURSIVE CTE hierarchy walk (Spark 4's WITH RECURSIVE —
     // the SQL-surface twin of q62's connected-components operator):
     // an org chart synthesized over supplier (parent = s_suppkey div
@@ -369,6 +430,43 @@ object AnalyticsQueries {
         |     ORDER BY hour_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
         |     0)) AS spike
         |FROM h""".stripMargin,
+
+    "q188_user_profile_drift" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS g_t
+        |  FROM ev GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS g_total FROM ev),
+        |ut AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_u
+        |  FROM ev GROUP BY 1),
+        |cu AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_ut FROM ev GROUP BY 1, 2),
+        |cells AS (SELECT u.user_id, t.event_type, u.n_u,
+        |    CAST(coalesce(c.n_ut, 0) AS BIGINT) AS n_ut
+        |  FROM ut u CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |  LEFT JOIN cu c ON c.user_id = u.user_id
+        |    AND c.event_type = t.event_type)
+        |SELECT cells.user_id,
+        |  CAST(max(cells.n_u) AS BIGINT) AS n_events,
+        |  CAST(sum(abs(cells.n_ut * gt.g_total - g.g_t * cells.n_u))
+        |    AS BIGINT) AS sum_abs,
+        |  (CAST(sum(abs(cells.n_ut * gt.g_total - g.g_t * cells.n_u))
+        |    AS BIGINT) * 5
+        |    > max(cells.n_u) * max(gt.g_total)) AS drifted
+        |FROM cells JOIN g USING (event_type), gt
+        |GROUP BY cells.user_id""".stripMargin,
+
+    "q189_event_trigrams" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS e2,
+        |    lag(event_type, 2) OVER w AS e1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC))
+        |SELECT e1, e2, event_type AS e3, count(*) AS n
+        |FROM o WHERE e1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+        |LIMIT 10""".stripMargin,
 
     "q164_recursive_org" ->
       """WITH RECURSIVE org AS (

@@ -633,6 +633,35 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       SparkEntry.queries("q20_dedup_exact")(spark, sf).count())
   }
 
+  test("q188 profile drift: one row per user, events conserve, verdict " +
+    "replays the TV rule") {
+    val out = SparkEntry.queries("q188_user_profile_drift")(spark, sf)
+      .collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      val (n, sumAbs, drifted) =
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(drifted == (sumAbs * 5 > n * total))
+      // TV upper bound: sum_abs <= 2 * n_u * G
+      assert(sumAbs <= 2 * n * total)
+    }
+  }
+
+  test("q189 event trigrams: 10 rows, counts descend, totals bounded " +
+    "by the lag-window population") {
+    val out = SparkEntry.queries("q189_event_trigrams")(spark, sf)
+      .collect()
+    assert(out.length == 10)
+    val ns = out.map(_.getLong(3)).toSeq
+    assert(ns == ns.sorted.reverse)
+    // each user's stream yields max(n_u - 2, 0) trigrams
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => math.max(r.getLong(1) - 2, 0L)).sum
+    assert(ns.sum <= perUser)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
