@@ -120,6 +120,54 @@ class StreamSpikeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("restart from checkpoint: trail state survives, no duplicate " +
+    "or lost hours, and the post-restart spike verdict uses the " +
+    "pre-restart baseline") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("spike_ckpt")
+    val in = base.resolve("in"); val chk = base.resolve("chk")
+    val out = base.resolve("out")
+    java.nio.file.Files.createDirectories(in)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        ("user_id,ts" +: rows.map { case (u, t) => s"$u,$t" })
+          .mkString("\n").getBytes)
+    def start() = StreamSpike.spikes(
+        spark.readStream.schema(schema).option("header", "true")
+          .csv(in.toString), "30 minutes")
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", chk.toString)
+      .outputMode("append").start()
+    def hr(h: Int, m: Int) = f"2024-01-01 $h%02d:$m%02d:00"
+    // run 1: the baseline hours 10(1), 11(2), 12(3)
+    drop("b1.csv", Seq((5L, hr(10, 0)), (5L, hr(11, 0)), (5L, hr(11, 1)),
+      (5L, hr(12, 0)), (5L, hr(12, 1)), (5L, hr(12, 2))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2: the hour-13 burst + watermark sentinels; its spike verdict
+    // needs the trail (1,2,3) accumulated BEFORE the restart
+    drop("b2.csv", (1 to 9).map(i => (5L, hr(13, i))) ++
+      Seq((99L, "2024-01-02 00:00:00")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      drop("b3.csv", Seq((99L, "2024-01-02 06:00:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out.toString)
+      .filter(col("user_id") === 5L).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows.size == 4, s"exactly hours 10-13 once each, got $rows")
+    // counts are unique per hour here; locate the burst by its count
+    assert(rows.values.toSeq.sortBy(_._1) == Seq(
+      (1L, 0L, 0L, false), (2L, 1L, 1L, false), (3L, 3L, 2L, false),
+      (9L, 6L, 3L, true)),
+      "burst must spike against the pre-restart trail")
+  }
+
   test("late events past the watermark cannot resurrect a finalized " +
     "hour; pure fold caps the trail at 3") {
     import spark.implicits._
