@@ -102,6 +102,57 @@ object TextQueries {
         .withColumn("n_missed", col("n_true_union") - col("n_true"))
     }),
 
+    // ---- EXACT set-similarity join via PREFIX FILTERING (the
+    // AllPairs/PPJoin family — the deterministic-COMPLETE alternative
+    // to LSH candidates): every doc pair with bigram-set Jaccard
+    // ≥ 4/5, with no all-pairs pass and no missed pairs (LSH q21 can
+    // miss; this can't — asserted against brute force in the spec).
+    // Bigrams sort by global rarity (df asc, tok asc — one shared
+    // order); a doc's PREFIX is its first |d| − ⌈0.8·|d|⌉ + 1
+    // bigrams, and the completeness theorem says any qualifying pair
+    // shares a prefix bigram — the join touches only prefix buckets,
+    // plus the 5·min ≥ 4·max length filter, then the exact
+    // intersection verifies 9·I ≥ 4·(|a|+|b|). Honest scale note:
+    // pruning power IS vocabulary discriminativeness — on this
+    // small-vocab corpus the candidate set stays heavy (13 k at
+    // sf0.01 for 25 true pairs, measured), which is exactly why LSH
+    // banding is the default and prefix filtering the exact-audit
+    // tool. Per-doc ranks ride a high-cardinality doc_id window; the
+    // df table is vocabulary-sized.
+    "q190_prefix_filter_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Text.wordShingles(Tables.documents(s, d),
+          "doc_id", "text", 2)
+        .withColumnRenamed("sh", "tok")
+      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("tok").asc)
+      val ranked = toks.join(df, "tok")
+        .withColumn("idx", row_number().over(w))
+        .withColumn("na", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+      val prefix = ranked
+        .filter(col("idx") <= col("na") - expr("(na * 4 + 4) div 5") + 1)
+        .select(col("tok"), col("doc_id"), col("na"))
+      val cand = prefix.toDF("tok", "doc_a", "na")
+        .join(prefix.toDF("tok", "doc_b", "nb"), "tok")
+        .filter(col("doc_a") < col("doc_b")
+          && least(col("na"), col("nb")) * 5
+            >= greatest(col("na"), col("nb")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .distinct()
+      val inter = toks.select(col("tok"), col("doc_id").as("doc_a"))
+        .join(cand.select(col("doc_a"), col("doc_b")), "doc_a")
+        .join(toks.select(col("tok"), col("doc_id").as("doc_b")),
+          Seq("tok", "doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      cand.join(inter, Seq("doc_a", "doc_b"))
+        .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("na"), col("nb"))
+    }),
+
     // ---- DEDUP SAVINGS report: the before/after ledger every dedup
     // run publishes — per source, documents and tokens in the raw
     // corpus vs the canonical corpus (q38's rule: drop any doc that is
@@ -577,6 +628,34 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q170_lsh_tuning" -> lshTuningOracle,
+
+    "q190_prefix_filter_join" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, concat_ws(' ', tk[p], tk[p+1]) AS tok
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents),
+        |      unnest(generate_series(1, greatest(len(tk) - 1, 1))) t(p))),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM toks GROUP BY 1),
+        |r AS (SELECT t.doc_id, t.tok,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY f.df ASC, t.tok ASC) AS idx,
+        |    CAST(count(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS na
+        |  FROM toks t JOIN f USING (tok)),
+        |p AS (SELECT tok, doc_id, na FROM r
+        |  WHERE idx <= na - (na * 4 + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.na AS na, b.na AS nb
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  WHERE least(a.na, b.na) * 5 >= greatest(a.na, b.na) * 4),
+        |iv AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT)
+        |    AS inter
+        |  FROM cand c JOIN toks x ON x.doc_id = c.doc_a
+        |  JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, iv.inter, c.na, c.nb
+        |FROM cand c JOIN iv USING (doc_a, doc_b)
+        |WHERE iv.inter * 9 >= (c.na + c.nb) * 4""".stripMargin,
 
     "q173_dedup_savings" ->
       s"""WITH pairs AS ($minhashPairsSql),

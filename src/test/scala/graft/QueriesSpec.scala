@@ -662,6 +662,28 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(ns.sum <= perUser)
   }
 
+  test("q190 prefix-filter join is EXACT: equals the brute-force " +
+    "all-pairs bigram Jaccard >= 4/5 set") {
+    val got = SparkEntry.queries("q190_prefix_filter_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: distinct bigram sets per doc, all-pairs intersection
+    val sets = graft.functions.Text
+      .wordShingles(Tables.documents(spark, sf), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a & b).size
+      if inter * 9 >= (a.size + b.size) * 4
+    } yield (ids(i), ids(j))).toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
