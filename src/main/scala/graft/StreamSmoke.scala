@@ -29,6 +29,7 @@ import graft.streaming.StreamNearDup
 object StreamSmoke {
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("spike")) { spikeSmoke(); return }
     val retentionSec = args.headOption.map(_.toLong).getOrElse(600L)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/clone10")
     val spark = Engine.session("graft-stream-smoke", "32")
@@ -83,6 +84,73 @@ object StreamSmoke {
       s""""retention_sec":$retentionSec,"waves":$nWaves,""" +
       s""""wall_sec":${math.round(wallS * 10) / 10.0},""" +
       s""""total_flags":$total,"batches":[""" +
+      prog.map { p =>
+        val so = p.stateOperators.headOption
+        s"""{"rows_in":${p.numInputRows},""" +
+          s""""duration_ms":${p.batchDuration},""" +
+          s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+          s""""state_mem_bytes":${
+            so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
+      }.mkString(",") + "]}")
+    spark.stop()
+  }
+
+  /** StreamSpike scale smoke: the full events table fed as one file per
+    * DAY (30 microbatches at sf0.1), measuring what the state-bound
+    * design claims — per-user state is the open-hour counters inside
+    * the lateness horizon plus a 3-long trail, so state ROWS sit at
+    * ~|users| regardless of event rate or stream length.
+    */
+  private def spikeSmoke(): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Engine.session("graft-spike-smoke", "32")
+    import spark.implicits._
+    val staged = Files.createTempDirectory("graft-spike-smoke").toString
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        expr(s"ts_us div ${dayUs}L").as("day"))
+    val days = ev.select(col("day")).distinct()
+      .orderBy(col("day")).as[Long].collect()
+    days.zipWithIndex.foreach { case (day, i) =>
+      ev.filter(col("day") === day).drop("day")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staged/day_$i")
+      val src = Files.list(Paths.get(s"$staged/day_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(src),
+        Paths.get(f"$staged/d$i%03d.parquet"))
+      Thread.sleep(20)
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/d*.parquet")
+    var rows = 0L
+    var spikes = 0L
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamSpike.spikes(stream, "30 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamSpike.SpikeRow], _: Long) =>
+        val c = df.persist()
+        rows += c.count()
+        spikes += c.filter(col("spike")).count()
+        c.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$staged/ckpt")
+      .start()
+    q.awaitTermination()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    println(s"""{"smoke":"stream_spike","dir":"$dir",""" +
+      s""""days":${days.length},""" +
+      s""""wall_sec":${math.round(wallS * 10) / 10.0},""" +
+      s""""hour_rows":$rows,"spike_rows":$spikes,"batches":[""" +
       prog.map { p =>
         val so = p.stateOperators.headOption
         s"""{"rows_in":${p.numInputRows},""" +
