@@ -34,6 +34,23 @@ object PipelineQueries {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // ---- HOPPING (sliding) window aggregation: Spark's native
+    // overlapping-window primitive — 1-hour windows every 15 minutes,
+    // so each event lands in 4 windows (q32 covers the tumbling case;
+    // overlap is what trend dashboards and rate limiters actually
+    // read). The oracle replays the window-assignment arithmetic as an
+    // explicit 4-way explode in exact epoch-micros integers — the
+    // same math `window()` performs internally; window starts align
+    // to epoch 15-minute boundaries in both engines.
+    "q191_hopping_windows" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+    }),
+
     // ---- the reference's hardest report (Task_4_80perc.py) run through
     // the actual EmployeePipeline core against an independent SQL spec:
     // leave feed derived from lineitem ship-dates per supplier, sparse
@@ -304,6 +321,15 @@ object PipelineQueries {
         |  CAST(16 + octet_length(encode(text)) % 48 AS INT) AS height,
         |  CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS frames
         |FROM documents""".stripMargin,
+
+    "q191_hopping_windows" ->
+      """WITH t AS (SELECT event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |w AS (SELECT event_type,
+        |    (us - (us % 900000000)) - k.k * 900000000 AS win_start_us
+        |  FROM t, generate_series(0, 3) k(k))
+        |SELECT win_start_us, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q32_hourly_events" ->
       """SELECT event_type,

@@ -684,6 +684,17 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q191 hopping windows: every event lands in exactly 4 windows, " +
+    "each hour's count equals its 4 covering windows' shared events") {
+    val out = SparkEntry.queries("q191_hopping_windows")(spark, sf)
+      .collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == 4 * total,
+      "4-way overlap must quadruple the event mass")
+    // window starts align to 15-minute epoch boundaries
+    assert(out.forall(_.getLong(0) % 900000000L == 0))
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
