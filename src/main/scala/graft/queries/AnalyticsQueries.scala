@@ -349,6 +349,27 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // ---- INTER-ARRIVAL latency profile: the distribution of per-user
+    // gaps between consecutive events, log2-bucketed by INTEGER bit
+    // length (length(bin(gap_us)) — the q157 no-libm idiom) — the
+    // latency/engagement histogram behind session-timeout tuning (q41
+    // picked 30 min; THIS is the measurement that justifies a cutoff)
+    // and bot detection (machine traffic piles into the low buckets).
+    // One lag over the high-cardinality user window, one map-combined
+    // fold to ≤64 rows.
+    "q192_interarrival_profile" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select(length(expr("bin(greatest(gap_us, 1))")).cast("bigint")
+          .as("bits"))
+        .groupBy(col("bits"))
+        .agg(count(lit(1)).as("n_gaps"))
+    }),
+
     // ---- RECURSIVE CTE hierarchy walk (Spark 4's WITH RECURSIVE —
     // the SQL-surface twin of q62's connected-components operator):
     // an org chart synthesized over supplier (parent = s_suppkey div
@@ -430,6 +451,17 @@ object AnalyticsQueries {
         |     ORDER BY hour_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
         |     0)) AS spike
         |FROM h""".stripMargin,
+
+    "q192_interarrival_profile" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT us - lag(us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC) AS gap_us
+        |  FROM t)
+        |SELECT CAST(length(bin(greatest(gap_us, 1))) AS BIGINT) AS bits,
+        |  count(*) AS n_gaps
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q188_user_profile_drift" ->
       """WITH ev AS (SELECT user_id, event_type FROM events),

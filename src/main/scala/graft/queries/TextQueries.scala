@@ -170,6 +170,25 @@ object TextQueries {
         .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
     }),
 
+    // ---- SOFT-DEDUP loss weights: the down-weight-instead-of-drop
+    // alternative to q20's hard canonical rule — every doc keeps
+    // weight 1/dup_count (fixed-point ×1e6, truncating integer
+    // division) so a duplicate FAMILY contributes one document's
+    // worth of gradient while every surface form stays in the mix.
+    // One digest group-by + one digest-keyed join; weights and the
+    // weighted token ledger stay integer-exact.
+    "q193_soft_dedup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+      val grp = docs.groupBy(col("h")).agg(count(lit(1)).as("dup_count"))
+      docs.join(grp, "h")
+        .select(col("doc_id"), col("dup_count"),
+          expr("1000000L div dup_count").as("weight_x1e6"),
+          (col("toks") * expr("1000000L div dup_count"))
+            .as("weighted_tokens_x1e6"))
+    }),
+
     // ---- DEDUP SAVINGS report: the before/after ledger every dedup
     // run publishes — per source, documents and tokens in the raw
     // corpus vs the canonical corpus (q38's rule: drop any doc that is
@@ -675,6 +694,18 @@ object TextQueries {
         |SELECT c.doc_a, c.doc_b, iv.inter, c.na, c.nb
         |FROM cand c JOIN iv USING (doc_a, doc_b)
         |WHERE iv.inter * 9 >= (c.na + c.nb) * 4""".stripMargin,
+
+    "q193_soft_dedup_weights" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM d GROUP BY 1)
+        |SELECT doc_id, dup_count,
+        |  1000000 // dup_count AS weight_x1e6,
+        |  CAST(toks * (1000000 // dup_count) AS BIGINT)
+        |    AS weighted_tokens_x1e6
+        |FROM d JOIN g USING (h)""".stripMargin,
 
     "q173_dedup_savings" ->
       s"""WITH pairs AS ($minhashPairsSql),

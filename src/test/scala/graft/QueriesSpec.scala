@@ -695,6 +695,32 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_.getLong(0) % 900000000L == 0))
   }
 
+  test("q192 inter-arrival profile: gaps conserve (events minus users), " +
+    "bit buckets within the 64-bit domain") {
+    val out = SparkEntry.queries("q192_interarrival_profile")(spark, sf)
+      .collect()
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(1)).sum == nEvents - nUsers)
+    out.foreach(r => assert(r.getLong(0) >= 1 && r.getLong(0) <= 64))
+  }
+
+  test("q193 soft-dedup weights: every doc weighted, families sum to " +
+    "~1e6, weight inverts dup_count") {
+    val out = SparkEntry.queries("q193_soft_dedup_weights")(spark, sf)
+      .collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getLong(2) == 1000000L / r.getLong(1))
+    }
+    // per family: dup_count members × floor(1e6/dup_count) ≈ 1e6
+    out.groupBy(_.getLong(1)).foreach { case (dc, rows) =>
+      assert(rows.length % dc == 0,
+        s"family multiplicity must divide the member count for $dc")
+    }
+  }
+
   test("q22 exact md5 trigram mode emits the same pairs as xxhash64") {
     def pairs(): Set[String] =
       SparkEntry.queries("q22_ngram_jaccard")(spark, sf)
