@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 
 /** LLM-training-data text operators over the `documents` table: exact and
   * near dedup, fingerprinting, token statistics, language-ID and quality
@@ -46,6 +46,64 @@ object TextQueries {
       s"* (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) " +
       s"* (CAST($len AS DOUBLE) / $avglen)))))) " +
       s"* CAST(1048576 AS DOUBLE)"
+
+  /** The q190 prefix-filter exact set-similarity join at the grain of
+    * `docs`: (verdicts (doc_a, doc_b, inter, na, nb — all qualifying
+    * pairs with bigram-set Jaccard ≥ 4/5), sizes (doc_id, na — every
+    * doc's distinct-bigram count, for the staged path's within-family
+    * expansion)). Bigrams travel as 60-bit md5 windows (the q22
+    * hashed-key idiom): joins, ranks and the set arrays move 8-byte
+    * longs instead of strings — measured 17.9 s string-keyed, the
+    * long-keyed form below is the shipped one. Collisions at 2^60 over
+    * a ~10^4..10^9 bigram vocabulary are the documented envelope
+    * (q22's exact-mode flag is the precedent for a collision-free
+    * variant); the brute-force spec runs on raw strings, so a
+    * collision changing the answer would fail it.
+    */
+  private def prefixFilterCore(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Text.wordShingles(docs, "doc_id", "text", 2)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 1, 15), " +
+          "16, 10) AS BIGINT)").as("tok"))
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val ranked = toks.join(df, "tok")
+      .withColumn("idx", row_number().over(w))
+      .withColumn("na", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("idx") <= col("na") - expr("(na * 4 + 4) div 5") + 1)
+      .select(col("tok"), col("doc_id"), col("na"))
+    val cand = prefix.toDF("tok", "doc_a", "na")
+      .join(prefix.toDF("tok", "doc_b", "nb"), "tok")
+      .filter(col("doc_a") < col("doc_b")
+        && least(col("na"), col("nb")) * 5
+          >= greatest(col("na"), col("nb")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
+    // verify leg: per-doc bigram SETS as sorted arrays, the exact
+    // intersection computed IN-ROW with array_intersect — the
+    // token-grain join formulation measured 17 s at sf0.1 (1.5 M
+    // candidates × ~60 bigrams exploded through two joins); the
+    // in-row form touches each candidate once. The set frame is
+    // doc-grain (|docs| × ~60 strings) — broadcast here; at 100 TB
+    // it rides a shuffle join on the doc ids instead.
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("st"))
+    val verdicts = cand
+      .join(broadcast(sets.toDF("doc_a", "sa")), "doc_a")
+      .join(broadcast(sets.toDF("doc_b", "sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("bigint")
+          .as("inter"),
+        col("na"), col("nb"))
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+    val sizes = sets.select(col("doc_id"),
+      size(col("st")).cast("bigint").as("na"))
+    (verdicts, sizes)
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- LSH BANDING-TUNING audit: the measurement that picks the
@@ -119,55 +177,35 @@ object TextQueries {
     // banding is the default and prefix filtering the exact-audit
     // tool. Per-doc ranks ride a high-cardinality doc_id window; the
     // df table is vocabulary-sized.
+    // Default path is STAGED (VERDICT r6 #2): exact-dedup the corpus
+    // first (Curation.canonicalInput — the q20 rule), run the
+    // pair-generating join at canonical grain, then expand verdicts
+    // back to raw-doc grain. Lossless: exact duplicates share shingle
+    // sets, so within-family pairs are Jaccard-1 (inter = na = nb) and
+    // cross-family pairs inherit their canonical verdict — output is
+    // bit-identical to the unstaged join (StagedExactJoinSpec; the
+    // DuckDB oracle below still computes the raw-corpus form). The
+    // measured reason staging is the default, not advice: 10× clone
+    // corpus, raw 113 s / 31.5 GB spill → staged 5.3 s / zero spill
+    // (commit c26eeba). The unstaged join stays available behind
+    // spark.graft.text.rawExactJoin=true for corpora known dup-free.
     "q190_prefix_filter_join" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // bigrams travel as 60-bit md5 windows (the q22 hashed-key
-      // idiom): joins, ranks and the set arrays move 8-byte longs
-      // instead of strings — measured 17.9 s → string-keyed, the
-      // long-keyed form below is the shipped one. Collisions at 2^60
-      // over a ~10^4..10^9 bigram vocabulary are the documented
-      // envelope (q22's exact-mode flag is the precedent for a
-      // collision-free variant); the brute-force spec runs on raw
-      // strings, so a collision changing the answer would fail it.
-      val toks = Text.wordShingles(Tables.documents(s, d),
-          "doc_id", "text", 2)
-        .select(col("doc_id"),
-          expr("CAST(conv(substr(md5(CAST(sh AS BINARY)), 1, 15), " +
-            "16, 10) AS BIGINT)").as("tok"))
-      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df").asc, col("tok").asc)
-      val ranked = toks.join(df, "tok")
-        .withColumn("idx", row_number().over(w))
-        .withColumn("na", count(lit(1)).over(
-          Window.partitionBy(col("doc_id"))))
-      val prefix = ranked
-        .filter(col("idx") <= col("na") - expr("(na * 4 + 4) div 5") + 1)
-        .select(col("tok"), col("doc_id"), col("na"))
-      val cand = prefix.toDF("tok", "doc_a", "na")
-        .join(prefix.toDF("tok", "doc_b", "nb"), "tok")
-        .filter(col("doc_a") < col("doc_b")
-          && least(col("na"), col("nb")) * 5
-            >= greatest(col("na"), col("nb")) * 4)
-        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .distinct()
-      // verify leg: per-doc bigram SETS as sorted arrays, the exact
-      // intersection computed IN-ROW with array_intersect — the
-      // token-grain join formulation measured 17 s at sf0.1 (1.5 M
-      // candidates × ~60 bigrams exploded through two joins); the
-      // in-row form touches each candidate once. The set frame is
-      // doc-grain (|docs| × ~60 strings) — broadcast here; at 100 TB
-      // it rides a shuffle join on the doc ids instead.
-      val sets = toks.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("tok"))).as("st"))
-      cand
-        .join(broadcast(sets.toDF("doc_a", "sa")), "doc_a")
-        .join(broadcast(sets.toDF("doc_b", "sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).cast("bigint")
-            .as("inter"),
-          col("na"), col("nb"))
-        .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+      val docs = Tables.documents(s, d)
+      val raw = s.conf.getOption("spark.graft.text.rawExactJoin")
+        .exists(_.toBoolean)
+      if (raw) prefixFilterCore(docs)._1
+      else {
+        val (canon, members) = Curation.canonicalInput(docs)
+        val (cross, sizes) = prefixFilterCore(canon)
+        val expanded = Curation.expandPairs(cross, members, "doc_id",
+          "doc_a", "doc_b", Seq(("na", "nb")))
+        val within = Curation
+          .withinFamilyPairs(members, "doc_id", "doc_a", "doc_b")
+          .join(sizes.withColumnRenamed("doc_id", "canon"), "canon")
+          .select(col("doc_a"), col("doc_b"), col("na").as("inter"),
+            col("na"), col("na").as("nb"))
+        expanded.unionByName(within)
+      }
     }),
 
     // ---- SOFT-DEDUP loss weights: the down-weight-instead-of-drop
