@@ -46,10 +46,21 @@ object Curation {
     *     family's canonical id and family size.
     */
   def canonicalInput(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+                     idCol: String = "doc_id"): (DataFrame, DataFrame) =
+    canonicalInputBy(docs, md5(col(textCol).cast("binary")), idCol)
+
+  /** [[canonicalInput]] keyed on an arbitrary digest expression — for
+    * frames whose duplicate identity isn't a single castable column
+    * (e.g. quantized embedding arrays, digested via md5 over the
+    * comma-joined components). The digest must be collision-safe at the
+    * corpus scale (128-bit md5 is; 64-bit xxhash over ~1e9 rows is
+    * not — a collision MERGES distinct families).
+    */
+  def canonicalInputBy(docs: DataFrame, digest: org.apache.spark.sql.Column,
+                       idCol: String): (DataFrame, DataFrame) = {
     require(!docs.columns.contains("__h"),
       "canonicalInput reserves the __h column")
-    val h = md5(col(textCol).cast("binary"))
+    val h = digest
     val fam = docs.select(col(idCol), h.as("__h"))
       .groupBy(col("__h"))
       .agg(min(col(idCol)).as("canon"), count(lit(1)).as("fsize"))

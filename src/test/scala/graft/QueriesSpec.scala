@@ -110,16 +110,36 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(10) == 0) // no null quantities in testdata
   }
 
-  test("q152 centering: every doc kept, residual per-dim mass in " +
-    "[0, n) — the floor-mean identity") {
-    val out = SparkEntry.queries("q152_embed_center")(spark, sf).collect()
-    val n = out.length
-    assert(n == Tables.embeddings(spark, sf).count())
-    val dims = out.head.getSeq[Long](1).length
+  test("q152 centering: every doc kept, digest + l1 match an " +
+    "independent recompute, residual per-dim mass in [0, n)") {
+    // the query ships md5(centered vector) instead of the raw array
+    // (house rule: no array/struct output columns), so the floor-mean
+    // identity is checked on an independent driver-side recompute and
+    // the digests pin the query to it element-for-element
+    val out = SparkEntry.queries("q152_embed_center")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong)))
+    val n = vecs.length
+    assert(out.size == n)
+    val dims = vecs.head._2.length
+    val means = (0 until dims).map { i =>
+      val sx = vecs.map(_._2(i)).sum
+      math.floor(sx.toDouble / n).toLong
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    vecs.foreach { case (id, qv) =>
+      val cv = qv.zip(means).map { case (x, m) => x - m }
+      val hex = md.digest(cv.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(out(id) == ((hex, cv.map(math.abs).sum)), s"vec $id")
+    }
     // sum_d(centered) = sx - n*floor(sx/n) ∈ [0, n) for every dimension
-    (0 until dims).foreach { dMin =>
-      val s = out.map(_.getSeq[Long](1)(dMin)).sum
-      assert(s >= 0 && s < n, s"dim $dMin residual $s out of [0, $n)")
+    (0 until dims).foreach { i =>
+      val s = vecs.map(_._2(i) - means(i)).sum
+      assert(s >= 0 && s < n, s"dim $i residual $s out of [0, $n)")
     }
   }
 
