@@ -14,9 +14,23 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per-query output-schema class (VERDICT r6 #7): "scalar" = atomic
+    // top-level columns only (safe for a pandas row-sort compare);
+    // "nested" = carries array/map/struct columns — a driver can
+    // canonicalize those by digest instead of crashing in sort_values.
+    // House rule (HouseRulesSpec): every shipped query is "scalar".
+    val schemaClasses = scala.collection.mutable.Map.empty[String, String]
     val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val out = fn(spark, sfDir)
+        val nested = out.schema.fields.exists(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        schemaClasses(name) = if (nested) "nested" else "scalar"
+        out.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
       } catch { case e: Throwable =>
@@ -40,6 +54,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val classesJson = schemaClasses.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schema_classes.json"), classesJson)
     spark.stop()
     // Loud-failure contract (VERDICT r5 item 3): all successful outputs
     // and the oracle SQL are already on disk for the driver's DuckDB

@@ -60,11 +60,32 @@ object Prefix {
         lit(1)).otherwise(lit(0))).reduce(_ + _)
     val chunked = df.withColumn("__chunk", chunkCol)
     // phase 2: per-(key, chunk) partials — map-side combined, only
-    // (key, chunk, sum) triples shuffle and land on the driver
-    val partials = chunked
+    // (key, chunk, sum) triples shuffle and land on the driver.
+    // Guard (VERDICT r6 #5): the collect is bounded by keyCardinality ×
+    // chunks BY DESIGN — this operator targets LOW-cardinality keys
+    // (the ones a plain window would serialize through one task). A
+    // high-cardinality key would silently turn it into an unbounded
+    // driver fetch, so the fetch itself is LIMIT-bounded: collect at
+    // most maxPartials + 1 rows (one job, bounded driver memory either
+    // way) and fail loudly when the cap is crossed — the caller should
+    // use the plain per-key window, which parallelizes fine at high key
+    // cardinality.
+    val maxPartials = spark.conf
+      .getOption("spark.graft.prefix.maxPartials").map(_.toInt)
+      .getOrElse(1000000)
+    val partialRows = chunked
       .groupBy(col(keyCol), col("__chunk"))
       .agg(sum(col(valueCol).cast("bigint")).as("__t"))
+      .limit(maxPartials + 1)
       .collect()
+    require(partialRows.length <= maxPartials,
+      s"Prefix.runningSum: > $maxPartials (key, chunk) partials — the " +
+        s"'$keyCol' key is too high-cardinality for the two-phase " +
+        "prefix sum (its driver-side offset table would be unbounded). " +
+        "Use a plain Window.partitionBy per-key running sum instead — " +
+        "at this cardinality it parallelizes without serializing any " +
+        "key through one task — or raise spark.graft.prefix.maxPartials.")
+    val partials = partialRows
       .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
     // phase 3: offset of (key, chunk) = total of the key's EARLIER chunks
     val offsets = partials.groupBy(_._1).iterator.flatMap {

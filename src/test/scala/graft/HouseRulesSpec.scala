@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repository-wide output contracts.
+  *
+  * House rule (VERDICT r6 #1): no raw array/struct/map columns in
+  * `SparkEntry.queries` output schemas — the correctness driver's
+  * pandas canonicalization sorts rows by value and dies on unhashable
+  * ndarray cells (the q152 round-6 incident). Queries that compute
+  * vectors/arrays must project a deterministic scalar digest
+  * (md5 over joined components) plus scalar summary stats instead.
+  * Schema-only check: `.schema` triggers analysis, not execution, so
+  * this sweeps all queries in seconds.
+  */
+class HouseRulesSpec extends AnyFunSuite with SparkSpec {
+
+  test("every query output schema is scalar-only (no array/map/struct)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).schema.fields.filter(f =>
+          f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType])
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every query has an oracle, and every oracle a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o).isEmpty, s"queries without oracle: ${q diff o}")
+    assert((o diff q).isEmpty, s"oracles without query: ${o diff q}")
+  }
+}

@@ -56,6 +56,28 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set("null" -> 2L, "null" -> 5L, "a" -> 7L))
   }
 
+  test("runningSum refuses a high-cardinality key past the partials cap") {
+    import spark.implicits._
+    // every row its own key: partials = |rows| — exactly the unbounded
+    // driver fetch the guard exists to catch
+    val df = (1L to 200L).map(i => (s"k$i", i, i)).toDF("k", "id", "v")
+    spark.conf.set("spark.graft.prefix.maxPartials", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Prefix.runningSum(df, "k", "id", "v", "cum", numChunks = 2)
+      }
+      assert(e.getMessage.contains("high-cardinality"))
+      // the same frame passes once the cap accommodates it, and the
+      // values still match the window reference
+      spark.conf.set("spark.graft.prefix.maxPartials", "1000")
+      val got = Prefix.runningSum(df, "k", "id", "v", "cum", numChunks = 2)
+      val w = Window.partitionBy(col("k")).orderBy(col("id"))
+      val want = df.withColumn("cum", sum(col("v").cast("bigint")).over(w))
+      assert(canon(got.select("k", "id", "v", "cum"))
+        == canon(want.select("k", "id", "v", "cum")))
+    } finally spark.conf.unset("spark.graft.prefix.maxPartials")
+  }
+
   test("q128 curriculum order: global_pos is a 1..n permutation, " +
     "deterministic, and weighted-fair in every prefix") {
     val out = SparkEntry.queries("q128_curriculum_order")(spark, sf)
