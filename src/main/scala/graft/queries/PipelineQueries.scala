@@ -281,15 +281,27 @@ object PipelineQueries {
     // integer replay of audioShingles' window/band/delta arithmetic:
     // en = 8 band sums per 64-byte window at stride 32; subfingerprint
     // bit m−1 set when the band-delta increased vs the previous window;
-    // shingle = 8 consecutive subfingerprints joined '-'
+    // shingle = 8 consecutive subfingerprints joined '-'. BYTE-indexed
+    // (ADVICE r6): the engine fingerprints UTF-8 payload BYTES
+    // (toAssets casts text to binary; p(i) & 0xFF), so the oracle
+    // addresses bytes too — via the hex rendering of the encoded blob
+    // (byte b, 1-based, lives at hex chars 2(b−1)+1..2(b−1)+2), since
+    // DuckDB has no direct blob byte accessor. A char-indexed
+    // ord(substr(text, …)) agrees only on pure-ASCII corpora and would
+    // silently break parity on the first multi-byte document
+    // (byte-vs-char replay asserted on a multi-byte probe corpus,
+    // round 7).
     "q163_audio_neardup" ->
-      """WITH w AS (SELECT doc_id, text, length(text) AS L
-        |  FROM documents WHERE length(text) >= 64),
+      """WITH w AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
         |e AS (
         |  SELECT doc_id, i,
         |    list_transform(generate_series(0, 7), m ->
         |      list_reduce(list_transform(generate_series(1, 8), j ->
-        |        ord(substr(text, i*32 + m*8 + j, 1))), (a, v) -> a + v))
+        |        CAST(concat('0x',
+        |          substr(hx, (i*32 + m*8 + j - 1)*2 + 1, 2)) AS BIGINT)),
+        |        (a, v) -> a + v))
         |      AS en
         |  FROM w, unnest(generate_series(0, (L - 64) // 32)) t(i)),
         |sf AS (

@@ -382,10 +382,15 @@ object SamplingQueries {
       val docs = Tables.documents(s, d)
         .select(size(split(col("text"), " ")).cast("bigint").as("toks"),
           hashBucket("doc_id", 13, 100).as("hb"))
-      val exact = docs.agg(sum(col("toks")).as("true_tokens"),
+      val exact = docs.agg(
+        coalesce(sum(col("toks")), lit(0L)).as("true_tokens"),
         count(lit(1)).as("n_docs"))
+      // coalesce (ADVICE r6): an EMPTY sample makes sum(toks) NULL,
+      // which would propagate NULL into est_tokens and the verdict —
+      // the 'computed, not pinned' contract wants a defined estimate
+      // (0) and a defined verdict on degenerate inputs
       val est = docs.filter(col("hb") < 50)
-        .agg((sum(col("toks")) * 2).as("est_tokens"),
+        .agg((coalesce(sum(col("toks")), lit(0L)) * 2).as("est_tokens"),
           (count(lit(1)) * 2).as("est_docs"))
       exact.crossJoin(broadcast(est))
         .select(col("true_tokens"), col("n_docs"), col("est_tokens"),
@@ -643,9 +648,11 @@ object SamplingQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
         |    ${hashBucketSql("doc_id", 13, 100)} AS hb
         |  FROM documents),
-        |e AS (SELECT CAST(sum(toks) AS BIGINT) AS true_tokens,
+        |e AS (SELECT CAST(coalesce(sum(toks), 0) AS BIGINT)
+        |      AS true_tokens,
         |    count(*) AS n_docs FROM d),
-        |s AS (SELECT CAST(sum(toks) * 2 AS BIGINT) AS est_tokens,
+        |s AS (SELECT CAST(coalesce(sum(toks), 0) * 2 AS BIGINT)
+        |      AS est_tokens,
         |    CAST(count(*) * 2 AS BIGINT) AS est_docs
         |  FROM d WHERE hb < 50)
         |SELECT true_tokens, n_docs, est_tokens, est_docs,

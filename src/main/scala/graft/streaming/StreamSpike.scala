@@ -35,7 +35,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * State bound (the 100 TB concern): per ACTIVE user, open-hour
   * counters live only inside the watermark horizon (delay/1h of them)
   * plus 3 trail pairs — independent of event rate; idle users carry no
-  * open hours and exactly 3 longs of trail.
+  * open hours and exactly 3 longs of trail. That bound is per-USER:
+  * under an unbounded keyspace (synthetic user_ids, device churn) the
+  * keyspace itself grows state without bound, so `spikes` takes an
+  * optional TRAIL-RETENTION horizon (ADVICE r6): a user whose last
+  * finalized hour is more than `trailRetentionHours` behind the
+  * watermark is dropped entirely (event-time timeout → state.remove).
+  * A returning user restarts with an empty trail — its first 3 hours
+  * carry trail_n < 3 and can't flag, exactly like a genuinely new
+  * user; that's the documented trade for bounded state. Default None
+  * preserves the keep-forever behavior for bounded keyspaces.
   */
 object StreamSpike {
 
@@ -76,32 +85,54 @@ object StreamSpike {
     (out.result(), SpikeSt(open, trail))
   }
 
-  private def process(key: Long, rows: Iterator[Evt],
+  private def process(retentionUs: Option[Long])(key: Long,
+      rows: Iterator[Evt],
       state: GroupState[SpikeSt]): Iterator[SpikeRow] = {
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     val hours =
       if (state.hasTimedOut) Nil else rows.map(e => hourOf(e.ts)).toSeq
     val (out, st) = fold(key, state.getOption, hours, wmUs)
-    state.update(st)
-    // arm the next finalization: earliest open hour end. Always strictly
-    // beyond the watermark — fold finalized everything at or below it.
-    if (st.open.nonEmpty)
+    if (st.open.nonEmpty) {
+      state.update(st)
+      // arm the next finalization: earliest open hour end. Always
+      // strictly beyond the watermark — fold finalized everything at
+      // or below it.
       state.setTimeoutTimestamp((st.open.keys.min + HourUs) / 1000L)
+    } else retentionUs match {
+      case Some(r) =>
+        // idle user (no open hours): keep the trail only inside the
+        // retention horizon after its last finalized hour; the timer
+        // re-invokes the group at expiry so removal needs no new event
+        st.trail.lastOption.map(_._1 + HourUs + r) match {
+          case Some(expiryUs) if wmUs < expiryUs =>
+            state.update(st)
+            state.setTimeoutTimestamp(expiryUs / 1000L)
+          case _ => state.remove()
+        }
+      case None => state.update(st)
+    }
     out.iterator
   }
 
   /** (user_id, hour_us, n, trail_sum, trail_n, spike) rows, one per
     * finalized (user, hour). `events` needs (user_id, ts); `delay` is
-    * the lateness horizon (also the finalization lag).
+    * the lateness horizon (also the finalization lag);
+    * `trailRetentionHours`, when set, drops users idle that many hours
+    * past their last finalized hour (bounded state under unbounded
+    * keyspaces — see the object doc for the returning-user trade).
     */
-  def spikes(events: DataFrame, delay: String): Dataset[SpikeRow] = {
+  def spikes(events: DataFrame, delay: String,
+             trailRetentionHours: Option[Long] = None): Dataset[SpikeRow] = {
     val spark = events.sparkSession
     import spark.implicits._
+    require(trailRetentionHours.forall(_ > 0),
+      s"trailRetentionHours must be positive, got $trailRetentionHours")
     events.select(col("user_id").cast("long").as("user_id"), col("ts"))
       .withWatermark("ts", delay)
       .as[Evt]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(process)
+        GroupStateTimeout.EventTimeTimeout)(
+        process(trailRetentionHours.map(_ * HourUs)))
   }
 }

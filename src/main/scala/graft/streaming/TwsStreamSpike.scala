@@ -33,7 +33,7 @@ case class SpikeStFlat(open: Seq[(Long, Long)], trail: Seq[(Long, Long)])
   */
 object TwsStreamSpike {
 
-  class SpikeProcessor
+  class SpikeProcessor(retentionUs: Option[Long] = None)
       extends StatefulProcessor[Long, Evt, SpikeRow] {
 
     @transient private var state: ValueState[SpikeStFlat] = _
@@ -53,18 +53,37 @@ object TwsStreamSpike {
           Some(SpikeSt(state.get().open.toMap, state.get().trail))
         else None
       val (out, st) = StreamSpike.fold(key, st0, hours, wmUs)
-      state.update(SpikeStFlat(st.open.toSeq.sorted, st.trail))
       val prev = if (timerTs.exists()) Some(timerTs.get()) else None
-      if (st.open.nonEmpty) {
-        val want = (st.open.keys.min + StreamSpike.HourUs) / 1000L
-        if (!prev.contains(want)) {
+      def arm(wantMs: Long): Unit =
+        if (!prev.contains(wantMs)) {
           prev.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(want)
-          timerTs.update(want)
+          getHandle.registerTimer(wantMs)
+          timerTs.update(wantMs)
         }
-      } else {
+      def disarm(): Unit = {
         prev.foreach(getHandle.deleteTimer)
         timerTs.clear()
+      }
+      if (st.open.nonEmpty) {
+        state.update(SpikeStFlat(st.open.toSeq.sorted, st.trail))
+        arm((st.open.keys.min + StreamSpike.HourUs) / 1000L)
+      } else retentionUs match {
+        // idle user: same trail-retention contract as StreamSpike —
+        // keep state only inside the horizon after the last finalized
+        // hour, with the expiry timer driving removal
+        case Some(r) =>
+          st.trail.lastOption
+            .map(_._1 + StreamSpike.HourUs + r) match {
+            case Some(expiryUs) if wmUs < expiryUs =>
+              state.update(SpikeStFlat(Nil, st.trail))
+              arm(expiryUs / 1000L)
+            case _ =>
+              disarm()
+              state.clear()
+          }
+        case None =>
+          state.update(SpikeStFlat(Nil, st.trail))
+          disarm()
       }
       out.iterator
     }
@@ -88,17 +107,22 @@ object TwsStreamSpike {
     }
   }
 
-  /** Same contract as [[StreamSpike.spikes]]; the session must run the
-    * RocksDB state-store provider.
+  /** Same contract as [[StreamSpike.spikes]] (including the optional
+    * trail-retention horizon); the session must run the RocksDB
+    * state-store provider.
     */
-  def spikes(events: DataFrame, delay: String): Dataset[SpikeRow] = {
+  def spikes(events: DataFrame, delay: String,
+             trailRetentionHours: Option[Long] = None): Dataset[SpikeRow] = {
     val spark = events.sparkSession
     import spark.implicits._
+    require(trailRetentionHours.forall(_ > 0),
+      s"trailRetentionHours must be positive, got $trailRetentionHours")
     events.select(col("user_id").cast("long").as("user_id"), col("ts"))
       .withWatermark("ts", delay)
       .as[Evt]
       .groupByKey(_.user_id)
-      .transformWithState(new SpikeProcessor,
+      .transformWithState(
+        new SpikeProcessor(trailRetentionHours.map(_ * StreamSpike.HourUs)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

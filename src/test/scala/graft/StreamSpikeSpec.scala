@@ -120,6 +120,64 @@ class StreamSpikeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("trail retention drops idle users' state; a returning user " +
+    "restarts with an empty trail (fMGWS and TWS twins agree)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    spark.conf.set(graft.streaming.TwsStrikeMonitor.rocksdbConf._1,
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._2)
+    try {
+      def run(name: String,
+              mk: org.apache.spark.sql.DataFrame
+                => org.apache.spark.sql.Dataset[_]): Map[Long, (Long, Long)] = {
+        val input = MemoryStream[StreamSpike.Evt]
+        val q = mk(input.toDF()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          // build a 3-deep trail for user 1 (hours 10-12) ...
+          input.addData(evts(1, 10, 1) ++ evts(1, 11, 2)
+            ++ evts(1, 12, 3): _*)
+          q.processAllAvailable()
+          // ... idle it far past any 2h retention horizon ...
+          input.addData(StreamSpike.Evt(99, t("2024-01-01 20:00:00")))
+          q.processAllAvailable()
+          // ... then the user returns at hour 22 and that hour finalizes
+          input.addData(evts(1, 22, 2): _*)
+          q.processAllAvailable()
+          input.addData(StreamSpike.Evt(99, t("2024-01-02 10:00:00")))
+          q.processAllAvailable()
+          spark.table(name).filter(col("user_id") === 1)
+            .collect()
+            .map(r => (r.getLong(1) / StreamSpike.HourUs) % 24
+              -> (r.getLong(3), r.getLong(4))).toMap
+        } finally q.stop()
+      }
+      val kept = run("sspike_keep",
+        df => StreamSpike.spikes(df, "30 minutes"))
+      // keep-forever: the hour-22 verdict still sees the 10-12 trail
+      assert(kept(22L) == ((6L, 3L)), kept.toString)
+      val dropped = run("sspike_ttl",
+        df => StreamSpike.spikes(df, "30 minutes",
+          trailRetentionHours = Some(2L)))
+      // retention 2h: state died at hour 12's end + 2h, long before the
+      // return — the comeback hour starts from an empty trail
+      assert(dropped(22L) == ((0L, 0L)), dropped.toString)
+      // hours finalized while active are identical either way
+      assert(Seq(10L, 11L, 12L).forall(h => dropped(h) == kept(h)))
+      val droppedTws = run("sspike_ttl_tws",
+        df => graft.streaming.TwsStreamSpike.spikes(df, "30 minutes",
+          trailRetentionHours = Some(2L)))
+      assert(droppedTws == dropped)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1, v)
+      case None => spark.conf.unset(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    }
+  }
+
   test("restart from checkpoint: trail state survives, no duplicate " +
     "or lost hours, and the post-restart spike verdict uses the " +
     "pre-restart baseline") {
