@@ -46,26 +46,46 @@ object WarehouseQueries {
     // a full sort per group; the sketch is the production path and
     // THIS audit is what licenses it. One pass, all aggregates
     // map-side combinable (the sketch merges associatively).
+    // The exact leg rides the q175 HISTOGRAM idiom, not 12 separate
+    // percentile_disc sort-aggregates (each of those buffers the whole
+    // group — 12 buffers tripled the query to 12 s at sf0.1; the ratio
+    // column caught it): one (group, value) count histogram, one
+    // two-phase running sum, then every value-at-rank point — the 4
+    // published percentiles AND the 8 bracket bounds — as min-when
+    // folds over the same cumulative frame. cum ≥ p·n with integer cum
+    // is exactly percentile_disc's ceil(p·n) position, kept in integer
+    // cross-multiplication (×10^4 denominators), so the histogram
+    // formulation is bit-identical to the sort-agg one.
     "q160_quantile_sketch_audit" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val ps = Seq("25" -> 0.25, "50" -> 0.50, "75" -> 0.75, "95" -> 0.95)
-      def disc(p: Double, as: String) =
-        expr(s"percentile_disc($p) WITHIN GROUP " +
-          s"(ORDER BY l_extendedprice)").as(as)
-      val aggs = ps.flatMap { case (n, p) =>
-        Seq(disc(p, s"p$n"),
-          disc(math.max(0.0, p - 3e-4), s"lo$n"),
-          disc(math.min(1.0, p + 3e-4), s"hi$n"))
-      } :+ expr("approx_percentile(l_extendedprice, " +
-        "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap")
-      li.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val ps = Seq(("25", 2500), ("50", 5000), ("75", 7500), ("95", 9500))
+      val eps = 3 // rank-bracket half-width, ×10^-4 of n (see above)
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.Prefix.runningSum(
+        hist, "l_returnflag", "l_extendedprice", "cnt", "cum")
+      val totals = hist.groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).as("n"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, " +
+          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap"))
+      def atRank(pk: Int, as: String) =
+        min(when(col("cum") * 10000 >= col("n") * pk,
+          col("l_extendedprice"))).as(as)
+      val aggs = ps.flatMap { case (nm, pk) =>
+        Seq(atRank(pk, s"p$nm"), atRank(pk - eps, s"lo$nm"),
+          atRank(pk + eps, s"hi$nm"))
+      }
+      cum.join(broadcast(totals), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"), aggs: _*)
+        .join(broadcast(ap), "l_returnflag")
         .select(col("l_returnflag") +: col("n_rows") +:
-          (ps.map { case (n, _) => col(s"p$n") } ++
-            ps.zipWithIndex.map { case ((n, _), i) =>
-              (element_at(col("ap"), i + 1) >= col(s"lo$n") &&
-                element_at(col("ap"), i + 1) <= col(s"hi$n"))
-                .as(s"p${n}_ok")
+          (ps.map { case (nm, _) => col(s"p$nm") } ++
+            ps.zipWithIndex.map { case ((nm, _), i) =>
+              (element_at(col("ap"), i + 1) >= col(s"lo$nm") &&
+                element_at(col("ap"), i + 1) <= col(s"hi$nm"))
+                .as(s"p${nm}_ok")
             }): _*)
     }),
 
