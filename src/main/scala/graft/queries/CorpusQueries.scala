@@ -36,7 +36,98 @@ object CorpusQueries {
         .agg(count(lit(1)).as("w"))
     }
 
+  /** The 60-bit md5 word key (the q190/q22 hashed-key idiom): joins and
+    * counts move 8-byte longs, never word strings; collisions at 2^60
+    * are the documented envelope and cannot move parity (the oracle
+    * hashes identically). */
+  private def wkey(c: String): String =
+    s"CAST(conv(substr(md5(CAST($c AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The corpus word-bigram LM — (w1, w2, c12, c1) counts at bigram
+    * grain — trained ONCE per run (Shared.frame): perplexity filtering
+    * (q195) treats the LM as an index artifact, the CCNet posture,
+    * never a per-query cost. At 100 TB the LM trains on a reference
+    * slice and persists; here the corpus is its own reference. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "lm_bigram", d) {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val bg = tk.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(" +
+            s"${wkey("element_at(t, i)")} AS w1, " +
+            s"${wkey("element_at(t, i + 1)")} AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      c12.join(c1, "w1")
+    }
+
   val queries: Map[String, Q] = Map(
+    // ---- LM-PERPLEXITY quality scoring (the CCNet bucket filter —
+    // the classic pretraining quality signal the heuristic gates
+    // q26/q88 approximate): every document scored by its mean
+    // surprisal under a word-bigram LM with add-one smoothing trained
+    // on the corpus itself (the shared bigramLm artifact), then
+    // assigned to the head/middle/tail TERCILE of the corpus score
+    // distribution — head = most-fluent-under-the-LM, the slice CCNet
+    // keeps. Arithmetic is INTEGER-EXACT end to end so DuckDB replays
+    // it bit-for-bit: per-bigram surprisal = ⌊log2((c1+V)/(c12+1))⌋
+    // via the bit-length idiom (length(bin(q))−1, the q157 trick — no
+    // libm log enters the contract), per-doc score = truncating
+    // fixed-point mean (×1000), tercile thresholds = value-at-rank
+    // min-when folds over the tiny score histogram (cum·3 ≥ n —
+    // integer percentile_disc, the q160/q175 idiom; the unpartitioned
+    // window rides a ≤|distinct scores| post-aggregation frame).
+    // Scale: one bigram-grain shuffle to score (hashed 8-byte keys),
+    // one doc-grain aggregate; the LM join is the only corpus-sized
+    // exchange and the LM itself is vocabulary-grain.
+    "q195_lm_perplexity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val vocab = tk.select(explode(col("t")).as("w"))
+        .select(expr(wkey("w")).as("wk"))
+        .agg(countDistinct(col("wk")).as("v"))
+      val bg = tk.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(" +
+            s"${wkey("element_at(t, i)")} AS w1, " +
+            s"${wkey("element_at(t, i + 1)")} AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val scored = bg.join(bigramLm(s, d), Seq("w1", "w2"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          (length(expr("bin((c1 + v) div (c12 + 1))")) - 1)
+            .cast("bigint").as("sv"))
+      val perDoc = docs.select(col("doc_id"))
+        .join(scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("sv")).as("surp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("surp"), lit(0L)).as("surprisal_sum"))
+        .withColumn("score_x1000",
+          when(col("n_bigrams") === 0, lit(0L))
+            .otherwise(expr("surprisal_sum * 1000 div n_bigrams")))
+      val hist = perDoc.groupBy(col("score_x1000")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("score_x1000"))))
+      val th = cum
+        .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("n"))))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("score_x1000")))
+          .as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("score_x1000")))
+            .as("t2"))
+      perDoc.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+          col("score_x1000"),
+          when(col("score_x1000") <= col("t1"), lit("head"))
+            .when(col("score_x1000") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
     // ---- BLOOM file-skipping audit (the point-lookup complement of
     // q162's zone maps): min/max stats prune nothing for an equality
     // predicate on an uncorrelated high-cardinality key (q162's
@@ -955,7 +1046,57 @@ object CorpusQueries {
        |LEFT JOIN tr USING (probe_pk), nf""".stripMargin
   }
 
+  /** DuckDB mirror of [[wkey]]. */
+  private def wkeySql(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    // bigram LM + bit-length surprisal + integer tercile thresholds
+    // replayed exactly (see the q195 query comment)
+    "q195_lm_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    ${wkeySql("t[i]")} AS w1,
+        |    ${wkeySql("t[i+1]")} AS w2
+        |  FROM tk, unnest(generate_series(1, len(t) - 1)) s(i)
+        |  WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT ${wkeySql("w")}) AS BIGINT)
+        |    AS v
+        |  FROM (SELECT unnest(t) AS w FROM tk)),
+        |sc AS (SELECT bg.doc_id,
+        |    CAST(length(bin((c1.c1 + v.v) // (c12.c12 + 1))) - 1
+        |      AS BIGINT) AS sv
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+        |pd AS (SELECT d.doc_id,
+        |    CAST(count(sc.sv) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(sum(sc.sv), 0) AS BIGINT) AS surprisal_sum
+        |  FROM documents d LEFT JOIN sc USING (doc_id)
+        |  GROUP BY d.doc_id),
+        |ps AS (SELECT doc_id, n_bigrams, surprisal_sum,
+        |    CAST(CASE WHEN n_bigrams = 0 THEN 0
+        |      ELSE surprisal_sum * 1000 // n_bigrams END AS BIGINT)
+        |      AS score_x1000
+        |  FROM pd),
+        |h AS (SELECT score_x1000 AS sv2, count(*) AS c
+        |  FROM ps GROUP BY 1),
+        |ch AS (SELECT sv2, sum(c) OVER (ORDER BY sv2) AS cum,
+        |    (SELECT count(*) FROM ps) AS n
+        |  FROM h),
+        |t AS (SELECT
+        |    min(CASE WHEN cum * 3 >= n THEN sv2 END) AS t1,
+        |    min(CASE WHEN cum * 3 >= n * 2 THEN sv2 END) AS t2
+        |  FROM ch)
+        |SELECT ps.doc_id, ps.n_bigrams, ps.surprisal_sum, ps.score_x1000,
+        |  CASE WHEN ps.score_x1000 <= t.t1 THEN 'head'
+        |    WHEN ps.score_x1000 <= t.t2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM ps, t""".stripMargin,
+
     "q174_bloom_skipping" -> bloomSkippingOracle,
 
     "q187_pipeline_funnel" ->
