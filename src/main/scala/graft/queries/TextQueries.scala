@@ -24,11 +24,38 @@ object TextQueries {
     * 100 TB this is one shared, persisted artifact (shingle → minhash →
     * band → bucket join runs once), not a per-consumer rebuild; per-run
     * memoization mirrors that. Deterministic (md5 minima, pinned 16/4×4
-    * config), so sharing cannot move an oracle hash. */
+    * config), so sharing cannot move an oracle hash.
+    *
+    * DEFAULT PATH IS DEDUP-STAGED (round 7, extending the q190/q186
+    * discipline to the whole q21 family at its source): exact-duplicate
+    * families collapse (Curation.canonicalInput) BEFORE shingling, the
+    * LSH index builds at canonical grain, and the pair set expands back
+    * to raw-doc grain. LOSSLESS by construction — a minhash signature
+    * is a pure function of the text, so family members share every band
+    * key: the raw pair set is EXACTLY expand(canonical pairs) ∪
+    * within-family pairs (StagedLshSpec asserts set equality; every
+    * consumer's oracle replays the raw corpus and stays green). At
+    * clone density this removes the quadratic band-bucket join the 10×
+    * smoke measured across q170/q62/q185; the raw build stays behind
+    * spark.graft.text.rawLsh=true (cache-keyed separately so a flagged
+    * session never sees a staged frame). */
   private[queries] def sharedCandidatePairs(s: SparkSession,
-                                            d: String): DataFrame =
-    Shared.frame(s, "lsh_pairs", d)(
-      Text.candidatePairs(Tables.documents(s, d), "doc_id", "text"))
+                                            d: String): DataFrame = {
+    val raw = s.conf.getOption("spark.graft.text.rawLsh")
+      .exists(_.toBoolean)
+    if (raw)
+      Shared.frame(s, "lsh_pairs_raw", d)(
+        Text.candidatePairs(Tables.documents(s, d), "doc_id", "text"))
+    else Shared.frame(s, "lsh_pairs", d) {
+      val (canon, members) =
+        Curation.canonicalInput(Tables.documents(s, d))
+      val cross = Text.candidatePairs(canon, "doc_id", "text")
+      Curation.expandPairs(cross, members, "doc_id", "doc_a", "doc_b", Nil)
+        .unionByName(Curation
+          .withinFamilyPairs(members, "doc_id", "doc_a", "doc_b")
+          .select(col("doc_a"), col("doc_b")))
+    }
+  }
 
   /** The per-(doc, term) BM25 score expression, shared character-for-
     * character (modulo column qualifiers) between the Spark plan and

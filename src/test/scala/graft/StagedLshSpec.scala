@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup-staged shared LSH pair frame must equal the raw build as a
+  * SET — a minhash signature is a pure function of the text, so
+  * exact-duplicate family members share every band key and the raw pair
+  * set is exactly expand(canonical pairs) ∪ within-family pairs. This
+  * is the staging contract all q21-family consumers (q38/q62/q95/q111/
+  * q146/q149/q170/q173/q185) inherit.
+  */
+class StagedLshSpec extends AnyFunSuite with SparkSpec {
+
+  private def pairs(dir: String, raw: Boolean): Set[(Long, Long)] = {
+    if (raw) spark.conf.set("spark.graft.text.rawLsh", "true")
+    else spark.conf.unset("spark.graft.text.rawLsh")
+    try {
+      queries.TextQueries.queries("q21_minhash_pairs")(spark, dir)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset("spark.graft.text.rawLsh")
+  }
+
+  test("staged LSH pair set equals the raw build on sf0.001") {
+    val staged = pairs(sf, raw = false)
+    val raw = pairs(sf, raw = true)
+    assert(staged == raw)
+    assert(staged.nonEmpty)
+  }
+
+  test("staged LSH pair set equals the raw build on a clone corpus") {
+    val dir = "/tmp/graft-test-lsh-clone3"
+    val docs = Tables.documents(spark, sf)
+    (0 until 3).map(i => docs.withColumn("doc_id",
+        col("doc_id") * 10 + lit(i.toLong)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val staged = pairs(dir, raw = false)
+    val raw = pairs(dir, raw = true)
+    assert(staged == raw)
+    // every family contributes its C(3,2) within-family pairs
+    assert(staged.size >= 3 * docs.count())
+  }
+}
