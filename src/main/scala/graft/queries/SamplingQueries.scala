@@ -202,10 +202,29 @@ object SamplingQueries {
     // the LSH candidate pairs (q21). A~B~C collapses to one cluster even
     // when A,C never share a band — the grouping exact/pairwise dedup
     // cannot express. cluster = min doc_id of the group.
+    // Round 7: computed at CANONICAL grain + family expansion instead
+    // of iterating over the expanded raw graph — bit-identical (raw
+    // components are unions of whole families, min raw id = min
+    // canonical id; the raw-path twin is asserted in StagedLshSpec),
+    // but the contraction runs on the clone-invariant canonical graph:
+    // the 100× clone smoke took q62 from >9 min (24.7 M clique edges)
+    // to seconds. A raw doc is a vertex iff its family has an internal
+    // edge (fsize > 1) or its canonical is in a canonical pair.
     "q62_dup_clusters" -> ((s, d) => {
-      val pairs = TextQueries.sharedCandidatePairs(s, d)
-      Components.connectedComponents(pairs, "doc_a", "doc_b")
-        .select(col("id").as("doc_id"), col("cluster"))
+      val raw = s.conf.getOption("spark.graft.text.rawLsh")
+        .exists(_.toBoolean)
+      if (raw) {
+        val pairs = TextQueries.sharedCandidatePairs(s, d)
+        Components.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster"))
+      } else {
+        TextQueries.sharedMembers(s, d)
+          .join(TextQueries.sharedCanonComponents(s, d), Seq("canon"),
+            "left")
+          .filter(col("fsize") > 1 || col("cluster").isNotNull)
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("canon")).as("cluster"))
+      }
     }),
 
     // ---- DUP-CLUSTER SIZE histogram (the headline table of a dedup
@@ -233,9 +252,8 @@ object SamplingQueries {
     // bit-deterministic cross-engine.
     "q111_canonical_by_length" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = TextQueries.sharedCandidatePairs(s, d)
-      val cl = Components.connectedComponents(pairs, "doc_a", "doc_b")
-        .select(col("id").as("doc_id"), col("cluster"))
+      // rides q62's canonical-grain components (same staged machinery)
+      val cl = queries("q62_dup_clusters")(s, d)
       val toks = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_toks"))
       cl.join(toks, "doc_id")

@@ -47,15 +47,51 @@ object TextQueries {
       Shared.frame(s, "lsh_pairs_raw", d)(
         Text.candidatePairs(Tables.documents(s, d), "doc_id", "text"))
     else Shared.frame(s, "lsh_pairs", d) {
-      val (canon, members) =
-        Curation.canonicalInput(Tables.documents(s, d))
-      val cross = Text.candidatePairs(canon, "doc_id", "text")
-      Curation.expandPairs(cross, members, "doc_id", "doc_a", "doc_b", Nil)
+      Curation.expandPairs(sharedCanonPairs(s, d), sharedMembers(s, d),
+          "doc_id", "doc_a", "doc_b", Nil)
         .unionByName(Curation
-          .withinFamilyPairs(members, "doc_id", "doc_a", "doc_b")
+          .withinFamilyPairs(sharedMembers(s, d), "doc_id", "doc_a",
+            "doc_b")
           .select(col("doc_a"), col("doc_b")))
     }
   }
+
+  /** The exact-dup family map (doc_id, canon, fsize) behind the staged
+    * LSH build — shared so graph consumers can work at CANONICAL grain
+    * and expand at the end instead of consuming the (intentionally
+    * clone-quadratic) expanded pair frame. */
+  private[queries] def sharedMembers(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "lsh_members", d)(
+      Curation.canonicalInput(Tables.documents(s, d))._2)
+
+  /** LSH candidate pairs at canonical grain — the clone-invariant core
+    * of the staged index. */
+  private[queries] def sharedCanonPairs(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "lsh_canon_pairs", d) {
+      val docs = Tables.documents(s, d)
+      val canonical = docs.join(
+        sharedMembers(s, d).filter(col("doc_id") === col("canon"))
+          .select(col("doc_id").as("__cid")),
+        docs("doc_id") === col("__cid")).drop("__cid")
+      Text.candidatePairs(canonical, "doc_id", "text")
+    }
+
+  /** Connected components of the CANONICAL candidate graph — cluster =
+    * min canonical id reachable. Memoized: the iterative contraction
+    * runs once per run over the clone-invariant canonical graph (5 k
+    * nodes at sf0.1 regardless of duplicate density) instead of once
+    * per consumer over the expanded raw graph (24.7 M clique edges at
+    * the 100× clone smoke — the measured q62 blow-up this fixes).
+    * Raw-grain component labels recover losslessly: raw components are
+    * unions of whole families across canonical components, and the min
+    * raw id of such a union IS the min canonical id (each family's min
+    * member is its canonical). */
+  private[queries] def sharedCanonComponents(s: SparkSession,
+                                             d: String): DataFrame =
+    Shared.frame(s, "lsh_canon_comps", d)(
+      graft.operators.Components
+        .connectedComponents(sharedCanonPairs(s, d), "doc_a", "doc_b")
+        .select(col("id").as("canon"), col("cluster")))
 
   /** The per-(doc, term) BM25 score expression, shared character-for-
     * character (modulo column qualifiers) between the Spark plan and

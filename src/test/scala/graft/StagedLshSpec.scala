@@ -29,6 +29,37 @@ class StagedLshSpec extends AnyFunSuite with SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  private def clusters(dir: String, raw: Boolean): Set[(Long, Long)] = {
+    if (raw) spark.conf.set("spark.graft.text.rawLsh", "true")
+    else spark.conf.unset("spark.graft.text.rawLsh")
+    try {
+      queries.SamplingQueries.queries("q62_dup_clusters")(spark, dir)
+        .select("doc_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset("spark.graft.text.rawLsh")
+  }
+
+  test("canonical-grain q62 components equal the raw-graph components") {
+    val staged = clusters(sf, raw = false)
+    val raw = clusters(sf, raw = true)
+    assert(staged == raw)
+    assert(staged.nonEmpty)
+  }
+
+  test("canonical-grain q62 equals raw on a clone corpus") {
+    val dir = "/tmp/graft-test-lsh-clone3"
+    val docs = Tables.documents(spark, sf)
+    (0 until 3).map(i => docs.withColumn("doc_id",
+        col("doc_id") * 10 + lit(i.toLong)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val staged = clusters(dir, raw = false)
+    val raw = clusters(dir, raw = true)
+    assert(staged == raw)
+    // every doc is in a 3-member family -> every doc is a vertex
+    assert(staged.size == 3 * docs.count())
+  }
+
   test("staged LSH pair set equals the raw build on a clone corpus") {
     val dir = "/tmp/graft-test-lsh-clone3"
     val docs = Tables.documents(spark, sf)
