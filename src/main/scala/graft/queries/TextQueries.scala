@@ -182,45 +182,116 @@ object TextQueries {
     // pinning a config. Signature built once; the truth table persists
     // for the run (Shared.frame) so the three per-config folds share
     // one exact-intersection join.
+    // Round 7: staged like the rest of the q21 family — signatures,
+    // candidate sets and the truth table build at CANONICAL grain
+    // (clone-invariant), and the published COUNTS recover the raw-grain
+    // numbers arithmetically: a canonical pair (ca, cb) stands for
+    // fsize(ca)·fsize(cb) raw pairs in every config it appears in, and
+    // every family contributes its C(f, 2) within-family pairs to
+    // EVERY config's candidate AND true sets (identical docs share all
+    // bands under any banding, and are Jaccard-1 true). Bit-identical
+    // to the raw computation (StagedLshSpec asserts row equality
+    // staged-vs-raw); at 10× clone density this removes the measured
+    // 15.9 s / 2.5 GB candidate-union build. Raw path behind
+    // spark.graft.text.rawLsh=true (separate truth cache key).
     "q170_lsh_tuning" -> ((s, d) => {
       val configs = Seq((2, 8), (4, 4), (8, 2))
-      val docs = Tables.documents(s, d)
-      val tri = Text.wordShingles(docs, "doc_id", "text", 3)
-      val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
-      val nsh = sig.select(col("doc_id"), col("n_sh"))
-      val cand = configs.map { case (b, r) =>
-        Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", b, r),
-          "doc_id").select(col("doc_a"), col("doc_b"))
+      val raw = s.conf.getOption("spark.graft.text.rawLsh")
+        .exists(_.toBoolean)
+      if (raw) {
+        val docs = Tables.documents(s, d)
+        val tri = Text.wordShingles(docs, "doc_id", "text", 3)
+        val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
+        val nsh = sig.select(col("doc_id"), col("n_sh"))
+        val cand = configs.map { case (b, r) =>
+          Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", b, r),
+            "doc_id").select(col("doc_a"), col("doc_b"))
+        }
+        val truth = Shared.frame(s, "lsh_tuning_truth_raw", d) {
+          val union = cand.reduce(_ unionByName _).distinct()
+          val inter = tri.as("x")
+            .join(union, col("x.doc_id") === col("doc_a"))
+            .join(tri.as("y"),
+              col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(count(lit(1)).as("inter"))
+          union
+            .join(nsh.toDF("doc_a", "na"), "doc_a")
+            .join(nsh.toDF("doc_b", "nb"), "doc_b")
+            .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+            .select(col("doc_a"), col("doc_b"),
+              (coalesce(col("inter"), lit(0L)) * 3
+                >= col("na") + col("nb")).as("is_true"))
+        }
+        val unionTrue = truth
+          .agg(coalesce(sum(when(col("is_true"), 1L).otherwise(0L)),
+            lit(0L)).as("n_true_union"))
+        configs.zip(cand).map { case ((b, r), c) =>
+          c.join(truth, Seq("doc_a", "doc_b"))
+            .agg(count(lit(1)).as("n_cand"),
+              coalesce(sum(when(col("is_true"), 1L).otherwise(0L)),
+                lit(0L)).as("n_true"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_cand"), col("n_true"))
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(unionTrue))
+          .withColumn("n_missed", col("n_true_union") - col("n_true"))
+      } else {
+        val mem = sharedMembers(s, d)
+        val fsz = mem.filter(col("doc_id") === col("canon"))
+          .select(col("canon"), col("fsize"))
+        // within-family mass: C(f,2) pairs, candidates + true in every
+        // config — one scalar, added to every published count
+        val wWithin = fsz.agg(coalesce(
+          sum(expr("fsize * (fsize - 1) div 2")), lit(0L)).as("w"))
+        val docs = Tables.documents(s, d)
+        val canonical = docs.join(
+          fsz.select(col("canon").as("__cid")),
+          docs("doc_id") === col("__cid")).drop("__cid")
+        val tri = Text.wordShingles(canonical, "doc_id", "text", 3)
+        val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
+        val nsh = sig.select(col("doc_id"), col("n_sh"))
+        val cand = configs.map { case (b, r) =>
+          Text.lshCandidatePairs(Text.lshBands(sig, "doc_id", b, r),
+            "doc_id").select(col("doc_a"), col("doc_b"))
+        }
+        val truth = Shared.frame(s, "lsh_tuning_truth", d) {
+          val union = cand.reduce(_ unionByName _).distinct()
+          val inter = tri.as("x")
+            .join(union, col("x.doc_id") === col("doc_a"))
+            .join(tri.as("y"),
+              col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(count(lit(1)).as("inter"))
+          union
+            .join(nsh.toDF("doc_a", "na"), "doc_a")
+            .join(nsh.toDF("doc_b", "nb"), "doc_b")
+            .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+            .join(fsz.toDF("doc_a", "fa"), "doc_a")
+            .join(fsz.toDF("doc_b", "fb"), "doc_b")
+            .select(col("doc_a"), col("doc_b"),
+              (coalesce(col("inter"), lit(0L)) * 3
+                >= col("na") + col("nb")).as("is_true"),
+              (col("fa") * col("fb")).as("w"))
+        }
+        val unionTrue = truth
+          .agg(coalesce(sum(when(col("is_true"), col("w"))), lit(0L))
+            .as("tw"))
+          .crossJoin(broadcast(wWithin))
+          .select((col("tw") + col("w")).as("n_true_union"))
+        configs.zip(cand).map { case ((b, r), c) =>
+          c.join(truth, Seq("doc_a", "doc_b"))
+            .agg(coalesce(sum(col("w")), lit(0L)).as("cw"),
+              coalesce(sum(when(col("is_true"), col("w"))), lit(0L))
+                .as("tw"))
+            .crossJoin(broadcast(wWithin))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              (col("cw") + col("w")).as("n_cand"),
+              (col("tw") + col("w")).as("n_true"))
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(unionTrue))
+          .withColumn("n_missed", col("n_true_union") - col("n_true"))
       }
-      val truth = Shared.frame(s, "lsh_tuning_truth", d) {
-        val union = cand.reduce(_ unionByName _).distinct()
-        val inter = tri.as("x")
-          .join(union, col("x.doc_id") === col("doc_a"))
-          .join(tri.as("y"),
-            col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        union
-          .join(nsh.toDF("doc_a", "na"), "doc_a")
-          .join(nsh.toDF("doc_b", "nb"), "doc_b")
-          .join(inter, Seq("doc_a", "doc_b"), "left_outer")
-          .select(col("doc_a"), col("doc_b"),
-            (coalesce(col("inter"), lit(0L)) * 3
-              >= col("na") + col("nb")).as("is_true"))
-      }
-      val unionTrue = truth
-        .agg(coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
-          .as("n_true_union"))
-      configs.zip(cand).map { case ((b, r), c) =>
-        c.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_cand"),
-            coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
-              .as("n_true"))
-          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-            col("n_cand"), col("n_true"))
-      }.reduce(_ unionByName _)
-        .crossJoin(broadcast(unionTrue))
-        .withColumn("n_missed", col("n_true_union") - col("n_true"))
     }),
 
     // ---- EXACT set-similarity join via PREFIX FILTERING (the

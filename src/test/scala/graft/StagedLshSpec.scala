@@ -60,6 +60,34 @@ class StagedLshSpec extends AnyFunSuite with SparkSpec {
     assert(staged.size == 3 * docs.count())
   }
 
+  private def tuning(dir: String, raw: Boolean): Set[Seq[Long]] = {
+    if (raw) spark.conf.set("spark.graft.text.rawLsh", "true")
+    else spark.conf.unset("spark.graft.text.rawLsh")
+    try {
+      queries.TextQueries.queries("q170_lsh_tuning")(spark, dir)
+        .select("bands", "rows_per_band", "n_cand", "n_true",
+          "n_true_union", "n_missed")
+        .collect()
+        .map(r => Seq(r.getInt(0).toLong, r.getInt(1).toLong,
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+    } finally spark.conf.unset("spark.graft.text.rawLsh")
+  }
+
+  test("canonical-grain q170 counts equal the raw computation, " +
+    "including on a clone corpus") {
+    assert(tuning(sf, raw = false) == tuning(sf, raw = true))
+    val dir = "/tmp/graft-test-lsh-clone3b"
+    val docs = Tables.documents(spark, sf)
+    (0 until 3).map(i => docs.withColumn("doc_id",
+        col("doc_id") * 10 + lit(i.toLong)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val staged = tuning(dir, raw = false)
+    val raw = tuning(dir, raw = true)
+    assert(staged == raw)
+  }
+
   test("staged LSH pair set equals the raw build on a clone corpus") {
     val dir = "/tmp/graft-test-lsh-clone3"
     val docs = Tables.documents(spark, sf)
