@@ -342,6 +342,67 @@ object TextQueries {
       }
     }),
 
+    // ---- INCREMENTAL batch-vs-corpus NEAR-dup (completing the
+    // incremental family: q96 is the exact-digest leg, this is the LSH
+    // leg — the nightly question "which of today's documents are
+    // near-dups of anything already ingested?"): the corpus side keeps
+    // a PERSISTED band index (Shared.frame here; a real table at
+    // 100 TB, appended as batches commit), today's batch probes it
+    // band-for-band, and band candidates are verified by exact trigram
+    // Jaccard ≥ 1/2 (the q170 truth rule). Per-day cost scales with
+    // the BATCH (probe rows × bucket hits), never the corpus. The
+    // corpus side is dedup-STAGED (the round-7 discipline): the index
+    // holds canonical families only, and raw-grain counts/ids recover
+    // arithmetically — candidate family = fsize raw candidates (family
+    // members share every band), best_match = min verified canonical
+    // (= min verified raw id). The DuckDB oracle replays the RAW
+    // semantics, so parity itself proves the staging lossless. Output
+    // per batch doc: candidate count, verified count, best match
+    // (-1 = none), the is_neardup verdict.
+    "q196_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = SamplingQueries.hashBucket("doc_id", 21, 10) === 7
+      val batch = docs.filter(isBatch)
+      val (corpusCanon0, corpusMembers) =
+        Curation.canonicalInput(docs.filter(!isBatch))
+      val fsz = corpusMembers.filter(col("doc_id") === col("canon"))
+        .select(col("canon").as("cid"), col("fsize"))
+      val corpusCanon = corpusCanon0
+      val index = Shared.frame(s, "inc_band_index", d)(
+        Text.candidateBands(corpusCanon, "doc_id", "text")
+          .select(col("doc_id").as("cid"), col("band"), col("h")))
+      val cand = Text.candidateBands(batch, "doc_id", "text")
+        .join(index, Seq("band", "h"))
+        .select(col("doc_id"), col("cid")).distinct()
+      val triB = Text.wordShingles(batch, "doc_id", "text", 3)
+      val triC = Text.wordShingles(corpusCanon, "doc_id", "text", 3)
+        .select(col("doc_id").as("cid"), col("sh"))
+      val nshB = triB.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      val nshC = triC.groupBy(col("cid")).agg(count(lit(1)).as("nb"))
+      val inter = triB.join(cand, "doc_id")
+        .join(triC, Seq("cid", "sh"))
+        .groupBy(col("doc_id"), col("cid")).agg(count(lit(1)).as("inter"))
+      val verified = cand
+        .join(inter, Seq("doc_id", "cid"), "left")
+        .join(nshB, "doc_id").join(nshC, "cid")
+        .select(col("doc_id"), col("cid"),
+          (coalesce(col("inter"), lit(0L)) * 3
+            >= col("na") + col("nb")).as("ok"))
+      val agg = verified.join(fsz, "cid")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("fsize")).as("n_cand"),
+          sum(when(col("ok"), col("fsize")).otherwise(0L))
+            .as("n_verified"),
+          min(when(col("ok"), col("cid"))).as("bm"))
+      batch.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          coalesce(col("bm"), lit(-1L)).as("best_match"),
+          (coalesce(col("n_verified"), lit(0L)) > 0).as("is_neardup"))
+    }),
+
     // ---- SOFT-DEDUP loss weights: the down-weight-instead-of-drop
     // alternative to q20's hard canonical rule — every doc keeps
     // weight 1/dup_count (fixed-point ×1e6, truncating integer
@@ -866,6 +927,52 @@ object TextQueries {
         |SELECT c.doc_a, c.doc_b, iv.inter, c.na, c.nb
         |FROM cand c JOIN iv USING (doc_a, doc_b)
         |WHERE iv.inter * 9 >= (c.na + c.nb) * 4""".stripMargin,
+
+    // RAW-semantics replay of the staged incremental probe: band rows
+    // for all docs (the shared 4×4 fragment), split by the batch hash,
+    // candidates joined band-for-band, trigram-Jaccard verified — the
+    // parity match itself proves the canonical staging lossless
+    "q196_incremental_neardup" ->
+      s"""WITH bh AS (
+        |$minhashBandsSql),
+        |spl AS (SELECT doc_id,
+        |    (${SamplingQueries.hashBucketSql("doc_id", 21, 10)} = 7)
+        |      AS is_batch
+        |  FROM documents),
+        |cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid2
+        |  FROM bh a JOIN spl sa ON sa.doc_id = a.doc_id AND sa.is_batch
+        |  JOIN bh b ON a.band = b.band AND a.h = b.h
+        |  JOIN spl sb ON sb.doc_id = b.doc_id AND NOT sb.is_batch),
+        |tri AS (SELECT DISTINCT doc_id,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents),
+        |    unnest(generate_series(1, greatest(len(tk) - 2, 1))) t(p)),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM tri GROUP BY 1),
+        |iv AS (SELECT c.bid, c.cid2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN tri x ON x.doc_id = c.bid
+        |  JOIN tri y ON y.doc_id = c.cid2 AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |vf AS (SELECT c.bid, c.cid2,
+        |    (coalesce(iv.inter, 0) * 3 >= na.n + nb.n) AS ok
+        |  FROM cand c
+        |  LEFT JOIN iv ON iv.bid = c.bid AND iv.cid2 = c.cid2
+        |  JOIN ns na ON na.doc_id = c.bid
+        |  JOIN ns nb ON nb.doc_id = c.cid2),
+        |ag AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_cand,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_verified,
+        |    min(CASE WHEN ok THEN cid2 END) AS bm
+        |  FROM vf GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(ag.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(ag.n_verified, 0) AS BIGINT) AS n_verified,
+        |  CAST(coalesce(ag.bm, -1) AS BIGINT) AS best_match,
+        |  (coalesce(ag.n_verified, 0) > 0) AS is_neardup
+        |FROM documents d
+        |JOIN spl ON spl.doc_id = d.doc_id AND spl.is_batch
+        |LEFT JOIN ag ON ag.bid = d.doc_id""".stripMargin,
 
     "q193_soft_dedup_weights" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h,

@@ -88,6 +88,44 @@ class StagedLshSpec extends AnyFunSuite with SparkSpec {
     assert(staged == raw)
   }
 
+  test("q196 incremental near-dup: verdict/count invariants, and a " +
+    "planted corpus clone of a batch doc is found") {
+    import spark.implicits._
+    val rows = queries.TextQueries
+      .queries("q196_incremental_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nCand, nVer, bm, dup) =>
+      assert(nVer <= nCand, s"doc $id")
+      assert(dup == (nVer > 0) && dup == (bm >= 0L), s"doc $id")
+    }
+    // planted case: one batch doc's exact text also exists in the
+    // corpus side -> it MUST flag with best_match = the planted id
+    val dir = "/tmp/graft-test-incnd"
+    val base = Tables.documents(spark, sf)
+    val batchDoc = base
+      .filter(queries.SamplingQueries.hashBucket("doc_id", 21, 10) === 7)
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val bid = batchDoc.getAs[Long]("doc_id")
+    // forge an UNUSED corpus-side id (bucket != 7) holding the same text
+    val maxId = base.agg(max(col("doc_id"))).as[Long].head()
+    val forged = (maxId + 1 to maxId + 2000).find { cand =>
+      base.sparkSession.range(1).select(
+        queries.SamplingQueries.hashBucket(cand.toString, 21, 10))
+        .as[Long].head() != 7
+    }.get
+    base.unionByName(base.filter(col("doc_id") === bid)
+        .withColumn("doc_id", lit(forged)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.TextQueries
+      .queries("q196_incremental_neardup")(spark, dir)
+      .filter(col("doc_id") === bid).collect()(0)
+    assert(out.getBoolean(4), "planted clone must flag")
+    assert(out.getLong(3) <= forged, "best match at or below the plant")
+  }
+
   test("staged LSH pair set equals the raw build on a clone corpus") {
     val dir = "/tmp/graft-test-lsh-clone3"
     val docs = Tables.documents(spark, sf)
