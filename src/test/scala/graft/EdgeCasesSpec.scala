@@ -325,6 +325,42 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(clean.nonEmpty && clean.forall(!_.getBoolean(3)))
   }
 
+  test("staged dedup paths survive degenerate corpora: one family, " +
+    "all-distinct, and the within-family algebra") {
+    import spark.implicits._
+    // SINGLE family: 6 copies of one text — every pair-generating op
+    // must emit exactly C(6,2) = 15 within-family rows with degenerate
+    // verdicts, through the canonical machinery (canonical corpus has
+    // ONE doc, so cross candidate generation runs on a 1-row frame)
+    val dir1 = "/tmp/graft-edge-onefam"
+    (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon", "en",
+      "web", 30L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val p190 = SparkEntry.queries("q190_prefix_filter_join")(spark, dir1)
+      .collect()
+    assert(p190.length == 15)
+    assert(p190.forall(r => r.getLong(2) == r.getLong(3)
+      && r.getLong(3) == r.getLong(4)), "inter = na = nb on clones")
+    val p21 = SparkEntry.queries("q21_minhash_pairs")(spark, dir1)
+    assert(p21.count() == 15)
+    val cl = SparkEntry.queries("q62_dup_clusters")(spark, dir1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cl.length == 6 && cl.forall(_._2 == 1L),
+      "one cluster rooted at the min id")
+    // ALL-DISTINCT corpus with no shared vocabulary: no pairs anywhere
+    val dir2 = "/tmp/graft-edge-distinct"
+    (1L to 5L).map(i => (i, (0 until 6).map(j => s"w${i}_$j")
+      .mkString(" "), "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(SparkEntry.queries("q190_prefix_filter_join")(spark, dir2)
+      .count() == 0)
+    assert(SparkEntry.queries("q21_minhash_pairs")(spark, dir2)
+      .count() == 0)
+    assert(SparkEntry.queries("q62_dup_clusters")(spark, dir2)
+      .count() == 0)
+  }
+
   test("dHash: malformed payloads drop; a constant raster hashes to 0") {
     import graft.multimodal.Multimodal
     import spark.implicits._
