@@ -64,17 +64,24 @@ object TextQueries {
     Shared.frame(s, "lsh_members", d)(
       Curation.canonicalInput(Tables.documents(s, d))._2)
 
-  /** LSH candidate pairs at canonical grain — the clone-invariant core
-    * of the staged index. */
-  private[queries] def sharedCanonPairs(s: SparkSession, d: String): DataFrame =
-    Shared.frame(s, "lsh_canon_pairs", d) {
+  /** The canonical document frame (one full-width row per exact-dup
+    * family, lowest id) — ONE body shuffle per run, shared by every
+    * canonical-grain builder (the pair index, q170's tuning audit). */
+  private[queries] def sharedCanonicalDocs(s: SparkSession,
+                                           d: String): DataFrame =
+    Shared.frame(s, "lsh_canon_docs", d) {
       val docs = Tables.documents(s, d)
-      val canonical = docs.join(
+      docs.join(
         sharedMembers(s, d).filter(col("doc_id") === col("canon"))
           .select(col("doc_id").as("__cid")),
         docs("doc_id") === col("__cid")).drop("__cid")
-      Text.candidatePairs(canonical, "doc_id", "text")
     }
+
+  /** LSH candidate pairs at canonical grain — the clone-invariant core
+    * of the staged index. */
+  private[queries] def sharedCanonPairs(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "lsh_canon_pairs", d)(
+      Text.candidatePairs(sharedCanonicalDocs(s, d), "doc_id", "text"))
 
   /** Connected components of the CANONICAL candidate graph — cluster =
     * min canonical id reachable. Memoized: the iterative contraction
@@ -244,11 +251,8 @@ object TextQueries {
         // config — one scalar, added to every published count
         val wWithin = fsz.agg(coalesce(
           sum(expr("fsize * (fsize - 1) div 2")), lit(0L)).as("w"))
-        val docs = Tables.documents(s, d)
-        val canonical = docs.join(
-          fsz.select(col("canon").as("__cid")),
-          docs("doc_id") === col("__cid")).drop("__cid")
-        val tri = Text.wordShingles(canonical, "doc_id", "text", 3)
+        val tri = Text.wordShingles(sharedCanonicalDocs(s, d),
+          "doc_id", "text", 3)
         val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
         val nsh = sig.select(col("doc_id"), col("n_sh"))
         val cand = configs.map { case (b, r) =>
