@@ -869,6 +869,57 @@ object CorpusQueries {
         regexp_count(col("text"), lit(pat)).as("n_hits"),
         md5(regexp_replace(col("text"), pat, "<REDACTED>").cast("binary"))
           .as("redacted_fp"))
+    }),
+
+    // ---- VOCABULARY-GROWTH CURVE (Heaps'-law audit): cumulative
+    // distinct-type count vs cumulative token count at corpus deciles —
+    // the curve that sizes a tokenizer vocabulary (where does type
+    // growth flatten?) and catches template corpora (near-flat curve)
+    // before BPE training (q115) commits to a vocab. Doc order is
+    // doc_id ascending; decile boundaries are value-at-rank doc_ids
+    // from the q175 histogram idiom (one constant-key two-phase prefix
+    // over DISTINCT doc_ids — never a global row_number window). Each
+    // type's first-occurrence doc is one map-combined min per token;
+    // its decile falls out of a 10-element broadcast threshold array
+    // in-row. The only full-width shuffle is token→min(doc_id) — the
+    // same vocabulary-grain exchange every corpus statistic here pays —
+    // and the final cumulative window runs over exactly 10 rows.
+    "q200_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val hist = docs.select(lit(1).as("grp"), col("doc_id"))
+        .groupBy(col("grp"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.Prefix.runningSum(
+        hist, "grp", "doc_id", "cnt", "cum")
+      val tot = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      val thAggs = (1 to 10).map(k => min(when(col("cum") * 10
+        >= col("n") * k, col("doc_id"))).as(s"t$k"))
+      val ths = cum.join(broadcast(tot), "grp")
+        .groupBy(col("grp"))
+        .agg(thAggs.head, thAggs.tail: _*)
+        .select(array((1 to 10).map(k => col(s"t$k")): _*).as("ts"))
+      // decile = 1 + #thresholds strictly below the doc id (t10 = max
+      // doc_id, so every doc lands in 1..10)
+      val occ = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
+        .crossJoin(broadcast(ths))
+        .select(expr("size(filter(ts, t -> t < doc_id)) + 1").as("decile"),
+          col("toks"))
+        .groupBy(col("decile")).agg(sum(col("toks")).as("toks"))
+      val newTypes = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(ths))
+        .select(expr("size(filter(ts, t -> t < fd)) + 1").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      val w10 = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      occ.join(newTypes, Seq("decile"), "left")
+        .select(col("decile"), col("toks"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("decile"), col("toks"), col("new_types"),
+          sum(col("new_types")).over(w10).as("cum_types"),
+          sum(col("toks")).over(w10).as("cum_toks"))
     })
   )
 
@@ -1519,6 +1570,40 @@ object CorpusQueries {
         |    AS n_hits,
         |  md5(regexp_replace(text, 'key|value|data', '<REDACTED>', 'g'))
         |    AS redacted_fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // decile thresholds replayed as row_number value-at-rank (rk·10 ≥
+    // k·n is the same ceil(k·n/10) position the histogram min-when
+    // picks); decile membership = 1 + #thresholds strictly below
+    "q200_vocab_growth" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+        |th AS (SELECT k, min(CASE WHEN rk * 10 >= k * (SELECT n FROM n)
+        |    THEN doc_id END) AS t
+        |  FROM r, unnest(generate_series(1, 10)) AS g(k) GROUP BY k),
+        |dd AS (SELECT d.doc_id,
+        |    CAST(1 + sum(CASE WHEN th.t < d.doc_id THEN 1 ELSE 0 END)
+        |      AS INT) AS decile,
+        |    max(len(string_split(d.text, ' '))) AS toks
+        |  FROM documents d CROSS JOIN th GROUP BY d.doc_id),
+        |occ AS (SELECT decile, CAST(sum(toks) AS BIGINT) AS toks
+        |  FROM dd GROUP BY decile),
+        |firsts AS (SELECT w, min(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY w),
+        |fb AS (SELECT f.w,
+        |    CAST(1 + sum(CASE WHEN th.t < f.fd THEN 1 ELSE 0 END)
+        |      AS INT) AS decile
+        |  FROM firsts f CROSS JOIN th GROUP BY f.w, f.fd),
+        |nt AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM fb GROUP BY decile)
+        |SELECT occ.decile AS decile, occ.toks AS toks,
+        |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(coalesce(nt.new_types, 0))
+        |    OVER (ORDER BY occ.decile) AS BIGINT) AS cum_types,
+        |  CAST(sum(occ.toks) OVER (ORDER BY occ.decile) AS BIGINT)
+        |    AS cum_toks
+        |FROM occ LEFT JOIN nt ON occ.decile = nt.decile""".stripMargin
   )
 }

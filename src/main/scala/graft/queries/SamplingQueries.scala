@@ -596,6 +596,27 @@ object SamplingQueries {
         .select(col("source"), col("src_tokens"), col("share"),
           sqrt(col("share")).as("temp_weight"),
           (sqrt(col("share")) / col("share")).as("boost"))
+    }),
+
+    // ---- EXACT-k UNIFORM SAMPLE (eval-set carving): exactly k=100
+    // documents, uniform over the corpus, deterministic across runs and
+    // partitionings — the fixed-size complement of the RATE-based
+    // samplers (q60's strata, q93's weights, q171's hash buckets): a
+    // held-out eval set must be exactly k rows no matter how the corpus
+    // grows. Order = md5 over a salted doc_id (independent of every
+    // other sampler's key stream), doc_id tiebreak. ORDER BY + LIMIT
+    // compiles to TakeOrderedAndProject — each task keeps a k-row heap
+    // and only k·partitions candidate rows ever leave the scan: no
+    // global sort, no full-corpus shuffle, the reservoir-sample plan
+    // shape at any scale. (QueriesSpec: exact size, determinism, and
+    // the heap plan.)
+    "q198_uniform_k_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(concat(lit("evalk:"), col("doc_id").cast("string"))
+            .cast("binary")).as("uk"))
+        .orderBy(col("uk").asc, col("doc_id").asc)
+        .limit(100)
     })
   )
 
@@ -920,6 +941,13 @@ object SamplingQueries {
         |SELECT source, src_tokens, share,
         |  sqrt(share) AS temp_weight,
         |  sqrt(share) / share AS boost
-        |FROM sh""".stripMargin
+        |FROM sh""".stripMargin,
+
+    "q198_uniform_k_sample" ->
+      """SELECT doc_id, lang, source,
+        |  md5(concat('evalk:', CAST(doc_id AS VARCHAR))) AS uk
+        |FROM documents
+        |ORDER BY uk ASC, doc_id ASC
+        |LIMIT 100""".stripMargin
   )
 }

@@ -777,8 +777,58 @@ object TextQueries {
         .select(col("doc_id"), col("n_bigrams"),
           expr("ss div n_bigrams").as("familiarity"),
           (expr("ss div n_bigrams") < SurpScale / 5).as("flagged"))
+    }),
+
+    // ---- WINNOWING fingerprint overlap (Schleimer et al., the MOSS
+    // algorithm): the POSITIONAL-GUARANTEE fingerprinter next to q27's
+    // whole-doc min-shingle — every k-gram (k=8 chars) gets a 32-bit
+    // md5-derived hash, each sliding window of w=4 consecutive hashes
+    // contributes its minimum, and the doc's fingerprint set is the
+    // distinct selected values. The guarantee the min-shingle lacks:
+    // ANY substring shared verbatim of length ≥ w+k−1 = 11 chars spans
+    // a full identical window in both docs, whose min is selected in
+    // both — shared text CANNOT escape detection (WinnowSpec plants
+    // one). Density is ~2/(w+1) of positions, independent of doc count.
+    // Pair generation is an inverted index on fingerprint value, with
+    // MOSS's stop-fingerprint rule (values in > 20 docs carry no
+    // pair signal — boilerplate 8-grams) bounding bucket fanout the
+    // same way q21's band caps do; reported pairs share ≥ 3 distinct
+    // fingerprints. All arithmetic integer/md5 — the oracle replays
+    // bit-for-bit. At 100 TB: fingerprints are ~2L/(w+1) small longs
+    // per doc (the only thing shuffled — never text), the index join is
+    // hash-distributable, and the doc-frequency gate runs map-combined
+    // before any pair exists.
+    "q199_winnow_fingerprints" -> ((s, d) => {
+      val fps = Tables.documents(s, d)
+        .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+        .select(col("doc_id"),
+          expr(s"transform(sequence(1, length(text) - ${WinnowK - 1}), " +
+            s"i -> CAST(conv(substr(md5(CAST(substr(text, i, $WinnowK) " +
+            "AS BINARY)), 1, 8), 16, 10) AS BIGINT))").as("hs"))
+        .select(col("doc_id"),
+          explode(expr("array_distinct(transform(" +
+            s"sequence(1, size(hs) - ${WinnowW - 1}), " +
+            s"j -> array_min(slice(hs, j, $WinnowW))))")).as("fp"))
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf)
+        .select(col("fp"))
+      val idx = fps.join(rare, "fp")
+      idx.as("a")
+        .join(idx.as("b"), col("a.fp") === col("b.fp")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
     })
   )
+
+  // q199 winnowing parameters, pinned for the oracle: k-gram width,
+  // window width, stop-fingerprint doc-frequency cap. (fps is distinct
+  // per doc, so count(*) per fp below IS the doc frequency.)
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowMaxDf = 20
 
   // q134 quantization scale, pinned for the oracle
   private val SurpScale = 10000L
@@ -1202,6 +1252,24 @@ object TextQueries {
         |    AS familiarity,
         |  (CAST(sum(s) AS BIGINT) // count(*)) < ${SurpScale / 5}
         |    AS flagged
-        |FROM sc GROUP BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q199_winnow_fingerprints" ->
+      s"""WITH g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
+        |      i -> CAST(concat('0x', substr(md5(substr(text, i, $WinnowK)),
+        |        1, 8)) AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}),
+        |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(hs) - ${WinnowW - 1}),
+        |    j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fp
+        |  FROM g),
+        |rare AS (SELECT fp FROM f GROUP BY fp
+        |  HAVING count(*) <= $WinnowMaxDf),
+        |i AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  count(*) AS n_shared
+        |FROM i a JOIN i b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
   )
 }

@@ -812,6 +812,49 @@ object WarehouseQueries {
         countDistinct(col("l_returnflag")).as("flag_ndv"),
         sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
           .as("qty_nulls"))
+    }),
+
+    // ---- ROBUST OUTLIER DETECTION (median / MAD): the DQ monitor that
+    // survives the outliers it hunts — mean/stddev gates move with the
+    // anomaly, the median and the median-absolute-deviation don't. Per
+    // order-priority stratum: med = percentile_disc(0.5) of
+    // o_totalprice, MAD = percentile_disc(0.5) of |x − med|, and a row
+    // is an outlier when |x − med| > 3·1.4826·MAD (the Gaussian-
+    // consistent MAD rule), kept exact as ad·10000 > mad·44478 —
+    // doubles flow only through IEEE +,−,×,compare, so both engines
+    // produce identical bits (no libm). Both medians ride the q175
+    // histogram idiom: (group, value) counts map-combine, the running
+    // count goes through the two-phase Prefix.runningSum (priorities
+    // are LOW-cardinality — a plain window is the q110 single-reducer
+    // killer), and value-at-rank is one conditional-min. Shuffles carry
+    // distinct values, never rows; the med/mad frames broadcast back.
+    // Output: 5 stratum rows — n, med, mad, n_outliers.
+    "q197_mad_outliers" -> ((s, d) => {
+      val vals = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("v"))
+      // value-at-rank ceil(n/2) over a (grp, value) histogram: exactly
+      // percentile_disc(0.5) (cum·2 ≥ n ⇔ rank ≥ ceil(n/2))
+      def median(df: DataFrame, vc: String, as: String): DataFrame = {
+        val hist = df.groupBy(col("grp"), col(vc))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = graft.operators.Prefix.runningSum(
+          hist, "grp", vc, "cnt", "cum")
+        val totals = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+        cum.join(broadcast(totals), "grp")
+          .groupBy(col("grp"))
+          .agg(min(when(col("cum") * 2 >= col("n"), col(vc))).as(as))
+      }
+      val med = median(vals, "v", "med")
+      val dev = vals.join(broadcast(med), "grp")
+        .withColumn("ad", abs(col("v") - col("med")))
+      val mad = median(dev.select(col("grp"), col("ad")), "ad", "mad")
+      dev.join(broadcast(mad), "grp")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(col("ad") * 10000 > col("mad") * 44478, 1L)
+            .otherwise(0L)).as("n_outliers"))
     })
   )
 
@@ -1232,6 +1275,26 @@ object WarehouseQueries {
         |  FROM events)
         |SELECT prev_type, event_type, count(*) AS n FROM seq
         |WHERE prev_type IS NOT NULL
-        |GROUP BY prev_type, event_type""".stripMargin
+        |GROUP BY prev_type, event_type""".stripMargin,
+
+    // percentile_disc is DuckDB's exact discrete quantile — the value at
+    // rank ceil(p·n), the same point the histogram conditional-min picks
+    "q197_mad_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS grp, o_totalprice AS v
+        |  FROM orders),
+        |med AS (SELECT grp,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+        |  FROM v GROUP BY grp),
+        |dev AS (SELECT v.grp, v.v, med.med, abs(v.v - med.med) AS ad
+        |  FROM v JOIN med USING (grp)),
+        |mad AS (SELECT grp,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        |  FROM dev GROUP BY grp)
+        |SELECT dev.grp AS grp, count(*) AS n_rows, max(dev.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  CAST(coalesce(sum(CASE WHEN dev.ad * 10000 > mad.mad * 44478
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.grp = mad.grp
+        |GROUP BY dev.grp""".stripMargin
   )
 }

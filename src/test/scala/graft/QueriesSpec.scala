@@ -993,4 +993,68 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getString(1).split(" ").length <= 8)
     }
   }
+
+  test("q197 MAD outliers: med/mad agree with an in-memory " +
+    "percentile_disc replay, outlier rule replays") {
+    val rows = SparkEntry.queries("q197_mad_outliers")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val vals = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // percentile_disc(0.5): value at rank ceil(n/2), 1-indexed
+    def disc(xs: Seq[Double]): Double = xs((xs.length + 1) / 2 - 1)
+    assert(rows.keySet == vals.keySet)
+    vals.foreach { case (g, xs) =>
+      val (n, med, mad, nOut) = rows(g)
+      assert(n == xs.length)
+      assert(med == disc(xs))
+      val ads = xs.map(x => math.abs(x - med)).sorted
+      assert(mad == disc(ads))
+      assert(nOut == xs.count(x => math.abs(x - med) * 10000
+        > mad * 44478))
+      // the rule keeps the bulk: outliers are a strict minority
+      assert(nOut * 2 < n)
+    }
+  }
+
+  test("q198 exact-k sample: exactly k rows, deterministic, and the " +
+    "plan is a top-k heap (no global sort shuffle)") {
+    val q = SparkEntry.queries("q198_uniform_k_sample")
+    val df = q(spark, sf)
+    val rows = df.collect().map(_.getLong(0))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == math.min(100L, total).toInt)
+    assert(rows.distinct.length == rows.length)
+    val again = q(spark, sf).collect().map(_.getLong(0))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a bounded top-k heap plan, got:\n$plan")
+  }
+
+  test("q200 vocab growth: decile partition of docs, ledger closes " +
+    "on both tokens and types") {
+    val out = SparkEntry.queries("q200_vocab_growth")(spark, sf)
+      .orderBy(col("decile")).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 10))
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val totalToks = docs.map(_.split(" ", -1).length.toLong).sum
+    val vocab = docs.flatMap(_.split(" ", -1)).distinct.length.toLong
+    val last = out.last
+    assert(last.getLong(4) == totalToks, "cum_toks must equal corpus")
+    assert(last.getLong(3) == vocab, "cum_types must equal vocabulary")
+    assert(out.map(_.getLong(2)).sum == vocab)
+    // cumulative columns are actual running sums and non-decreasing
+    out.foldLeft((0L, 0L)) { case ((ct, cv), r) =>
+      val (nt, tk, cumT, cumK) =
+        (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(cumT == cv + nt && cumK == ct + tk)
+      (cumK, cumT)
+    }
+  }
 }
