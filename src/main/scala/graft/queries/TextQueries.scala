@@ -781,39 +781,42 @@ object TextQueries {
 
     // ---- WINNOWING fingerprint overlap (Schleimer et al., the MOSS
     // algorithm): the POSITIONAL-GUARANTEE fingerprinter next to q27's
-    // whole-doc min-shingle — every k-gram (k=8 chars) gets a 32-bit
-    // md5-derived hash, each sliding window of w=4 consecutive hashes
-    // contributes its minimum, and the doc's fingerprint set is the
-    // distinct selected values. The guarantee the min-shingle lacks:
-    // ANY substring shared verbatim of length ≥ w+k−1 = 11 chars spans
-    // a full identical window in both docs, whose min is selected in
-    // both — shared text CANNOT escape detection (WinnowSpec plants
-    // one). Density is ~2/(w+1) of positions, independent of doc count.
-    // Pair generation is an inverted index on fingerprint value, with
-    // MOSS's stop-fingerprint rule (values in > 20 docs carry no
-    // pair signal — boilerplate 8-grams) bounding bucket fanout the
-    // same way q21's band caps do; reported pairs share ≥ 3 distinct
-    // fingerprints. All arithmetic integer/md5 — the oracle replays
-    // bit-for-bit. At 100 TB: fingerprints are ~2L/(w+1) small longs
-    // per doc (the only thing shuffled — never text), the index join is
-    // hash-distributable, and the doc-frequency gate runs map-combined
-    // before any pair exists.
+    // whole-doc min-shingle — every k-gram (k=8 chars) gets a rolling
+    // Karp–Rabin hash (the native `winnowfp` expression,
+    // plans/WinnowFingerprints.scala — VERDICT r7 #1 replaced the
+    // md5-per-position SQL form that cost O(n) md5 calls per doc with
+    // the O(n)-total rolling recurrence MOSS itself prescribes), each
+    // sliding window of w=4 consecutive hashes contributes its minimum,
+    // and the doc's fingerprint set is the distinct selected values.
+    // The POSITIONAL guarantee (vs the min-shingle's): any verbatim-
+    // shared substring of length ≥ w+k−1 = 11 chars spans a full
+    // identical window in both docs, whose min is selected in both —
+    // the shared fingerprint always reaches the index (WinnowSpec
+    // plants one). REPORTED pairs are gated further: a fingerprint in
+    // > 20 docs is stop-listed (boilerplate 8-grams carry no pair
+    // signal — MOSS's rule, bounding bucket fanout like q21's band
+    // caps), and a pair must share ≥ 3 distinct surviving fingerprints
+    // — so an overlap near the 11-char minimum (~1 fingerprint) or one
+    // made only of boilerplate is intentionally NOT reported. All
+    // arithmetic is integer (mod 2^31−1 recurrence) — the oracle
+    // replays it bit-for-bit as nested positional mod-steps. At 100 TB:
+    // fingerprints are ~2L/(w+1) small longs per doc (the only thing
+    // shuffled — never text), the index join is hash-distributable, the
+    // df gate runs map-combined before any pair exists, and the gated
+    // index is materialized ONCE per run (Shared.frame) instead of
+    // re-hashing the corpus for the df gate and both self-join sides.
     "q199_winnow_fingerprints" -> ((s, d) => {
-      val fps = Tables.documents(s, d)
-        .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-        .select(col("doc_id"),
-          expr(s"transform(sequence(1, length(text) - ${WinnowK - 1}), " +
-            s"i -> CAST(conv(substr(md5(CAST(substr(text, i, $WinnowK) " +
-            "AS BINARY)), 1, 8), 16, 10) AS BIGINT))").as("hs"))
-        .select(col("doc_id"),
-          explode(expr("array_distinct(transform(" +
-            s"sequence(1, size(hs) - ${WinnowW - 1}), " +
-            s"j -> array_min(slice(hs, j, $WinnowW))))")).as("fp"))
-      val rare = fps.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowMaxDf)
-        .select(col("fp"))
-      val idx = fps.join(rare, "fp")
+      val idx = Shared.frame(s, "winnow_idx", d) {
+        val fps = Tables.documents(s, d)
+          .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+          .select(col("doc_id"),
+            explode(expr(s"winnowfp(text, $WinnowK, $WinnowW)")).as("fp"))
+        val rare = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= WinnowMaxDf)
+          .select(col("fp"))
+        fps.join(rare, "fp")
+      }
       idx.as("a")
         .join(idx.as("b"), col("a.fp") === col("b.fp")
           && col("a.doc_id") < col("b.doc_id"))
@@ -832,6 +835,18 @@ object TextQueries {
 
   // q134 quantization scale, pinned for the oracle
   private val SurpScale = 10000L
+
+  /** DuckDB replay of the winnowfp k-gram hash at position `i` (1-based):
+    * h = fold(j = 0..k−1: h ← (h·257 + codepoint(i+j)) mod 2^31−1),
+    * expanded to k nested integer mod-steps. `ascii` in DuckDB returns
+    * the Unicode code point, matching the Scala side's codePoints().
+    */
+  private lazy val winnowHashSql: String =
+    (1 until WinnowK).foldLeft(
+      "(CAST(ascii(substr(text, i, 1)) AS BIGINT) % 2147483647)") {
+      (acc, j) =>
+        s"(($acc * 257 + ascii(substr(text, i + $j, 1))) % 2147483647)"
+    }
 
   private lazy val simhashSql: String = {
     val bitSums = (0 until 32).map { j =>
@@ -1254,11 +1269,13 @@ object TextQueries {
         |    AS flagged
         |FROM sc GROUP BY doc_id""".stripMargin,
 
+    // hash lambda = the winnowfp rolling recurrence replayed
+    // POSITIONALLY: k nested (acc*257 + codepoint) % (2^31-1) steps —
+    // integer-identical to plans/WinnowFingerprints.compute
     "q199_winnow_fingerprints" ->
       s"""WITH g AS (SELECT doc_id,
         |    list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
-        |      i -> CAST(concat('0x', substr(md5(substr(text, i, $WinnowK)),
-        |        1, 8)) AS BIGINT)) AS hs
+        |      i -> $winnowHashSql) AS hs
         |  FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}),
         |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, len(hs) - ${WinnowW - 1}),
