@@ -899,7 +899,12 @@ object CorpusQueries {
         .agg(thAggs.head, thAggs.tail: _*)
         .select(array((1 to 10).map(k => col(s"t$k")): _*).as("ts"))
       // decile = 1 + #thresholds strictly below the doc id (t10 = max
-      // doc_id, so every doc lands in 1..10)
+      // doc_id, so every doc lands in 1..10). Assumes n >= 10 docs
+      // (ADVICE r7): below that, decile threshold doc_ids t1..t10
+      // collide, some decile numbers are skipped, and fewer than 10
+      // rows emerge — both engines degrade identically (the oracle
+      // mirrors the same threshold construction), but the "exactly 10
+      // rows" reading of the output only holds at n >= 10.
       val occ = docs
         .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
         .crossJoin(broadcast(ths))

@@ -822,33 +822,25 @@ object WarehouseQueries {
     // is an outlier when |x − med| > 3·1.4826·MAD (the Gaussian-
     // consistent MAD rule), kept exact as ad·10000 > mad·44478 —
     // doubles flow only through IEEE +,−,×,compare, so both engines
-    // produce identical bits (no libm). Both medians ride the q175
-    // histogram idiom: (group, value) counts map-combine, the running
-    // count goes through the two-phase Prefix.runningSum (priorities
-    // are LOW-cardinality — a plain window is the q110 single-reducer
-    // killer), and value-at-rank is one conditional-min. Shuffles carry
-    // distinct values, never rows; the med/mad frames broadcast back.
+    // produce identical bits (no libm). Both medians ride
+    // Quantile.groupMedian (VERDICT r7 #5): o_totalprice is
+    // near-unique, so the earlier (grp, value)-histogram + prefix-sum
+    // form carried row-cardinality exchanges and an approxQuantile
+    // scan per pass (10.0 s in-suite); the bucketed refinement is
+    // three map-combined aggregates per median, rank-exact
+    // (percentile_disc-identical data values), and its shuffles carry
+    // only groups × buckets counts. The med/mad frames broadcast back.
     // Output: 5 stratum rows — n, med, mad, n_outliers.
     "q197_mad_outliers" -> ((s, d) => {
       val vals = Tables.orders(s, d)
         .select(col("o_orderpriority").as("grp"),
           col("o_totalprice").as("v"))
-      // value-at-rank ceil(n/2) over a (grp, value) histogram: exactly
-      // percentile_disc(0.5) (cum·2 ≥ n ⇔ rank ≥ ceil(n/2))
-      def median(df: DataFrame, vc: String, as: String): DataFrame = {
-        val hist = df.groupBy(col("grp"), col(vc))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = graft.operators.Prefix.runningSum(
-          hist, "grp", vc, "cnt", "cum")
-        val totals = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
-        cum.join(broadcast(totals), "grp")
-          .groupBy(col("grp"))
-          .agg(min(when(col("cum") * 2 >= col("n"), col(vc))).as(as))
-      }
-      val med = median(vals, "v", "med")
+      val med = graft.operators.Quantile.groupMedian(
+        vals, "grp", "v", "med")
       val dev = vals.join(broadcast(med), "grp")
         .withColumn("ad", abs(col("v") - col("med")))
-      val mad = median(dev.select(col("grp"), col("ad")), "ad", "mad")
+      val mad = graft.operators.Quantile.groupMedian(
+        dev.select(col("grp"), col("ad")), "grp", "ad", "mad")
       dev.join(broadcast(mad), "grp")
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_rows"),

@@ -1016,8 +1016,11 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(mad == disc(ads))
       assert(nOut == xs.count(x => math.abs(x - med) * 10000
         > mad * 44478))
-      // the rule keeps the bulk: outliers are a strict minority
-      assert(nOut * 2 < n)
+      // the rule keeps the bulk: at least ceil(n/2) rows satisfy
+      // ad <= mad <= 4.4478*mad, so nOut <= floor(n/2) — equality is
+      // reachable for even n on a pathological distribution (ADVICE r7),
+      // hence <= not <
+      assert(nOut * 2 <= n)
     }
   }
 
