@@ -126,6 +126,51 @@ object Bench {
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       name -> (if (times.exists(_ < 0)) -1.0 else median)
     }
+    // ---- run-level contention verdict (VERDICT r7 #3): the round-7
+    // driver bench recorded 447.9 s for a tree that measures 182.9 s
+    // exclusive — the per-query watchlist flagged 6 swings but nothing
+    // marked the RUN bad, so a contended number became the round's
+    // artifact. BENCH_EXCLUSIVE.json is the committed idle-box
+    // reference (written by a run with SPARK_GRAFT_BENCH_EXCLUSIVE=1);
+    // any full-suite run compares itself per-query against it, counts
+    // slow-direction breaches of the documented [0.25, 4.0] noise band
+    // (this median >= 1 s and >= 4x the exclusive reference), declares
+    // itself CONTENDED at >= 4 breaches, and immediately re-times each
+    // breaching query in-process (median of 3) so the artifact carries
+    // its own correction — a contended run self-identifies instead of
+    // waiting for judge archaeology.
+    def readMedians(path: String): Map[String, Double] =
+      try {
+        val txt = new String(Files.readAllBytes(Paths.get(path)),
+          StandardCharsets.UTF_8)
+        val qsec = txt.indexOf("\"queries\":{")
+        val body = txt.substring(qsec + 11, txt.indexOf("}", qsec))
+        "\"(q[^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val exclusiveRef: Map[String, Double] =
+      if (only.isEmpty) readMedians("BENCH_EXCLUSIVE.json")
+      else Map.empty[String, Double]
+    val breaches = results.filter { case (n, sec) =>
+      sec >= 1.0 && exclusiveRef.get(n).exists(ref => ref > 0 && sec / ref >= 4.0)
+    }
+    val contended = breaches.size >= 4
+    val retimes: Seq[(String, Double)] =
+      if (breaches.isEmpty) Seq.empty
+      else breaches.map { case (name, _) =>
+        val ts = (1 to 3).map { rep =>
+          spark.sparkContext.setJobGroup(s"retime$rep:$name", name)
+          val t0 = System.nanoTime()
+          val ok = try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+          spark.sparkContext.clearJobGroup()
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }.sorted
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts(1))
+      }
     // the listener bus is async: poll until the aggregate stops moving
     // (two consecutive stable reads) instead of hoping one fixed sleep
     // outruns a loaded bus; bounded at ~10 s
@@ -156,8 +201,10 @@ object Bench {
       try spark.read.parquet(s"$sfDir/events.parquet")
         .schema("ts").dataType.simpleString
       catch { case _: Throwable => "unreadable" }
+    val contentionJson =
+      s""""contended":$contended,"n_slow_breaches":${breaches.size},"retimes":${jsonMap(retimes)}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","events_ts":"$eventsTsType","queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     // subset runs must not clobber the canonical full-suite record
     val outFile =
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
@@ -165,9 +212,17 @@ object Bench {
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    // an idle-box run (builder-attested via env) refreshes the committed
+    // exclusive reference the contention verdict compares against
+    if (only.isEmpty && nFail == 0 &&
+        sys.env.get("SPARK_GRAFT_BENCH_EXCLUSIVE").contains("1"))
+      Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
+        (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
     val head = results.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","queries":${jsonMap(head)},"sf":"$sfDir","full":"$outFile"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median",$contentionJson,"queries":${jsonMap(head)},"sf":"$sfDir","full":"$outFile"}""")
     // BASELINE.md table content generated from the same numbers that go
     // into the JSON artifact (VERDICT r4 #5: narrative and artifact must
     // not drift — the measured section is emitted here, then pasted into
@@ -200,15 +255,7 @@ object Bench {
       // via judge archaeology. Parsed with the same regex shape Bench
       // itself emits — no JSON lib in the unmanaged classpath.
       val driverMedians: Map[String, Double] =
-        try {
-          val txt = new String(
-            Files.readAllBytes(Paths.get("BENCH_DRIVER.json")),
-            StandardCharsets.UTF_8)
-          val qsec = txt.indexOf("\"queries\":{")
-          val body = txt.substring(qsec + 11, txt.indexOf("}", qsec))
-          "\"(q[^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } catch { case _: Throwable => Map.empty }
+        readMedians("BENCH_DRIVER.json")
       def ratio(n: String, sec: Double): String =
         driverMedians.get(n) match {
           case Some(dm) if sec > 0 => f"${dm / sec}%.1f×"
@@ -246,9 +293,44 @@ object Bench {
           "",
           "| query | driver (s) | exclusive (s) | ratio |",
           "|---|---|---|---|") ++ swings
+      // run-level contention verdict block (VERDICT r7 #3): loud at the
+      // TOP of the parity record when this run breached the band, with
+      // the in-process re-times as the artifact's own correction
+      val retimeMap = retimes.toMap
+      val contentionBlock =
+        if (exclusiveRef.isEmpty) Seq(
+          "_No BENCH_EXCLUSIVE.json reference — run-level contention " +
+            "verdict unavailable (run graft.Bench once on an idle box " +
+            "with SPARK_GRAFT_BENCH_EXCLUSIVE=1 to create it)._",
+          "")
+        else if (breaches.isEmpty) Seq(
+          "Run-level contention verdict: CLEAN — no query ≥ 1 s ran ≥ 4× " +
+            "its committed exclusive reference (BENCH_EXCLUSIVE.json).",
+          "")
+        else Seq(
+          (if (contended)
+            s"**RUN-LEVEL VERDICT: CONTENDED — ${breaches.size} queries " +
+              "ran ≥ 4× their committed exclusive reference " +
+              "(BENCH_EXCLUSIVE.json). Do NOT read this run's totals as " +
+              "query cost; the in-process re-times below are the " +
+              "run's own correction.**"
+          else
+            s"Run-level contention verdict: ${breaches.size} slow-direction " +
+              "breach(es) of the [0.25, 4.0] band vs BENCH_EXCLUSIVE.json " +
+              "(below the 4-breach CONTENDED threshold) — re-timed " +
+              "in-process below."),
+          "",
+          "| breaching query | this run (s) | exclusive ref (s) | ratio | re-time (s) |",
+          "|---|---|---|---|---|") ++
+          breaches.map { case (n, sec) =>
+            val ref = exclusiveRef(n)
+            val rt = retimeMap.get(n).filter(_ >= 0)
+              .map(v => f"$v%.2f").getOrElse("failed")
+            f"| $n | $sec%.2f | $ref%.2f | ${sec / ref}%.1f× | $rt |"
+          } ++ Seq("")
       // assembled line-by-line, NOT via stripMargin — interpolated table
       // rows start with '|' and stripMargin would eat it
-      val row = (Seq(
+      val row = (contentionBlock ++ Seq(
         f"**Full suite, $sfDir, median-of-$reps: $total%.1f s for ${results.size} queries, $nFail failed, $spillNote** (BENCH_LOCAL.json carries per-query medians + measured shuffle write/read/spill bytes). Generated by `graft.Bench` from the same run that wrote the JSON artifact. Ratio column = driver-run median (BENCH_DRIVER.json) ÷ this run's median.",
         "",
         "| query (8 slowest) | median (s) | shuffle write MB | read MB | spill MB | driver÷here |",

@@ -376,4 +376,64 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     val hs = Multimodal.dHash(spark, flat).collect()
     assert(hs.length == 1 && hs.head.dhash == 0L)
   }
+
+  test("q163 is BYTE-indexed on multi-byte text: shared-key counts " +
+    "match an independent UTF-8-byte replay (VERDICT r7 #6)") {
+    // multi-byte palette: é (2 bytes), 日 (3 bytes), plus ASCII — chars
+    // and bytes diverge hard, so a char-indexed fingerprinter would
+    // window the text differently and produce a different key count
+    val palette = "aé7日xèk之m "
+    val text = (0 until 220)
+      .map(i => palette((i * 7 + i * i % 11) % palette.length)).mkString
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > text.length + 100, "probe must be multi-byte")
+    assert(bytes.length >= 64 + 32 * 9, "need >= 2 shingles")
+    // independent replay of audioShingles' arithmetic over UTF-8 BYTES
+    val nWin = (bytes.length - 64) / 32 + 1
+    val en = Array.tabulate(nWin, 8) { (i, m) =>
+      (0 until 8).map(j => bytes(i * 32 + m * 8 + j) & 0xFF).sum
+    }
+    val sfs = (1 until nWin).map { i =>
+      (0 until 7).map { m =>
+        if ((en(i)(m) - en(i)(m + 1)) - (en(i - 1)(m) - en(i - 1)(m + 1)) > 0)
+          1 << m
+        else 0
+      }.sum
+    }
+    val expectedKeys = (0 to sfs.length - 8)
+      .map(k => sfs.slice(k, k + 8).mkString("-")).distinct.length
+    assert(expectedKeys >= 2, "probe must clear the reporting floor")
+    val d = docsDir((1L to 3L).map(i =>
+      (i, text, "xx", "s0", text.length.toLong)))
+    val pairs = SparkEntry.queries("q163_audio_neardup")(spark, d)
+      .collect()
+    assert(pairs.length == 3, "3 multi-byte clones must yield C(3,2) pairs")
+    pairs.foreach(r => assert(r.getLong(2) == expectedKeys.toLong,
+      "engine shared-key count must equal the byte-level replay — a " +
+        "char-indexed implementation would disagree here"))
+  }
+
+  test("q171 empty sample: coalesce guard yields a defined zero " +
+    "estimate and a defined verdict (VERDICT r7 #6)") {
+    // ids whose md5 bucket (substr 13, mod 100) lands >= 50 — the
+    // sample filter hb < 50 then selects NOTHING
+    def hb(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(12, 20), 16) % 100
+    }
+    val ids = (1L to 200L).filter(hb(_) >= 50).take(5)
+    assert(ids.size == 5)
+    val d = docsDir(ids.map(i => (i, "some words here", "en", "s0", 15L)))
+    val r = SparkEntry.queries("q171_sample_estimate")(spark, d)
+      .collect().head
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(0) == 15L, "3 tokens x 5 docs")
+    assert(!r.isNullAt(2) && r.getLong(2) == 0L,
+      "empty sample must estimate 0, not NULL")
+    assert(!r.isNullAt(3) && r.getLong(3) == 0L)
+    assert(!r.isNullAt(4) && !r.getBoolean(4),
+      "verdict must be computed (false), not NULL")
+  }
 }
