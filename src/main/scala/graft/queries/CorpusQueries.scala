@@ -925,6 +925,38 @@ object CorpusQueries {
         .select(col("decile"), col("toks"), col("new_types"),
           sum(col("new_types")).over(w10).as("cum_types"),
           sum(col("toks")).over(w10).as("cum_toks"))
+    }),
+
+    // ---- per-source LENGTH-DISTRIBUTION audit: exact quartiles of
+    // token count per source plus Tukey-fence outliers (x outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR]) — the robust per-stratum length
+    // profile a mixture designer reads before weighting sources (a
+    // source whose q3 is under the context window packs differently
+    // than one whose q1 is over it). All three quartiles come from ONE
+    // Quantile.groupQuantiles refinement (three map-combined aggregates
+    // total — per-source stats, a sources × 8192 bucket histogram, and
+    // an exact value count inside only the rank-target buckets; no
+    // window, no sort, driver state planner-scale and LIMIT-guarded).
+    // Quartile values are actual data values (rank ⌈p·n⌉ —
+    // percentile_disc-identical); token counts are small integers, so
+    // the fence arithmetic (−, ×1.5, compare) is exact in IEEE doubles
+    // and bit-identical cross-engine. The quartile frame broadcasts
+    // back; the only corpus-wide work is linear scans.
+    "q201_source_quartiles" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("double").as("t"))
+      val qs = graft.operators.Quantile.groupQuantiles(
+        toks, "source", "t", Seq(0.25 -> "q1", 0.5 -> "med", 0.75 -> "q3"))
+      val iqr = col("q3") - col("q1")
+      toks.join(broadcast(qs), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("q1")).as("q1"), max(col("med")).as("med"),
+          max(col("q3")).as("q3"),
+          sum(when(col("t") < col("q1") - iqr * 1.5
+              || col("t") > col("q3") + iqr * 1.5, 1L).otherwise(0L))
+            .as("n_tukey_outliers"))
     })
   )
 
@@ -1609,6 +1641,27 @@ object CorpusQueries {
         |    OVER (ORDER BY occ.decile) AS BIGINT) AS cum_types,
         |  CAST(sum(occ.toks) OVER (ORDER BY occ.decile) AS BIGINT)
         |    AS cum_toks
-        |FROM occ LEFT JOIN nt ON occ.decile = nt.decile""".stripMargin
+        |FROM occ LEFT JOIN nt ON occ.decile = nt.decile""".stripMargin,
+
+    // percentile_disc(p) = value at rank ceil(p*n), the same point
+    // Quantile.groupQuantiles refines to; fence arithmetic is exact
+    // (integer-valued doubles through -, x1.5, compare)
+    "q201_source_quartiles" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS t
+        |  FROM documents),
+        |q AS (SELECT source,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY t) AS q1,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY t) AS med,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY t) AS q3
+        |  FROM t GROUP BY source)
+        |SELECT t.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(q.q1) AS q1, max(q.med) AS med, max(q.q3) AS q3,
+        |  CAST(coalesce(sum(CASE
+        |    WHEN t.t < q.q1 - (q.q3 - q.q1) * 1.5
+        |      OR t.t > q.q3 + (q.q3 - q.q1) * 1.5
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tukey_outliers
+        |FROM t JOIN q ON t.source = q.source
+        |GROUP BY t.source""".stripMargin
   )
 }

@@ -994,6 +994,31 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q201 source quartiles: q1/med/q3 agree with an in-memory " +
+    "percentile_disc replay, Tukey fence replays") {
+    val rows = SparkEntry.queries("q201_source_quartiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    val vals = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // percentile_disc(p): value at rank ceil(p*n), 1-indexed
+    def disc(xs: Seq[Double], p: Double): Double =
+      xs(math.ceil(p * xs.length).toInt.max(1) - 1)
+    assert(rows.keySet == vals.keySet)
+    vals.foreach { case (s, xs) =>
+      val (n, q1, med, q3, nOut) = rows(s)
+      assert(n == xs.length)
+      assert(q1 == disc(xs, 0.25) && med == disc(xs, 0.5)
+        && q3 == disc(xs, 0.75))
+      assert(q1 <= med && med <= q3)
+      val iqr = q3 - q1
+      assert(nOut == xs.count(x => x < q1 - iqr * 1.5 || x > q3 + iqr * 1.5))
+    }
+  }
+
   test("q197 MAD outliers: med/mad agree with an in-memory " +
     "percentile_disc replay, outlier rule replays") {
     val rows = SparkEntry.queries("q197_mad_outliers")(spark, sf)
