@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         L1DistanceI(exprs.head, exprs(1))
       } }))
     e.injectFunction((
+      FunctionIdentifier("interlen"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "interlen"),
+      SortedIntersectCount.build _))
+    e.injectFunction((
       FunctionIdentifier("winnowfp"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnowfp"),
       WinnowFingerprints.build _))

@@ -154,20 +154,22 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
     // verify leg: per-doc bigram SETS as sorted arrays, the exact
-    // intersection computed IN-ROW with array_intersect — the
-    // token-grain join formulation measured 17 s at sf0.1 (1.5 M
-    // candidates × ~60 bigrams exploded through two joins); the
-    // in-row form touches each candidate once. The set frame is
-    // doc-grain (|docs| × ~60 strings) — broadcast here; at 100 TB
-    // it rides a shuffle join on the doc ids instead.
+    // intersection computed IN-ROW with the native `interlen` merge
+    // expression (plans/SortedIntersect.scala — the distinct sorted-
+    // merge count, no per-pair hash set, no boxing; replaces
+    // size(array_intersect), same DISTINCT semantics over these
+    // collect_set inputs). The token-grain join formulation measured
+    // 17 s at sf0.1 (1.5 M candidates × ~60 bigrams exploded through
+    // two joins); the in-row form touches each candidate once. The set
+    // frame is doc-grain (|docs| × ~60 longs) — broadcast here; at
+    // 100 TB it rides a shuffle join on the doc ids instead.
     val sets = toks.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("tok"))).as("st"))
     val verdicts = cand
       .join(broadcast(sets.toDF("doc_a", "sa")), "doc_a")
       .join(broadcast(sets.toDF("doc_b", "sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("bigint")
-          .as("inter"),
+        expr("interlen(sa, sb)").as("inter"),
         col("na"), col("nb"))
       .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
     val sizes = sets.select(col("doc_id"),
