@@ -752,17 +752,19 @@ object TextQueries {
         .select(col("doc_id"), col("band"), col("matched_id"))
     }),
 
-    // ---- document fingerprinting: exact digest + min-shingle (winnowing
-    // -style) robust fingerprint
-    "q27_fingerprint" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val minSh = Text.charShingles(docs, "doc_id", "text", 8)
-        .select(col("doc_id"), md5(col("sh").cast("binary")).as("shh"))
-        .groupBy(col("doc_id")).agg(min(col("shh")).as("min_shingle_fp"))
-      docs.select(col("doc_id"),
-          md5(col("text").cast("binary")).as("exact_fp"))
-        .join(minSh, "doc_id")
-    }),
+    // ---- document fingerprinting: exact digest + min-shingle robust
+    // fingerprint. The min-shingle leg rides the same native rolling
+    // Karp–Rabin pass as q199 (`winnowfp` with window w=1 emits every
+    // per-position 8-gram hash, sorted — element 1 IS the min): one
+    // in-row O(n) pass per doc, no shingle explode, no per-position
+    // md5 (the round-8 q199 discipline applied here; was 3.4 s
+    // in-suite for an exploded md5-per-position aggregation). Docs
+    // shorter than 8 chars have no 8-gram and fingerprint NULL —
+    // mirrored in the oracle.
+    "q27_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("exact_fp"),
+        expr("array_min(winnowfp(text, 8, 1))").as("min_shingle_fp"))),
 
     // ---- BIGRAM-LM SURPRISAL quality filter: score each doc by how
     // predictable its word sequence is under the corpus's own bigram
@@ -1262,15 +1264,15 @@ object TextQueries {
         |ORDER BY lift DESC, w1 ASC, w2 ASC
         |LIMIT 20""".stripMargin,
 
+    // min-shingle hash = the winnowfp rolling recurrence replayed
+    // positionally (same nested mod-steps as q199's oracle)
     "q27_fingerprint" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, p, 8) AS sh
-        |  FROM (SELECT doc_id, text,
-        |      unnest(generate_series(1, greatest(length(text)-7, 1))) AS p
-        |    FROM documents)),
-        |minsh AS (SELECT doc_id, min(md5(sh)) AS min_shingle_fp
-        |  FROM sh GROUP BY doc_id)
-        |SELECT d.doc_id, md5(d.text) AS exact_fp, m.min_shingle_fp
-        |FROM documents d JOIN minsh m ON d.doc_id = m.doc_id""".stripMargin,
+      s"""SELECT doc_id, md5(text) AS exact_fp,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_min(list_transform(generate_series(1, length(text) - 7),
+        |      i -> $winnowHashSql))
+        |  ELSE NULL END AS min_shingle_fp
+        |FROM documents""".stripMargin,
 
     "q134_bigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
