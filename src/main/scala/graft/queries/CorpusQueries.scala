@@ -968,6 +968,38 @@ object CorpusQueries {
           sum(when(col("t") < col("q1") - iqr * 1.5
               || col("t") > col("q3") + iqr * 1.5, 1L).otherwise(0L))
             .as("n_tukey_outliers"))
+    }),
+
+    // ---- CORE-VOCABULARY coverage (doc typicality): what share of the
+    // corpus's top-K words (by global count, ties word-asc — the
+    // deterministic cut) does each document's distinct-word set cover?
+    // A low-coverage doc speaks a different register than the corpus —
+    // the cheap typicality signal curriculum/mixture designers pair
+    // with q26's intrinsic quality score. K = 10 here (the synthetic
+    // corpus carries ~31 types; production uses 10⁴–10⁵ against a
+    // real vocabulary — same plan). Plan shape at 100 TB: one
+    // map-combined word count, a K-row TakeOrdered heap (never a
+    // global sort), the K-row vocab BROADCAST into a semi-join against
+    // the distinct (doc, word) frame, two map-combined per-doc counts;
+    // the only corpus-grain exchanges are the (doc, word) distinct and
+    // the vocabulary count every corpus statistic here pays. Coverage
+    // ratio is integer (×1000 floor-div).
+    "q203_vocab_coverage" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(10)
+        .select(col("w"))
+      val dw = words.distinct()
+      val perDoc = dw.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct"))
+      val cov = dw.join(broadcast(vocab), Seq("w"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+      perDoc.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_distinct"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          expr("coalesce(n_covered, 0L) * 1000 div n_distinct")
+            .as("coverage_x1000"))
     })
   )
 
@@ -1673,6 +1705,22 @@ object CorpusQueries {
         |      OR t.t > q.q3 + (q.q3 - q.q1) * 1.5
         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tukey_outliers
         |FROM t JOIN q ON t.source = q.source
-        |GROUP BY t.source""".stripMargin
+        |GROUP BY t.source""".stripMargin,
+
+    "q203_vocab_coverage" ->
+      """WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM wds GROUP BY w),
+        |vocab AS (SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT 10),
+        |dw AS (SELECT DISTINCT doc_id, w FROM wds),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM dw GROUP BY doc_id),
+        |cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+        |  FROM dw JOIN vocab USING (w) GROUP BY doc_id)
+        |SELECT pd.doc_id AS doc_id, pd.n_distinct,
+        |  CAST(coalesce(cv.n_covered, 0) AS BIGINT) AS n_covered,
+        |  (coalesce(cv.n_covered, 0) * 1000) // pd.n_distinct
+        |    AS coverage_x1000
+        |FROM pd LEFT JOIN cv ON pd.doc_id = cv.doc_id""".stripMargin
   )
 }

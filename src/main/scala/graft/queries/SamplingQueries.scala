@@ -439,6 +439,32 @@ object SamplingQueries {
           sum(col("toks")).as("kept_tokens"))
     }),
 
+    // ---- TEMPERATURE-scaled mixture plan (the q99/q136 family's
+    // design-time leg): sampling weight per source ∝ src_tokens^(1/T)
+    // at T = 2 — the sqrt-reweighting large-LM data mixes use to damp
+    // dominant sources without dropping small ones. w = ⌊√tokens⌋ via
+    // one IEEE sqrt + floor (correctly-rounded, bit-identical
+    // cross-engine); planned_tokens = budget·w ÷ Σw and the
+    // over-sampling audit epochs_x1000 = planned·1000 ÷ src_tokens in
+    // pure BIGINT floor division. One map-combined per-source token
+    // sum, a 1-row Σw broadcast, in-row arithmetic — nothing here
+    // grows past source cardinality at any corpus size.
+    "q202_temperature_mixture" -> ((s, d) => {
+      val budget = 100000L
+      val src = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy(col("source")).agg(sum(col("toks")).as("src_tokens"))
+        .withColumn("w",
+          expr("CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT)"))
+      val tot = src.agg(sum(col("w")).as("sum_w"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tokens"), col("w"),
+          expr(s"$budget * w div sum_w").as("planned_tokens"),
+          expr(s"($budget * w div sum_w) * 1000 div src_tokens")
+            .as("epochs_x1000"))
+    }),
+
     // ---- shard-plan audit: hash docs into 32 output shards and report
     // the token balance per shard (balance = shard share × 32; 1.0 =
     // perfectly even). Hash-mod sharding is the only assignment that
@@ -772,6 +798,22 @@ object SamplingQueries {
         |WHERE CAST(${hashBucketSql("doc_id", 25, 1000000)} AS HUGEINT)
         |  * n.n_src * s.src_tokens < CAST(50000 AS HUGEINT) * 1000000
         |GROUP BY t.source""".stripMargin,
+
+    // sqrt is correctly rounded in IEEE (identical bits both engines);
+    // everything after the floor is BIGINT floor division
+    "q202_temperature_mixture" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS src_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, src_tokens,
+        |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w)
+        |SELECT source, src_tokens, w,
+        |  (100000 * w) // sum_w AS planned_tokens,
+        |  (((100000 * w) // sum_w) * 1000) // src_tokens AS epochs_x1000
+        |FROM w, s""".stripMargin,
 
     // bucket cap first (buckets of > cap+1 members emit no pairs),
     // then the degree cap — the exact double-filter the Spark plan runs

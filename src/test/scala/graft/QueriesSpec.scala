@@ -994,6 +994,59 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q202 temperature mixture: weights, budget split and epoch " +
+    "audit replay in memory; planned tokens never exceed the budget") {
+    val rows = SparkEntry.queries("q202_temperature_mixture")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = toks.view.mapValues(t => math.floor(math.sqrt(t.toDouble)).toLong)
+      .toMap
+    val sumW = w.values.sum
+    assert(rows.keySet == toks.keySet)
+    rows.foreach { case (s, (srcTokens, ww, planned, epochs)) =>
+      assert(srcTokens == toks(s) && ww == w(s))
+      assert(planned == 100000L * ww / sumW)
+      assert(epochs == planned * 1000 / srcTokens)
+    }
+    // floor division can only under-spend the budget
+    assert(rows.values.map(_._3).sum <= 100000L)
+    // sqrt-damping: every source's mixture share is at least its raw
+    // token share iff it is below-average-sized (the damping direction)
+    val total = toks.values.sum
+    rows.foreach { case (s, (srcTokens, _, planned, _)) =>
+      if (srcTokens.toDouble / total < 1.0 / toks.size)
+        assert(planned.toDouble / 100000 >= srcTokens.toDouble / total
+          - 0.01, s"small source $s must not lose share under T=2")
+    }
+  }
+
+  test("q203 vocab coverage: top-10 vocabulary and per-doc coverage " +
+    "replay in memory") {
+    val rows = SparkEntry.queries("q203_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val vocab = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10).map(_._1).toSet
+    assert(rows.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, ws) =>
+      val distinct = ws.distinct
+      val covered = distinct.count(vocab)
+      val (nd, nc, ratio) = rows(id)
+      assert(nd == distinct.size && nc == covered)
+      assert(ratio == covered.toLong * 1000 / distinct.size)
+    }
+  }
+
   test("q201 source quartiles: q1/med/q3 agree with an in-memory " +
     "percentile_disc replay, Tukey fence replays") {
     val rows = SparkEntry.queries("q201_source_quartiles")(spark, sf)
