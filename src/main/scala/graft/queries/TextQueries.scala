@@ -766,6 +766,33 @@ object TextQueries {
         md5(col("text").cast("binary")).as("exact_fp"),
         expr("array_min(winnowfp(text, 8, 1))").as("min_shingle_fp"))),
 
+    // ---- PII scrub (training-data redaction): count and redact email
+    // addresses and long digit runs (≥ 9 digits — phone/account/ID
+    // shaped) per document — the compliance pass every corpus release
+    // runs before training. Patterns are restricted to character
+    // classes + greedy counted repetition (no backrefs, no lookaround)
+    // so Java regex (Spark) and RE2 (DuckDB) produce IDENTICAL
+    // leftmost matches; emails redact FIRST so an address's digits
+    // can't double-count as an ID (same order both engines). Redaction
+    // is a pure map (regexp_replace is codegen'd) — no shuffle at all;
+    // output carries counts + the redacted length so the oracle proves
+    // the replacement itself, not just detection. The synthetic corpus
+    // is PII-free (all zeros corpus-wide — asserted, and the planted
+    // EdgeCasesSpec corpus proves the live path); at 100 TB this is
+    // the cheapest pass in the pipeline: one linear scan, map-only.
+    "q204_pii_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+        PiiLongNumRe, "<NUM>")
+      docs.select(col("doc_id"),
+        expr(s"size(regexp_extract_all(text, '$PiiEmailRe', 0))")
+          .cast("bigint").as("n_emails"),
+        expr(s"size(regexp_extract_all(text, '$PiiLongNumRe', 0))")
+          .cast("bigint").as("n_long_nums"),
+        length(redacted).cast("bigint").as("len_redacted"))
+    }),
+
     // ---- BIGRAM-LM SURPRISAL quality filter: score each doc by how
     // predictable its word sequence is under the corpus's own bigram
     // model — the cheap LM-likelihood proxy (a KenLM stand-in) that
@@ -850,6 +877,12 @@ object TextQueries {
         .filter(col("n_shared") >= 3)
     })
   )
+
+  // q204 PII patterns, pinned for the oracle — character classes +
+  // greedy repetition only, so Java regex and RE2 agree exactly
+  private val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val PiiLongNumRe = "[0-9]{9,}"
 
   // q199 winnowing parameters, pinned for the oracle: k-gram width,
   // window width, stop-fingerprint doc-frequency cap. (fps is distinct
@@ -1293,6 +1326,20 @@ object TextQueries {
         |  (CAST(sum(s) AS BIGINT) // count(*)) < ${SurpScale / 5}
         |    AS flagged
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // same leftmost-greedy character-class patterns; DuckDB needs the
+    // explicit 'g' flag where Spark's regexp_replace is global by
+    // default; email redacts before digit runs on both engines
+    "q204_pii_scrub" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$PiiEmailRe'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$PiiLongNumRe'))
+        |    AS BIGINT) AS n_long_nums,
+        |  CAST(length(regexp_replace(
+        |    regexp_replace(text, '$PiiEmailRe', '<EMAIL>', 'g'),
+        |    '$PiiLongNumRe', '<NUM>', 'g')) AS BIGINT) AS len_redacted
+        |FROM documents""".stripMargin,
 
     // hash lambda = the winnowfp rolling recurrence replayed
     // POSITIONALLY: k nested (acc*257 + codepoint) % (2^31-1) steps —

@@ -413,6 +413,27 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
         "char-indexed implementation would disagree here"))
   }
 
+  test("q204 PII scrub: planted emails and long digit runs are " +
+    "counted and redacted; clean text passes length-identical") {
+    val pii = "contact me at jane.doe+spam@ex-ample.org or call " +
+      "123456789012 about order 4455"
+    val clean = "no addresses and no long numbers 12345678 here"
+    val d = docsDir(Seq(
+      (1L, pii, "en", "s0", pii.length.toLong),
+      (2L, clean, "en", "s0", clean.length.toLong)))
+    val rows = SparkEntry.queries("q204_pii_scrub")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: one email, one 12-digit run (the 4-digit order id stays)
+    assert(rows(1L) == ((1L, 1L,
+      pii.replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+          "<EMAIL>")
+        .replaceAll("[0-9]{9,}", "<NUM>").length.toLong)))
+    // doc 2: 8-digit run is below the >= 9 floor; nothing redacts
+    assert(rows(2L) == ((0L, 0L, clean.length.toLong)))
+  }
+
   test("q171 empty sample: coalesce guard yields a defined zero " +
     "estimate and a defined verdict (VERDICT r7 #6)") {
     // ids whose md5 bucket (substr 13, mod 100) lands >= 50 — the
