@@ -106,4 +106,32 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val violations = df.filter(col("lev") * 2 < col("l1")).count()
     assert(violations == 0)
   }
+
+  test("groupQuantiles == naive sort replay on random groups " +
+    "(ties, constants, skew, few buckets)") {
+    import spark.implicits._
+    // small value domain forces heavy ties; tiny bucket count forces
+    // multi-value target buckets; group 1 is made constant-valued to
+    // hit the degenerate lo == hi range
+    val rowsGen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L)))
+    val ps = Seq(0.1 -> "p10", 0.25 -> "p25", 0.5 -> "p50",
+      0.75 -> "p75", 1.0 -> "p100")
+    samples(rowsGen, 5).foreach { rows0 =>
+      val rows = rows0.map { case (k, v) => (k, if (k == 1L) 7L else v) }
+      val df = rows.toDF("k", "v")
+      val got = graft.operators.Quantile
+        .groupQuantiles(df, "k", "v", ps, buckets = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ps.indices.map(i => r.getDouble(i + 1)))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (k, vs) =>
+        val sorted = vs.map(_._2.toDouble).sorted
+        k -> ps.map { case (p, _) =>
+          sorted(math.ceil(p * sorted.length).toInt.max(1) - 1) }
+      }
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, qs) => assert(got(k) == qs, s"group $k") }
+    }
+  }
 }
