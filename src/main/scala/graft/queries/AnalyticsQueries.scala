@@ -427,6 +427,30 @@ object AnalyticsQueries {
         .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
         .withColumn("observed", col("n").isNotNull)
         .drop("n")
+    }),
+
+    // ---- REPEAT-ORDER survival curve (discrete hazard): for each
+    // order index k, how many customers reached a k-th order (at_risk)
+    // and how many of those went on to a (k+1)-th (continued) — the
+    // Kaplan–Meier-shaped retention-by-depth read next to q42's
+    // time-based cohort grid (that one buckets by calendar month; this
+    // one by ordinal engagement depth, the curve a lifecycle model is
+    // fit to). hazard_ppm = continued·1e6 ÷ at_risk in pure BIGINT
+    // floor division (both operands non-negative, so Spark div and
+    // DuckDB // agree). Plan: one per-customer count, sequence+explode
+    // to (customer, k) — Σ rows = |orders|, linear — and a map-combined
+    // group on k whose output is max-order-count rows. No window, no
+    // sort; at 100 TB the only exchange is the per-customer count every
+    // retention statistic pays.
+    "q207_repeat_hazard" -> ((s, d) => {
+      val m = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("m"))
+      m.select(explode(expr("sequence(1L, m)")).as("k"), col("m"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("at_risk"),
+          sum(when(col("m") > col("k"), 1L).otherwise(0L)).as("continued"))
+        .select(col("k"), col("at_risk"), col("continued"),
+          expr("continued * 1000000 div at_risk").as("hazard_ppm"))
     })
   )
 
@@ -684,6 +708,17 @@ object AnalyticsQueries {
         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
         |UNION ALL
         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val
-        |FROM wide""".stripMargin
+        |FROM wide""".stripMargin,
+
+    "q207_repeat_hazard" ->
+      """WITH m AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |e AS (SELECT unnest(generate_series(1, m)) AS k, m FROM m)
+        |SELECT k, CAST(count(*) AS BIGINT) AS at_risk,
+        |  CAST(sum(CASE WHEN m > k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS continued,
+        |  (CAST(sum(CASE WHEN m > k THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS hazard_ppm
+        |FROM e GROUP BY k""".stripMargin
   )
 }

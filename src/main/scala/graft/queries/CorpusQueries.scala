@@ -1000,6 +1000,129 @@ object CorpusQueries {
           coalesce(col("n_covered"), lit(0L)).as("n_covered"),
           expr("coalesce(n_covered, 0L) * 1000 div n_distinct")
             .as("coverage_x1000"))
+    }),
+
+    // ---- SOURCE-vs-CORPUS unigram divergence (total variation
+    // distance): TVD_s = ½·Σ_w |c_sw/n_s − c_w/N| per source — the
+    // mixture designer's "which strata speak a different language than
+    // the blend" audit next to q137's batch-drift gate (that one tests
+    // a 64-bucket sketch against a 1-pp threshold; this reports the
+    // exact word-grain statistic per source). Cross-multiplied to
+    // integers like q137: per-word term |c_sw·N − c_w·n_s|, summed in
+    // DECIMAL(18,0) products so no long ever overflows (each operand is
+    // a token count; the 36-digit product headroom covers any corpus
+    // whose count pairs stay under 10^18 each). Absent words need no
+    // outer join: Σ over the FULL vocabulary equals
+    // Σ_{w: c_sw>0} (|c_sw·N − c_w·n_s| − c_w·n_s) + n_s·N, because an
+    // absent word contributes exactly c_w·n_s and Σ_all c_w = N. Plan:
+    // one (source, word) count (the only corpus-grain exchange), word
+    // totals re-aggregated from those partials (never from raw tokens),
+    // a word-grain join of the two count frames, and source/corpus
+    // totals broadcast — at 100 TB nothing wider than the vocabulary
+    // ever shuffles twice. tvd_ppm = 0 ⟺ identical distribution;
+    // 1e6 ⟺ disjoint vocabulary.
+    "q205_source_divergence" -> ((s, d) => {
+      def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val wt = sw.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
+      val st = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val tot = sw.agg(sum(col("c")).as("nn"))
+      sw.join(wt, "tok")
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("ns"), col("nn"))
+        .agg(sum(abs(d18(col("c")) * d18(col("nn"))
+            - d18(col("cw")) * d18(col("ns")))
+          - d18(col("cw")) * d18(col("ns"))).as("part"))
+        .select(col("source"), col("ns").as("n_tokens"),
+          expr("((part + CAST(ns AS DECIMAL(18,0)) * CAST(nn AS " +
+            "DECIMAL(18,0))) * 1000000) div (CAST(ns AS DECIMAL(18,0)) " +
+            "* CAST(nn AS DECIMAL(18,0)) * 2)").as("tvd_ppm"))
+    }),
+
+    // ---- per-source LENGTH CONCENTRATION (Gini coefficient of doc
+    // token counts): q201 reads the quartile profile, this reads the
+    // inequality — a source whose token mass concentrates in a few
+    // giant docs packs (q110) and samples (q93) very differently from
+    // an even one at the same total. Computed WITHOUT a per-source
+    // sort window (20 source keys over a corpus-sized input is exactly
+    // the single-reducer window PlanReport flags): token counts are
+    // small integers, so the (source, toks) HISTOGRAM is tiny, and the
+    // mean-absolute-difference identity on the value-sorted histogram
+    //   Σ_{i,j} |x_i − x_j| = 2·Σ_v c_v·(v·C_<v − S_<v)
+    // (C_<v / S_<v = count/sum of values strictly below v) needs only
+    // two histogram-grain running sums — both through Prefix.runningSum,
+    // the two-phase prefix sum that never serializes a corpus through
+    // one reducer. gini_ppm = Σ|x_i−x_j|·1e6 div (2·n·Σx), all exact
+    // integers (bounded by n²·max_toks·1e6 — switch the products to the
+    // q205 DECIMAL discipline past ~10^9 docs per source).
+    "q208_length_gini" -> ((s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cv"))
+        .withColumn("sv", col("toks") * col("cv"))
+      val c1 = graft.operators.Prefix.runningSum(
+        hist, "source", "toks", "cv", "cum_c")
+      val c2 = graft.operators.Prefix.runningSum(
+        c1, "source", "toks", "sv", "cum_s")
+      c2.groupBy(col("source"))
+        .agg(sum(col("cv")).as("n_docs"), sum(col("sv")).as("sum_toks"),
+          (sum(col("cv") * (col("toks") * (col("cum_c") - col("cv"))
+            - (col("cum_s") - col("sv")))) * 2).as("md"))
+        .select(col("source"), col("n_docs"), col("sum_toks"),
+          expr("md * 1000000 div (2 * n_docs * sum_toks)").as("gini_ppm"))
+    }),
+
+    // ---- CLASSIFIER CALIBRATION audit (reliability deciles): bin the
+    // q124 fastText-shape quality score into exact score deciles and
+    // report, per bin, how often an INDEPENDENT reference signal (the
+    // q26-family lexical-diversity gate, integer form
+    // 2·uniq_tokens ≥ n_tokens) agrees — the reliability diagram a
+    // pipeline reads before trusting a learned filter's threshold at
+    // scale (a well-calibrated score is monotone in ref_ppm; a flat
+    // curve means the classifier adds nothing over its prior). Decile
+    // thresholds come from Quantile.groupQuantiles (exact
+    // percentile_disc ranks via three map-combined aggregates — no
+    // global sort/window over the row-cardinality score frame), the
+    // 9-row threshold array broadcasts, and bin assignment is the q200
+    // "1 + #thresholds strictly below" rule — ties collapse
+    // identically in both engines. One token-grain pass computes score
+    // AND the reference counts together. All reported ratios are
+    // integer ppm / floor means.
+    "q209_calibration" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", SamplingQueries.hashBucket("tok", 1, 1024))
+        .withColumn("wt", SamplingQueries.hashBucket("b", 9, 2001) - 1000)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("uniq_tokens"))
+        .withColumn("grp", lit(1))
+      val ths = graft.operators.Quantile.groupQuantiles(
+        perDoc.withColumn("sc", col("score").cast("double")), "grp", "sc",
+        (1 to 9).map(k => (k / 10.0, s"t$k")))
+      val thArr = ths.select(
+        array((1 to 9).map(k => col(s"t$k")): _*).as("ts"))
+      perDoc.crossJoin(broadcast(thArr))
+        .select(
+          expr("size(filter(ts, t -> t < CAST(score AS DOUBLE))) + 1")
+            .as("bin"),
+          col("score"),
+          (col("uniq_tokens") * 2 >= col("n_tokens")).as("ref"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ref"), 1L).otherwise(0L)).as("n_ref_pos"),
+          sum(col("score")).as("sum_score"))
+        // sum_score is reported raw, not as a floor mean: scores can be
+        // negative, and Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors — the exact sum sidesteps the only
+        // sign-dependent arithmetic in the query
+        .select(col("bin"), col("n_docs"), col("n_ref_pos"),
+          expr("n_ref_pos * 1000000 div n_docs").as("ref_ppm"),
+          col("sum_score"))
     })
   )
 
@@ -1721,6 +1844,87 @@ object CorpusQueries {
         |  CAST(coalesce(cv.n_covered, 0) AS BIGINT) AS n_covered,
         |  (coalesce(cv.n_covered, 0) * 1000) // pd.n_distinct
         |    AS coverage_x1000
-        |FROM pd LEFT JOIN cv ON pd.doc_id = cv.doc_id""".stripMargin
+        |FROM pd LEFT JOIN cv ON pd.doc_id = cv.doc_id""".stripMargin,
+
+    // cross-multiplied TVD in HUGEINT (DuckDB's native exact path for
+    // the DECIMAL(18,0) products Spark uses); absent-word closed form
+    // as in the Spark plan: Σ_present (|c·N − cw·ns| − cw·ns) + ns·N
+    "q205_source_divergence" ->
+      """WITH sw AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+        |  FROM sw GROUP BY source, tok),
+        |wt AS (SELECT tok, CAST(sum(c) AS HUGEINT) AS cw FROM c
+        |  GROUP BY tok),
+        |st AS (SELECT source, CAST(sum(c) AS HUGEINT) AS ns FROM c
+        |  GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS HUGEINT) AS nn FROM c),
+        |p AS (SELECT c.source, st.ns, tot.nn,
+        |    sum(abs(c.c * tot.nn - wt.cw * st.ns) - wt.cw * st.ns)
+        |      AS part
+        |  FROM c JOIN wt USING (tok) JOIN st ON c.source = st.source,
+        |    tot
+        |  GROUP BY c.source, st.ns, tot.nn)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |  CAST(((part + ns * nn) * 1000000) // (ns * nn * 2) AS BIGINT)
+        |    AS tvd_ppm
+        |FROM p""".stripMargin,
+
+    // oracle replays the mean-absolute-difference identity with plain
+    // windows over the (source, toks) histogram (oracle clarity over
+    // oracle speed — the engine side carries the scale discipline)
+    "q208_length_gini" ->
+      """WITH x AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |h AS (SELECT source, toks, CAST(count(*) AS BIGINT) AS cv,
+        |    CAST(toks * count(*) AS BIGINT) AS sv
+        |  FROM x GROUP BY source, toks),
+        |w AS (SELECT source, toks, cv, sv,
+        |    CAST(coalesce(sum(cv) OVER (PARTITION BY source ORDER BY toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c_lt,
+        |    CAST(coalesce(sum(sv) OVER (PARTITION BY source ORDER BY toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s_lt
+        |  FROM h)
+        |SELECT source, CAST(sum(cv) AS BIGINT) AS n_docs,
+        |  CAST(sum(sv) AS BIGINT) AS sum_toks,
+        |  CAST((CAST(sum(cv * (toks * c_lt - s_lt)) AS BIGINT) * 2
+        |      * 1000000)
+        |    // (2 * CAST(sum(cv) AS BIGINT) * CAST(sum(sv) AS BIGINT))
+        |    AS BIGINT) AS gini_ppm
+        |FROM w GROUP BY source""".stripMargin,
+
+    "q209_calibration" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fb AS (SELECT doc_id, tok,
+        |    ${SamplingQueries.hashBucketSql("tok", 1, 1024)} AS b
+        |  FROM t),
+        |fw AS (SELECT doc_id, tok,
+        |    (${SamplingQueries.hashBucketSql("b", 9, 2001)}) - 1000 AS w
+        |  FROM fb),
+        |pd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS uniq_tokens
+        |  FROM fw GROUP BY doc_id),
+        |th AS (SELECT ${(1 to 9).map(k =>
+             s"percentile_disc(0.$k) WITHIN GROUP " +
+               s"(ORDER BY CAST(score AS DOUBLE)) AS t$k")
+             .mkString(",\n  ")}
+        |  FROM pd),
+        |b AS (SELECT 1 ${(1 to 9).map(k =>
+             s"+ (CASE WHEN t$k < CAST(score AS DOUBLE) THEN 1 ELSE 0 " +
+               "END)").mkString(" ")} AS bin,
+        |    score, (uniq_tokens * 2 >= n_tokens) AS ref
+        |  FROM pd, th)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ref_pos,
+        |  (CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS ref_ppm,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM b GROUP BY bin""".stripMargin
   )
 }

@@ -465,6 +465,59 @@ object SamplingQueries {
             .as("epochs_x1000"))
     }),
 
+    // ---- CAPPED FAIR-SHARE allocation (waterfilling): split a global
+    // token budget B = ⌊total/2⌋ EQUALLY across sources except that no
+    // source can supply more than it has — the allocation q202's
+    // temperature mixture ignores (∝-weights can plan more tokens from
+    // a stratum than exist; this operator is the feasibility leg). The
+    // classic waterfill has a CLOSED FORM over the cap-ascending order:
+    // at row i (slots = n−i+1 sources remaining, rem = B − Σ caps of
+    // already-saturated sources), source i saturates iff
+    // cap_i·slots_i ≤ rem_i — and that predicate is provably
+    // prefix-closed in cap order (cap_j ≤ cap_i and each skipped cap
+    // ≥ cap_j imply cap_j·slots_j ≤ rem_j), so ONE prefix sum finds
+    // the waterline: the first non-saturated row fixes
+    // level = rem div slots, and the ⌊⌋ remainder is handed out as +1
+    // to the first (rem mod slots) unsaturated sources in order —
+    // fully deterministic, Σ alloc = min(B, Σ cap) exactly. All
+    // arithmetic is BIGINT. Scale: everything after the per-source
+    // token sum runs at SOURCE cardinality (a 20-row global window
+    // here, stratum-count rows at 100 TB — planner-scale by
+    // construction, the same posture as q202/q63).
+    "q206_budget_waterfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val caps = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy(col("source")).agg(sum(col("toks")).as("cap_tokens"))
+      val ord = Window.orderBy(col("cap_tokens").asc, col("source").asc)
+      val ranked = caps
+        .withColumn("i", row_number().over(ord).cast("bigint"))
+        .withColumn("prefix", coalesce(sum(col("cap_tokens")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = caps.agg(sum(col("cap_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_src"))
+      val st = ranked.crossJoin(broadcast(tot))
+        .withColumn("slots", col("n_src") - col("i") + 1)
+        .withColumn("rem", expr("total_tokens div 2") - col("prefix"))
+        .withColumn("sat", col("cap_tokens") * col("slots") <= col("rem"))
+      // the waterline row: min-i unsaturated (agg over an EMPTY frame
+      // when B >= total yields NULLs; every row is then saturated and
+      // the otherwise-branch is never taken)
+      val cut = st.filter(!col("sat"))
+        .agg(min(col("i")).as("cut_i"),
+          min_by(col("rem"), col("i")).as("rem_cut"),
+          min_by(col("slots"), col("i")).as("slots_cut"))
+      st.crossJoin(broadcast(cut))
+        .select(col("source"), col("cap_tokens"),
+          when(col("sat"), col("cap_tokens"))
+            .otherwise(expr("rem_cut div slots_cut")
+              + when(col("i") - col("cut_i") < expr("rem_cut % slots_cut"),
+                  1L).otherwise(0L))
+            .as("alloc_tokens"),
+          col("sat").as("saturated"))
+    }),
+
     // ---- shard-plan audit: hash docs into 32 output shards and report
     // the token balance per shard (balance = shard share × 32; 1.0 =
     // perfectly even). Hash-mod sharding is the only assignment that
@@ -814,6 +867,42 @@ object SamplingQueries {
         |  (100000 * w) // sum_w AS planned_tokens,
         |  (((100000 * w) // sum_w) * 1000) // src_tokens AS epochs_x1000
         |FROM w, s""".stripMargin,
+
+    // same closed-form waterline: saturation predicate on the
+    // cap-ascending prefix sum, floor level + first-(rem mod slots)
+    // remainder hand-out. All operands non-negative, so // and div
+    // agree.
+    "q206_budget_waterfill" ->
+      """WITH caps AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS cap_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(cap_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_src FROM caps),
+        |r AS (SELECT source, cap_tokens,
+        |    CAST(row_number() OVER (ORDER BY cap_tokens, source)
+        |      AS BIGINT) AS i,
+        |    CAST(coalesce(sum(cap_tokens) OVER (
+        |      ORDER BY cap_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix
+        |  FROM caps),
+        |st AS (SELECT r.source, r.cap_tokens, r.i,
+        |    n_src - i + 1 AS slots,
+        |    (total_tokens // 2) - prefix AS rem,
+        |    cap_tokens * (n_src - i + 1)
+        |      <= (total_tokens // 2) - prefix AS sat
+        |  FROM r, tot),
+        |cut AS (SELECT min(i) AS cut_i, min_by(rem, i) AS rem_cut,
+        |    min_by(slots, i) AS slots_cut
+        |  FROM st WHERE NOT sat)
+        |SELECT source, cap_tokens,
+        |  CAST(CASE WHEN sat THEN cap_tokens
+        |    ELSE rem_cut // slots_cut
+        |      + (CASE WHEN i - cut_i < rem_cut % slots_cut
+        |         THEN 1 ELSE 0 END) END AS BIGINT) AS alloc_tokens,
+        |  sat AS saturated
+        |FROM st, cut""".stripMargin,
 
     // bucket cap first (buckets of > cap+1 members emit no pairs),
     // then the degree cap — the exact double-filter the Spark plan runs

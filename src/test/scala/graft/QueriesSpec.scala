@@ -1138,4 +1138,157 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       (cumK, cumT)
     }
   }
+
+  test("q205 source divergence: equals a naive BigInt TVD replay and " +
+    "stays in [0, 1e6]") {
+    val out = SparkEntry.queries("q205_source_divergence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sw = docs.flatMap { case (s, t) => t.split(" ", -1).map((s, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw = sw.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    val ns = sw.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val nn = BigInt(sw.values.sum)
+    val expected = ns.keys.toSeq.sorted.map { s =>
+      val nsB = BigInt(ns(s))
+      val part = sw.collect { case ((`s`, w), c) =>
+        (BigInt(c) * nn - BigInt(cw(w)) * nsB).abs - BigInt(cw(w)) * nsB
+      }.sum
+      val ppm = ((part + nsB * nn) * 1000000) / (nsB * nn * 2)
+      (s, ns(s), ppm.toLong)
+    }
+    assert(out.toSeq == expected)
+    out.foreach { case (_, _, ppm) => assert(ppm >= 0 && ppm <= 1000000) }
+  }
+
+  test("q206 waterfill: budget conserved, caps respected, unsaturated " +
+    "allocations equal within 1, matches a sequential simulation") {
+    val out = SparkEntry.queries("q206_budget_waterfill")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val caps = out.map(t => (t._1, t._2)).sortBy(t => (t._2, t._1))
+    val total = caps.map(_._2).sum
+    val budget = total / 2
+    assert(out.map(_._3).sum == math.min(budget, total),
+      "allocation must exhaust exactly the feasible budget")
+    out.foreach { case (s, cap, alloc, sat) =>
+      assert(alloc <= cap, s"$s over-allocated")
+      // saturated ⇒ the full cap was taken (the converse can also hold
+      // for an unsaturated source whose fair share lands exactly on its
+      // cap via the +1 remainder — the flag still reports the waterline
+      // side it was decided on)
+      assert(!sat || alloc == cap, s"$s saturated but not at cap")
+    }
+    val unsat = out.filter(!_._4).map(_._3)
+    if (unsat.nonEmpty)
+      assert(unsat.max - unsat.min <= 1,
+        "fair shares of unsaturated sources must be equal within 1")
+    // sequential simulation: walk cap-ascending, saturate while the
+    // equal share exceeds the cap, then split the remainder
+    var rem = budget
+    var slots = caps.length.toLong
+    val sim = scala.collection.mutable.Map.empty[String, Long]
+    var leveled = List.empty[String]
+    caps.foreach { case (s, cap) =>
+      if (sim.size + leveled.length < caps.length) {
+        if (leveled.isEmpty && cap * slots <= rem) {
+          sim(s) = cap; rem -= cap; slots -= 1
+        } else leveled ::= s
+      }
+    }
+    val ordered = leveled.reverse
+    ordered.zipWithIndex.foreach { case (s, j) =>
+      sim(s) = rem / ordered.length +
+        (if (j < rem % ordered.length) 1L else 0L)
+    }
+    out.foreach { case (s, _, alloc, _) => assert(alloc == sim(s), s) }
+  }
+
+  test("q207 repeat hazard: equals the naive per-depth count replay " +
+    "and at_risk telescopes") {
+    val out = SparkEntry.queries("q207_repeat_hazard")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val m = Tables.orders(spark, sf).groupBy(col("o_custkey")).count()
+      .collect().map(_.getLong(1))
+    val kMax = m.max
+    val expected = (1L to kMax).map { k =>
+      val atRisk = m.count(_ >= k).toLong
+      val cont = m.count(_ > k).toLong
+      (k, atRisk, cont, cont * 1000000 / atRisk)
+    }
+    assert(out.toSeq == expected)
+    // at_risk at k+1 IS continued at k (the survival identity)
+    out.sliding(2).foreach {
+      case Array((_, _, c, _), (_, ar, _, _)) => assert(ar == c)
+      case _ =>
+    }
+  }
+
+  test("q208 length gini: equals the rank-formula replay, zero for " +
+    "constant lengths, bounded below 1e6") {
+    val out = SparkEntry.queries("q208_length_gini")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val bySrc = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = bySrc.keys.toSeq.sorted.map { s =>
+      val xs = bySrc(s)
+      val n = xs.length.toLong
+      val sum = xs.sum
+      // Σ_{i,j} |x_i − x_j| = 2·Σ_i (2i − n − 1)·x_(i)  (1-based ranks)
+      val md = 2 * xs.zipWithIndex.map { case (x, i0) =>
+        (2 * (i0 + 1L) - n - 1) * x
+      }.sum
+      (s, n, sum, md * 1000000 / (2 * n * sum))
+    }
+    assert(out.toSeq == expected)
+    out.foreach { case (_, _, _, g) => assert(g >= 0 && g < 1000000) }
+  }
+
+  test("q209 calibration: bins partition the corpus, counts match a " +
+    "full md5 replay of score, thresholds, and the reference gate") {
+    val out = SparkEntry.queries("q209_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hb(id: String, off: Int, mod: Int): Long =
+      java.lang.Long.parseLong(md5hex(id).substring(off - 1, off + 7), 16) % mod
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val score = toks.map(t => hb(hb(t, 1, 1024).toString, 9, 2001) - 1000).sum
+        (score, toks.length.toLong, toks.distinct.length.toLong)
+      }
+    val sorted = perDoc.map(_._1).sorted
+    val n = sorted.length
+    val ths = (1 to 9).map(k =>
+      sorted(math.ceil(k / 10.0 * n).toLong.max(1L).toInt - 1))
+    val naive = perDoc.map { case (score, nt, ut) =>
+      (1 + ths.count(_ < score), ut * 2 >= nt, score)
+    }.groupBy(_._1).view.mapValues { g =>
+      val pos = g.count(_._2).toLong
+      (g.length.toLong, pos, pos * 1000000 / g.length,
+        g.map(_._3).sum)
+    }.toMap
+    assert(out.map(_._2).sum == n.toLong, "bins must partition the corpus")
+    out.foreach { case (bin, nd, np, ppm, ss) =>
+      val (en, ep, eppm, ess) = naive(bin)
+      assert(nd == en && np == ep && ppm == eppm && ss == ess, s"bin $bin")
+    }
+  }
 }
