@@ -43,7 +43,20 @@ object Prefix {
     */
   def runningSum(df: DataFrame, keyCol: String, orderCol: String,
                  valueCol: String, outCol: String,
-                 numChunks: Int = 0): DataFrame = {
+                 numChunks: Int = 0): DataFrame =
+    runningSums(df, keyCol, orderCol, Seq(valueCol -> outCol), numChunks)
+
+  /** Multi-column form: inclusive running sums of every `(valueCol,
+    * outCol)` pair in ONE two-phase pass — one quantile sketch, one
+    * partials aggregate, one bounded window — instead of re-scanning
+    * the frame per column (q208 needs both the count and the
+    * value-mass prefix of the same histogram; two single-column calls
+    * would double every phase).
+    */
+  def runningSums(df: DataFrame, keyCol: String, orderCol: String,
+                  cols: Seq[(String, String)],
+                  numChunks: Int = 0): DataFrame = {
+    require(cols.nonEmpty, "Prefix.runningSums: no value columns")
     val spark = df.sparkSession
     val chunks =
       if (numChunks > 0) numChunks
@@ -73,9 +86,12 @@ object Prefix {
     val maxPartials = spark.conf
       .getOption("spark.graft.prefix.maxPartials").map(_.toInt)
       .getOrElse(1000000)
+    val sumAggs = cols.zipWithIndex.map { case ((v, _), i) =>
+      sum(col(v).cast("bigint")).as(s"__t$i")
+    }
     val partialRows = chunked
       .groupBy(col(keyCol), col("__chunk"))
-      .agg(sum(col(valueCol).cast("bigint")).as("__t"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
       .limit(maxPartials + 1)
       .collect()
     require(partialRows.length <= maxPartials,
@@ -85,36 +101,47 @@ object Prefix {
         "Use a plain Window.partitionBy per-key running sum instead — " +
         "at this cardinality it parallelizes without serializing any " +
         "key through one task — or raise spark.graft.prefix.maxPartials.")
-    val partials = partialRows
-      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    val partials = partialRows.map(r =>
+      (r.get(0), r.getInt(1), cols.indices.map(i => r.getLong(2 + i))))
     // phase 3: offset of (key, chunk) = total of the key's EARLIER chunks
     val offsets = partials.groupBy(_._1).iterator.flatMap {
       case (key, rows) =>
         val sorted = rows.sortBy(_._2)
-        val cums = sorted.scanLeft(0L)(_ + _._3)
-        sorted.zip(cums).map { case ((_, chunk, _), off) =>
-          (key, chunk, off)
+        val cums = sorted.scanLeft(Vector.fill(cols.length)(0L)) {
+          (acc, r) => acc.lazyZip(r._3).map(_ + _)
+        }
+        sorted.zip(cums).map { case ((_, chunk, _), offs) =>
+          (key, chunk, offs)
         }
     }.toSeq
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets.map {
-        case (k, c, o) => org.apache.spark.sql.Row(k, c, o)
+        case (k, c, os) => org.apache.spark.sql.Row(k +: c +: os: _*)
       }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("__k",
-          df.schema(keyCol).dataType),
+          df.schema(keyCol).dataType) +:
         org.apache.spark.sql.types.StructField("__chunk2",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__off",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        cols.indices.map(i =>
+          org.apache.spark.sql.types.StructField(s"__off$i",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     // phase 4: bounded within-chunk window + broadcast offset lookup
     val w = Window.partitionBy(col(keyCol), col("__chunk"))
       .orderBy(col(orderCol))
-    chunked
-      .withColumn("__local", sum(col(valueCol).cast("bigint")).over(w))
+    val withLocals = cols.zipWithIndex.foldLeft(chunked) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__local$i", sum(col(v).cast("bigint")).over(w))
+    }
+    val joined = withLocals
       .join(broadcast(offDf), col(keyCol) <=> col("__k")
         && col("__chunk") === col("__chunk2"), "left")
-      .withColumn(outCol, col("__local") + coalesce(col("__off"), lit(0L)))
-      .drop("__chunk", "__local", "__k", "__chunk2", "__off")
+    val withOuts = cols.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out,
+          col(s"__local$i") + coalesce(col(s"__off$i"), lit(0L)))
+    }
+    withOuts.drop("__chunk" +: "__k" +: "__chunk2" +:
+      cols.indices.flatMap(i => Seq(s"__local$i", s"__off$i")): _*)
   }
 }

@@ -1064,10 +1064,8 @@ object CorpusQueries {
           size(split(col("text"), " ")).cast("bigint").as("toks"))
         .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cv"))
         .withColumn("sv", col("toks") * col("cv"))
-      val c1 = graft.operators.Prefix.runningSum(
-        hist, "source", "toks", "cv", "cum_c")
-      val c2 = graft.operators.Prefix.runningSum(
-        c1, "source", "toks", "sv", "cum_s")
+      val c2 = graft.operators.Prefix.runningSums(
+        hist, "source", "toks", Seq("cv" -> "cum_c", "sv" -> "cum_s"))
       c2.groupBy(col("source"))
         .agg(sum(col("cv")).as("n_docs"), sum(col("sv")).as("sum_toks"),
           (sum(col("cv") * (col("toks") * (col("cum_c") - col("cv"))

@@ -37,6 +37,21 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("__chunk"), plan)
   }
 
+  test("runningSums: two columns in one pass equal two per-key windows") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i =>
+      (s"k${i % 5}", i, (i * 31) % 97, (i * 17) % 53))
+    val df = rows.toDF("k", "id", "v1", "v2")
+    val got = Prefix.runningSums(df, "k", "id",
+      Seq("v1" -> "c1", "v2" -> "c2"), numChunks = 8)
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+    val want = df
+      .withColumn("c1", sum(col("v1").cast("bigint")).over(w))
+      .withColumn("c2", sum(col("v2").cast("bigint")).over(w))
+    assert(canon(got.select("k", "id", "v1", "v2", "c1", "c2"))
+      == canon(want.select("k", "id", "v1", "v2", "c1", "c2")))
+  }
+
   test("runningSum handles empty input, single row, and null keys") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long, Long)].toDF("k", "id", "v")
