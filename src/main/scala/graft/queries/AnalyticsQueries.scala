@@ -451,6 +451,75 @@ object AnalyticsQueries {
           sum(when(col("m") > col("k"), 1L).otherwise(0L)).as("continued"))
         .select(col("k"), col("at_risk"), col("continued"),
           expr("continued * 1000000 div at_risk").as("hazard_ppm"))
+    }),
+
+    // ---- CUSUM change-point detection on per-user daily activity:
+    // q156's spike gate compares one hour against its trailing window
+    // (a LEVEL test — a slow sustained drift never trips it); CUSUM
+    // accumulates every deviation from the user's own baseline and
+    // alarms when the cumulated excess crosses a threshold — the
+    // classic sequential change detector. The recurrence
+    // S_t = max(0, S_{t−1} + dev_t) is NOT a plain prefix sum, but it
+    // has the closed form S_t = P_t − min(0, min_{j≤t} P_j) over the
+    // deviation prefix sums P — two window passes, no sequential
+    // driver loop. INTEGER-EXACT throughout: deviations are scaled by
+    // the user's observed-day count (dev = x·days − total, i.e.
+    // (x − mean)·days), so the baseline mean never becomes a double;
+    // alarm when S > 5·total (= 5 mean-days of excess in the same
+    // scaling). Windows partition on user_id — high-cardinality by
+    // design (the q156/q165 precedent), each partition a user's short
+    // day series. At 100 TB: one (user, day) count, two
+    // user-partitioned windows; nothing global.
+    "q210_cusum_change" -> ((s, d) => {
+      val day = 86400000000L
+      val daily = Tables.events(s, d)
+        .select(col("user_id"),
+          (col("ts_us") - (col("ts_us") % day)).as("day_us"))
+        .groupBy(col("user_id"), col("day_us"))
+        .agg(count(lit(1)).as("x"))
+      val base = daily.groupBy(col("user_id"))
+        .agg(sum(col("x")).as("total"), count(lit(1)).as("days"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_us"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.join(base, "user_id")
+        .withColumn("p", sum(col("x") * col("days") - col("total")).over(w))
+        .withColumn("cusum",
+          col("p") - least(lit(0L), min(col("p")).over(w)))
+        .select(col("user_id"), col("day_us"), col("x"), col("cusum"),
+          (col("cusum") > col("total") * 5).as("alarm"))
+    }),
+
+    // ---- 2×2 chi-square independence gate (the A/B decision the
+    // drift audits stop short of): per event type, does the
+    // high-value-outcome rate differ between the two user cohorts
+    // (user_id parity — the deterministic stand-in for an experiment
+    // assignment)? Decision χ² > 3.84 (α = 0.05, df = 1) evaluated
+    // ENTIRELY in cross-multiplied integers — 100·N·(ad−bc)² >
+    // 384·(a+b)(c+d)(a+c)(b+d) — in DECIMAL(18,0) products (the
+    // q137/q205 discipline; DuckDB replays in HUGEINT), so no libm
+    // and no division enter the verdict. One map-combined pass to 4
+    // counts per type; the test itself is free at any scale.
+    "q212_chi2_gate" -> ((s, d) => {
+      def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+      Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("seg0"),
+          (col("value") >= 50.0).as("pos"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("seg0") && col("pos"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("seg0") && !col("pos"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("seg0") && col("pos"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("seg0") && !col("pos"), 1L).otherwise(0L)).as("d"))
+        .withColumn("significant", {
+          val diff = d18(col("a")) * d18(col("d")) -
+            d18(col("b")) * d18(col("c"))
+          val n = d18(col("a") + col("b") + col("c") + col("d"))
+          val margins = d18(col("a") + col("b")) *
+            d18(col("c") + col("d")) *
+            d18(col("a") + col("c")) * d18(col("b") + col("d"))
+          lit(100).cast("decimal(18,0)") * n * diff * diff >
+            lit(384).cast("decimal(18,0)") * margins
+        })
     })
   )
 
@@ -709,6 +778,55 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val
         |FROM wide""".stripMargin,
+
+    // P = deviation prefix sum, S = P − min(0, running min of P): the
+    // max(0, S+d) recurrence in closed form — replayed with two nested
+    // windows
+    "q210_cusum_change" ->
+      """WITH t AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000)
+        |      % 86400000000) AS day_us
+        |  FROM events),
+        |daily AS (SELECT user_id, day_us, CAST(count(*) AS BIGINT) AS x
+        |  FROM t GROUP BY 1, 2),
+        |base AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS days
+        |  FROM daily GROUP BY user_id),
+        |p AS (SELECT d.user_id, d.day_us, d.x, b.total,
+        |    CAST(sum(d.x * b.days - b.total) OVER (
+        |      PARTITION BY d.user_id ORDER BY d.day_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p
+        |  FROM daily d JOIN base b ON d.user_id = b.user_id),
+        |s AS (SELECT user_id, day_us, x, total,
+        |    p - least(CAST(0 AS BIGINT), CAST(min(p) OVER (
+        |      PARTITION BY user_id ORDER BY day_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT)) AS cusum
+        |  FROM p)
+        |SELECT user_id, day_us, x, CAST(cusum AS BIGINT) AS cusum,
+        |  cusum > total * 5 AS alarm
+        |FROM s""".stripMargin,
+
+    // HUGEINT replay of the DECIMAL(18,0) cross-multiplied chi-square
+    "q212_chi2_gate" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT value >= 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND value >= 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND NOT value >= 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, a, b, c, d,
+        |  100 * CAST(a + b + c + d AS HUGEINT)
+        |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |    > 384 * CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |    AS significant
+        |FROM g""".stripMargin,
 
     "q207_repeat_hazard" ->
       """WITH m AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS m

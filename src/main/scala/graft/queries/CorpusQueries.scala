@@ -1121,6 +1121,34 @@ object CorpusQueries {
         .select(col("bin"), col("n_docs"), col("n_ref_pos"),
           expr("n_ref_pos * 1000000 div n_docs").as("ref_ppm"),
           col("sum_score"))
+    }),
+
+    // ---- frequency-OCTAVE spectrum (Zipf's-law audit, the rank-free
+    // form): q200 reads vocabulary GROWTH over the corpus; this reads
+    // the frequency DISTRIBUTION of the finished vocabulary — types
+    // per ⌊log2(count)⌋ octave. Under Zipf with exponent α the type
+    // count per octave contracts by ≈2^(1/α) octave-over-octave, so
+    // the reported ratio_x1000 between consecutive PRESENT octaves is
+    // the slope diagnostic (a template corpus shows a hollow spectrum;
+    // natural text a smooth geometric decay). Rank-free on purpose:
+    // assigning Zipf RANKS needs a vocabulary-wide sort/row_number,
+    // but the octave is a per-row bit-length (the q195
+    // length(bin(c))−1 idiom — no libm), so the whole audit is one
+    // word count plus a map-combined octave fold; the lead() window
+    // rides the ≤64-row octave frame. Integer-exact throughout;
+    // ratio_x1000 is NULL on the last present octave (both engines).
+    "q213_zipf_octaves" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      wc.select((length(expr("bin(c)")) - 1).cast("bigint").as("octave"),
+          col("c"))
+        .groupBy(col("octave"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("occ"))
+        .withColumn("ratio_x1000",
+          expr("n_types * 1000 div lead(n_types) " +
+            "over (order by octave)"))
     })
   )
 
@@ -1923,6 +1951,22 @@ object CorpusQueries {
         |  (CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000) // count(*) AS ref_ppm,
         |  CAST(sum(score) AS BIGINT) AS sum_score
-        |FROM b GROUP BY bin""".stripMargin
+        |FROM b GROUP BY bin""".stripMargin,
+
+    // same bit-length octave; NULL // NULL stays NULL on the last row
+    "q213_zipf_octaves" ->
+      """WITH wc AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wc
+        |  GROUP BY w),
+        |o AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS octave, c
+        |  FROM c),
+        |agg AS (SELECT octave, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS occ
+        |  FROM o GROUP BY octave)
+        |SELECT octave, n_types, occ,
+        |  (n_types * 1000) // lead(n_types) OVER (ORDER BY octave)
+        |    AS ratio_x1000
+        |FROM agg""".stripMargin
   )
 }

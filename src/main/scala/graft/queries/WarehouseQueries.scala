@@ -847,6 +847,32 @@ object WarehouseQueries {
           max(col("med")).as("med"), max(col("mad")).as("mad"),
           sum(when(col("ad") * 10000 > col("mad") * 44478, 1L)
             .otherwise(0L)).as("n_outliers"))
+    }),
+
+    // ---- WINSORIZED robust mean (the action q197's detector stops
+    // short of): clip o_totalprice to its stratum's exact [p05, p95]
+    // and report the clipped counts + winsorized sum — the standard
+    // tail-taming transform before a mean is trusted. Both fences come
+    // from ONE Quantile.groupQuantiles refinement (rank-exact
+    // percentile_disc data values, three map-combined aggregates — no
+    // sort, no window) broadcast back over a single linear scan.
+    // Determinism: fences are actual 2-decimal data values,
+    // least/greatest is bit-exact IEEE, and the winsorized sum follows
+    // the house round(sum-of-2-decimals, 2) rule (q02 precedent).
+    "q211_winsorized_mean" -> ((s, d) => {
+      val vals = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("v"))
+      val qs = graft.operators.Quantile.groupQuantiles(
+        vals, "grp", "v", Seq(0.05 -> "p05", 0.95 -> "p95"))
+      vals.join(broadcast(qs), "grp")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          sum(when(col("v") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+          round(sum(least(greatest(col("v"), col("p05")), col("p95"))), 2)
+            .as("wsum"))
     })
   )
 
@@ -1287,6 +1313,23 @@ object WarehouseQueries {
         |  CAST(coalesce(sum(CASE WHEN dev.ad * 10000 > mad.mad * 44478
         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.grp = mad.grp
-        |GROUP BY dev.grp""".stripMargin
+        |GROUP BY dev.grp""".stripMargin,
+
+    "q211_winsorized_mean" ->
+      """WITH v AS (SELECT o_orderpriority AS grp, o_totalprice AS v
+        |  FROM orders),
+        |q AS (SELECT grp,
+        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS p05,
+        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS p95
+        |  FROM v GROUP BY grp)
+        |SELECT v.grp AS grp, count(*) AS n_rows,
+        |  max(q.p05) AS p05, max(q.p95) AS p95,
+        |  CAST(sum(CASE WHEN v.v < q.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN v.v > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  round(sum(least(greatest(v.v, q.p05), q.p95)), 2) AS wsum
+        |FROM v JOIN q USING (grp)
+        |GROUP BY v.grp""".stripMargin
   )
 }

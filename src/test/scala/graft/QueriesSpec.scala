@@ -1291,4 +1291,106 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(nd == en && np == ep && ppm == eppm && ss == ess, s"bin $bin")
     }
   }
+
+  test("q210 cusum: equals the sequential max(0, S+dev) recurrence " +
+    "per user") {
+    val out = SparkEntry.queries("q210_cusum_change")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val day = 86400000000L
+    val daily = Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("ts_us") - (col("ts_us") % day)).as("day_us"))
+      .groupBy(col("user_id"), col("day_us")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.size == daily.length)
+    daily.groupBy(_._1).foreach { case (u, rows) =>
+      val series = rows.sortBy(_._2)
+      val total = series.map(_._3).sum
+      val days = series.length.toLong
+      var s = 0L
+      series.foreach { case (_, d, x) =>
+        s = math.max(0L, s + (x * days - total))
+        val (gx, gc, ga) = out((u, d))
+        assert(gx == x && gc == s && ga == (s > 5 * total),
+          s"user $u day $d")
+      }
+    }
+  }
+
+  test("q211 winsorized mean: fences are rank-exact data values and " +
+    "the clipped ledger closes") {
+    val out = SparkEntry.queries("q211_winsorized_mean")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    val byGrp = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.keySet == byGrp.keySet)
+    byGrp.foreach { case (g, xs) =>
+      val n = xs.length
+      def disc(p: Double) = xs(math.ceil(p * n).toLong.max(1L).toInt - 1)
+      val (p05, p95) = (disc(0.05), disc(0.95))
+      val (gn, g05, g95, glo, ghi, gsum) = out(g)
+      assert(gn == n.toLong && g05 == p05 && g95 == p95)
+      assert(glo == xs.count(_ < p05).toLong)
+      assert(ghi == xs.count(_ > p95).toLong)
+      val wsum = xs.map(x => math.min(math.max(x, p05), p95)).sum
+      assert(math.abs(gsum - wsum) < 0.5,
+        s"$g winsorized sum off: $gsum vs $wsum")
+      // clipping can only pull the sum inward
+      assert(glo + ghi < n, "fences cannot clip everything")
+    }
+  }
+
+  test("q212 chi2 gate: verdict equals the exact BigInt cross-" +
+    "multiplied rule on the reported counts") {
+    val out = SparkEntry.queries("q212_chi2_gate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(a, b, c, d) = (1 to 4).map(i => BigInt(r.getLong(i)))
+      val lhs = 100 * (a + b + c + d) * (a * d - b * c).pow(2)
+      val rhs = 384 * (a + b) * (c + d) * (a + c) * (b + d)
+      assert(r.getBoolean(5) == (lhs > rhs), r.toString)
+    }
+    // the rule itself must fire on a real effect: a planted 2x2 with
+    // an obvious rate difference (90/10 vs 10/90 out of 200)
+    val (a, b, c, d) = (BigInt(90), BigInt(10), BigInt(10), BigInt(90))
+    assert(100 * (a + b + c + d) * (a * d - b * c).pow(2)
+      > 384 * (a + b) * (c + d) * (a + c) * (b + d))
+  }
+
+  test("q213 zipf octaves: ledger closes on types and tokens, octave " +
+    "is the bit length, ratios replay") {
+    val out = SparkEntry.queries("q213_zipf_octaves")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._1)
+    val words = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val counts = words.groupBy(identity).view.mapValues(_.length.toLong)
+    val naive = counts.values.toSeq
+      .groupBy(c => 63 - java.lang.Long.numberOfLeadingZeros(c))
+      .view.mapValues(cs => (cs.length.toLong, cs.sum)).toMap
+    assert(out.map(_._1).toSet == naive.keySet.map(_.toLong))
+    out.foreach { case (o, nt, occ, _) =>
+      val (en, eo) = naive(o.toInt)
+      assert(nt == en && occ == eo, s"octave $o")
+    }
+    assert(out.map(_._2).sum == counts.size.toLong)
+    assert(out.map(_._3).sum == words.length.toLong)
+    // ratio column: n_types(b) * 1000 div n_types(next present b)
+    out.sliding(2).foreach {
+      case Array((_, nt1, _, r1), (_, nt2, _, _)) =>
+        assert(r1.contains(nt1 * 1000 / nt2))
+      case _ =>
+    }
+    assert(out.last._4.isEmpty, "last octave has no successor")
+  }
 }
