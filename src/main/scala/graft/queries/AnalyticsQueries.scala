@@ -520,6 +520,44 @@ object AnalyticsQueries {
           lit(100).cast("decimal(18,0)") * n * diff * diff >
             lit(384).cast("decimal(18,0)") * margins
         })
+    }),
+
+    // ---- FUNNEL CONVERSION LATENCY: how long from a user's first
+    // `signup` to their first subsequent `purchase`? q43's funnel
+    // counts who converts; operations wants the latency distribution
+    // of those who do. Per-user first-event times are two conditional
+    // mins in ONE map-combined pass (no window, no self-join);
+    // converted = purchase strictly after signup; the latency
+    // distribution reduces to one row — n_signup, n_converted, and
+    // exact median/p90 of the conversion delay via
+    // Quantile.groupQuantiles (rank-exact percentile_disc values; day
+    // spans in epoch-micros are integers far below 2^53, so the
+    // double passage is exact). At 100 TB: one user-grain exchange —
+    // the same price as any per-entity funnel — then planner-scale.
+    "q215_conversion_latency" -> ((s, d) => {
+      val firsts = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts_us")))
+            .as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("first_purchase"))
+        .filter(col("first_signup").isNotNull)
+      val conv = firsts
+        .filter(col("first_purchase") > col("first_signup"))
+        .select(lit(1).as("grp"),
+          (col("first_purchase") - col("first_signup"))
+            .cast("double").as("delay"))
+      val qs = graft.operators.Quantile.groupQuantiles(
+        conv, "grp", "delay", Seq(0.5 -> "med", 0.9 -> "p90"))
+      firsts.agg(count(lit(1)).as("n_signup"),
+          sum(when(col("first_purchase") > col("first_signup"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .crossJoin(broadcast(qs))
+        .select(col("n_signup"), col("n_converted"),
+          col("med").cast("bigint").as("med_delay_us"),
+          col("p90").cast("bigint").as("p90_delay_us"))
     })
   )
 
@@ -837,6 +875,29 @@ object AnalyticsQueries {
         |    AS continued,
         |  (CAST(sum(CASE WHEN m > k THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000) // CAST(count(*) AS BIGINT) AS hazard_ppm
-        |FROM e GROUP BY k""".stripMargin
+        |FROM e GROUP BY k""".stripMargin,
+
+    "q215_conversion_latency" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |      THEN epoch_ns(ts) // 1000 END) AS first_signup,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_ns(ts) // 1000 END) AS first_purchase
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY user_id),
+        |s AS (SELECT * FROM f WHERE first_signup IS NOT NULL),
+        |c AS (SELECT CAST(first_purchase - first_signup AS DOUBLE)
+        |    AS delay
+        |  FROM s WHERE first_purchase > first_signup),
+        |q AS (SELECT
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY delay) AS med,
+        |    percentile_disc(0.9) WITHIN GROUP (ORDER BY delay) AS p90
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN first_purchase > first_signup
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(max(q.med) AS BIGINT) AS med_delay_us,
+        |  CAST(max(q.p90) AS BIGINT) AS p90_delay_us
+        |FROM s, q""".stripMargin
   )
 }

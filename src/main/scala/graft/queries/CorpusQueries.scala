@@ -1149,6 +1149,37 @@ object CorpusQueries {
         .withColumn("ratio_x1000",
           expr("n_types * 1000 div lead(n_types) " +
             "over (order by octave)"))
+    }),
+
+    // ---- per-source LENGTH-TREND audit (exact OLS normal equations):
+    // is a source's document length drifting over ingest order
+    // (doc_id as the arrival proxy — the q137/q96 convention)? A
+    // shrinking-length source usually means truncation or scraper rot;
+    // the mixture designer wants the trend BEFORE the mean moves. The
+    // OLS slope over (x = doc_id, y = token count) is sxy/sxx with
+    // sxy = n·Σxy − Σx·Σy and sxx = n·Σx² − (Σx)² — both EXACT
+    // integers from one map-combined pass of five sums; reported raw
+    // (numerator, non-negative denominator, and the sign verdict
+    // sxy > 0) rather than as a floored quotient, because sxy can be
+    // negative and Spark div truncates where DuckDB // floors (the
+    // q209 sign rule). Envelope: products stay under 2^63 while
+    // n·Σx² < 9·10^18 — switch to the q205 DECIMAL discipline past
+    // ~10^6 docs·id² per stratum.
+    "q214_length_trend" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id").as("x"),
+          size(split(col("text"), " ")).cast("bigint").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) > 0)
+            .as("rising"))
     })
   )
 
@@ -1967,6 +1998,20 @@ object CorpusQueries {
         |SELECT octave, n_types, occ,
         |  (n_types * 1000) // lead(n_types) OVER (ORDER BY octave)
         |    AS ratio_x1000
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q214_length_trend" ->
+      """WITH t AS (SELECT source, doc_id AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM t GROUP BY source)
+        |SELECT source, n, n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  (n * sxy - sx * sy) > 0 AS rising
+        |FROM g""".stripMargin
   )
 }

@@ -1393,4 +1393,57 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(out.last._4.isEmpty, "last octave has no successor")
   }
+
+  test("q214 length trend: normal equations equal the BigInt replay " +
+    "and the denominator is positive definite") {
+    val out = SparkEntry.queries("q214_length_trend")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val pts = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0),
+        (BigInt(r.getLong(1)),
+          BigInt(r.getString(2).split(" ", -1).length))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.keySet == pts.keySet)
+    pts.foreach { case (src, xy) =>
+      val n = BigInt(xy.length)
+      val sx = xy.map(_._1).sum
+      val sy = xy.map(_._2).sum
+      val sxy = xy.map { case (x, y) => x * y }.sum
+      val sxx = xy.map { case (x, _) => x * x }.sum
+      val (gn, gnum, gden, grising) = out(src)
+      assert(gn == n.toLong)
+      assert(gnum == (n * sxy - sx * sy).toLong, src)
+      assert(gden == (n * sxx - sx * sx).toLong, src)
+      assert(gden > 0, "sxx - (sx)^2/n > 0 unless all x equal")
+      assert(grising == (gnum > 0))
+    }
+  }
+
+  test("q215 conversion latency: counts and exact percentiles equal " +
+    "the naive first-event replay") {
+    val row = SparkEntry.queries("q215_conversion_latency")(spark, sf)
+      .collect().head
+    val firsts = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { es =>
+        (es.filter(_._2 == "signup").map(_._3).minOption,
+          es.filter(_._2 == "purchase").map(_._3).minOption)
+      }.toMap
+    val signed = firsts.values.filter(_._1.isDefined).toSeq
+    val delays = signed.collect {
+      case (Some(s0), Some(p)) if p > s0 => p - s0
+    }.sorted
+    assert(row.getLong(0) == signed.length.toLong)
+    assert(row.getLong(1) == delays.length.toLong)
+    def disc(p: Double) =
+      delays(math.ceil(p * delays.length).toLong.max(1L).toInt - 1)
+    assert(row.getLong(2) == disc(0.5))
+    assert(row.getLong(3) == disc(0.9))
+    assert(row.getLong(2) <= row.getLong(3), "median <= p90")
+  }
 }
