@@ -64,6 +64,24 @@ object CorpusQueries {
       c12.join(c1, "w1")
     }
 
+  /** Per-doc quality signals — the q124 learned score plus token and
+    * distinct-token counts — in ONE token-grain pass, memoized per run
+    * (Shared.frame): q209 (calibration), q216 (ensemble), and q217
+    * (kappa) all consume this frame, and q216's three Quantile
+    * refinements re-scan the MATERIALIZED aggregate instead of
+    * re-tokenizing the corpus per pass (9 token passes collapse to 1).
+    */
+  private def qualitySignals(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "quality_signals", d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", SamplingQueries.hashBucket("tok", 1, 1024))
+        .withColumn("wt", SamplingQueries.hashBucket("b", 9, 2001) - 1000)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("uniq"))
+    }
+
   val queries: Map[String, Q] = Map(
     // ---- LM-PERPLEXITY quality scoring (the CCNet bucket filter —
     // the classic pretraining quality signal the heuristic gates
@@ -1091,13 +1109,8 @@ object CorpusQueries {
     // AND the reference counts together. All reported ratios are
     // integer ppm / floor means.
     "q209_calibration" -> ((s, d) => {
-      val perDoc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("b", SamplingQueries.hashBucket("tok", 1, 1024))
-        .withColumn("wt", SamplingQueries.hashBucket("b", 9, 2001) - 1000)
-        .groupBy(col("doc_id"))
-        .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_tokens"),
-          countDistinct(col("tok")).as("uniq_tokens"))
+      val perDoc = qualitySignals(s, d)
+        .withColumnRenamed("uniq", "uniq_tokens")
         .withColumn("grp", lit(1))
       val ths = graft.operators.Quantile.groupQuantiles(
         perDoc.withColumn("sc", col("score").cast("double")), "grp", "sc",
@@ -1180,6 +1193,78 @@ object CorpusQueries {
             .as("slope_den"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) > 0)
             .as("rising"))
+    }),
+
+    // ---- MULTI-SIGNAL quality ensemble (decile-rank fusion): no
+    // single quality signal survives contact with a real corpus, so
+    // curation stacks use rank-fused ensembles — each signal mapped to
+    // its own decile (making incomparable scales commensurable), then
+    // summed. Three INDEPENDENT per-doc signals from ONE token pass:
+    // the q124 learned score, lexical diversity uniq·1000 div n (q26's
+    // strongest factor, integer form), and raw token length. Each gets
+    // exact decile thresholds via Quantile.groupQuantiles (rank-exact,
+    // no global sort), broadcast as three 9-row arrays; bins use the
+    // q200 strictly-below rule. ensemble ∈ [3, 30]; keep at ≥ 18 (the
+    // pinned top-half-ish gate). The q135 RRF shape applied to quality
+    // instead of retrieval. One corpus-grain aggregate + planner-scale
+    // threshold passes — the 100 TB cost is the token pass everything
+    // here shares.
+    "q216_quality_ensemble" -> ((s, d) => {
+      val perDoc = qualitySignals(s, d)
+        .withColumnRenamed("score", "s1")
+        .withColumn("s2", expr("uniq * 1000 div n_tokens"))
+        .withColumn("s3", col("n_tokens"))
+        .withColumn("grp", lit(1))
+      val ths = Seq("s1", "s2", "s3").map { c =>
+        graft.operators.Quantile.groupQuantiles(
+          perDoc.withColumn("v", col(c).cast("double")), "grp", "v",
+          (1 to 9).map(k => (k / 10.0, s"t$k")))
+          .select(array((1 to 9).map(k => col(s"t$k")): _*).as(s"ts_$c"))
+      }
+      val withBins = ths.foldLeft(perDoc)((acc, t) =>
+        acc.crossJoin(broadcast(t)))
+      Seq("s1", "s2", "s3").foldLeft(withBins) { (acc, c) =>
+          acc.withColumn(s"d_$c",
+            expr(s"size(filter(ts_$c, t -> t < CAST($c AS DOUBLE))) + 1"))
+        }
+        .select(col("doc_id"), col("d_s1"), col("d_s2"), col("d_s3"),
+          (col("d_s1") + col("d_s2") + col("d_s3")).as("ensemble"))
+        .withColumn("keep", col("ensemble") >= 18)
+    }),
+
+    // ---- INTER-RATER AGREEMENT (Cohen's kappa) between two quality
+    // gates: q124's learned keep (score ≥ 0) vs the heuristic
+    // lexical-diversity gate (2·uniq ≥ n). Raw accuracy overstates
+    // agreement when both gates mostly say "keep"; kappa discounts the
+    // chance-agreement floor — the standard check before one gate is
+    // allowed to stand in for the other at scale. Exact integers
+    // end-to-end: po = (a+d)/N and pe = ((a+b)(a+c)+(c+d)(b+d))/N²
+    // stay rational, kappa = (po−pe)/(1−pe) is reported as raw
+    // numerator (a+d)·N − pe_num over denominator N² − pe_num
+    // (negative numerators possible — the q209/q214 raw-fraction
+    // rule), and the "substantial agreement" verdict κ > 0.4 is the
+    // cross-multiplication 10·num > 4·den. One confusion-matrix
+    // aggregate over the shared token pass; the kappa arithmetic is
+    // planner-scale.
+    "q217_gate_kappa" -> ((s, d) => {
+      val conf = qualitySignals(s, d)
+        .select((col("score") >= 0).as("g1"),
+          (col("uniq") * 2 >= col("n_tokens")).as("g2"))
+        .agg(
+          sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("g1") && !col("g2"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("g1") && col("g2"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("g1") && !col("g2"), 1L).otherwise(0L)).as("d"))
+      conf.select(col("a"), col("b"), col("c"), col("d"),
+          ((col("a") + col("b")) * (col("a") + col("c"))
+            + (col("c") + col("d")) * (col("b") + col("d"))).as("pe_num"),
+          (col("a") + col("b") + col("c") + col("d")).as("nn"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          ((col("a") + col("d")) * col("nn") - col("pe_num"))
+            .as("kappa_num"),
+          (col("nn") * col("nn") - col("pe_num")).as("kappa_den"))
+        .withColumn("substantial",
+          col("kappa_num") * 10 > col("kappa_den") * 4)
     })
   )
 
@@ -2012,6 +2097,75 @@ object CorpusQueries {
         |SELECT source, n, n * sxy - sx * sy AS slope_num,
         |  n * sxx - sx * sx AS slope_den,
         |  (n * sxy - sx * sy) > 0 AS rising
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q216_quality_ensemble" -> {
+      def ths(sig: String) = (1 to 9).map(k =>
+        s"percentile_disc(0.$k) WITHIN GROUP " +
+          s"(ORDER BY CAST($sig AS DOUBLE)) AS ${sig}_t$k")
+        .mkString(", ")
+      def bin(sig: String) = "1 " + (1 to 9).map(k =>
+        s"+ (CASE WHEN ${sig}_t$k < CAST($sig AS DOUBLE) THEN 1 " +
+          "ELSE 0 END)").mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fb AS (SELECT doc_id, tok,
+        |    ${SamplingQueries.hashBucketSql("tok", 1, 1024)} AS b
+        |  FROM t),
+        |fw AS (SELECT doc_id, tok,
+        |    (${SamplingQueries.hashBucketSql("b", 9, 2001)}) - 1000 AS w
+        |  FROM fb),
+        |pd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s1,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS uniq
+        |  FROM fw GROUP BY doc_id),
+        |sg AS (SELECT doc_id, s1, (uniq * 1000) // n_tokens AS s2,
+        |    n_tokens AS s3 FROM pd),
+        |th AS (SELECT ${ths("s1")}, ${ths("s2")}, ${ths("s3")}
+        |  FROM sg),
+        |b AS (SELECT doc_id, ${bin("s1")} AS d_s1, ${bin("s2")} AS d_s2,
+        |    ${bin("s3")} AS d_s3
+        |  FROM sg, th)
+        |SELECT doc_id, d_s1, d_s2, d_s3,
+        |  d_s1 + d_s2 + d_s3 AS ensemble,
+        |  d_s1 + d_s2 + d_s3 >= 18 AS keep
+        |FROM b""".stripMargin
+    },
+
+    "q217_gate_kappa" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fb AS (SELECT doc_id, tok,
+        |    ${SamplingQueries.hashBucketSql("tok", 1, 1024)} AS b
+        |  FROM t),
+        |fw AS (SELECT doc_id, tok,
+        |    (${SamplingQueries.hashBucketSql("b", 9, 2001)}) - 1000 AS w
+        |  FROM fb),
+        |pd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS uniq
+        |  FROM fw GROUP BY doc_id),
+        |g AS (SELECT (score >= 0) AS g1,
+        |    (uniq * 2 >= n_tokens) AS g2 FROM pd),
+        |cm AS (SELECT
+        |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT g1 AND g2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT g1 AND NOT g2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM g),
+        |k AS (SELECT a, b, c, d,
+        |    (a + b) * (a + c) + (c + d) * (b + d) AS pe_num,
+        |    a + b + c + d AS nn
+        |  FROM cm)
+        |SELECT a, b, c, d,
+        |  (a + d) * nn - pe_num AS kappa_num,
+        |  nn * nn - pe_num AS kappa_den,
+        |  ((a + d) * nn - pe_num) * 10 > (nn * nn - pe_num) * 4
+        |    AS substantial
+        |FROM k""".stripMargin
   )
 }

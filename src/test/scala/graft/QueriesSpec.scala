@@ -1446,4 +1446,73 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(3) == disc(0.9))
     assert(row.getLong(2) <= row.getLong(3), "median <= p90")
   }
+
+  test("q216 ensemble: deciles replay from the three signals, " +
+    "ensemble is their sum, keep is the pinned gate") {
+    val out = SparkEntry.queries("q216_quality_ensemble")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hb(id: String, off: Int, mod: Int): Long =
+      java.lang.Long.parseLong(md5hex(id).substring(off - 1, off + 7), 16) % mod
+    val sig = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val s1 = toks.map(t =>
+          hb(hb(t, 1, 1024).toString, 9, 2001) - 1000).sum
+        val n = toks.length.toLong
+        val u = toks.distinct.length.toLong
+        (r.getLong(0), Seq(s1, u * 1000 / n, n))
+      }
+    assert(out.size == sig.length)
+    val deciles = (0 to 2).map { i =>
+      val sorted = sig.map(_._2(i)).sorted
+      val n = sorted.length
+      (1 to 9).map(k =>
+        sorted(math.ceil(k / 10.0 * n).toLong.max(1L).toInt - 1))
+    }
+    sig.foreach { case (id, ss) =>
+      val bins = (0 to 2).map(i => 1 + deciles(i).count(_ < ss(i)))
+      val (g1, g2, g3, ge, gk) = out(id)
+      assert(Seq(g1, g2, g3) == bins, s"doc $id")
+      assert(ge == bins.sum && gk == (bins.sum >= 18), s"doc $id")
+    }
+    // the ensemble actually separates: both verdicts occur
+    assert(out.values.exists(_._5) && out.values.exists(!_._5))
+  }
+
+  test("q217 kappa: confusion matrix and kappa fraction equal the " +
+    "BigInt replay; kappa <= 1 always") {
+    val r = SparkEntry.queries("q217_gate_kappa")(spark, sf)
+      .collect().head
+    val Seq(a, b, c, d) = (0 to 3).map(i => r.getLong(i))
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hb(id: String, off: Int, mod: Int): Long =
+      java.lang.Long.parseLong(md5hex(id).substring(off - 1, off + 7), 16) % mod
+    val gates = docs.map { t =>
+      val toks = t.split(" ", -1)
+      val score = toks.map(w =>
+        hb(hb(w, 1, 1024).toString, 9, 2001) - 1000).sum
+      (score >= 0, toks.distinct.length * 2 >= toks.length)
+    }
+    assert(a == gates.count(g => g._1 && g._2).toLong)
+    assert(b == gates.count(g => g._1 && !g._2).toLong)
+    assert(c == gates.count(g => !g._1 && g._2).toLong)
+    assert(d == gates.count(g => !g._1 && !g._2).toLong)
+    val (bA, bB, bC, bD) = (BigInt(a), BigInt(b), BigInt(c), BigInt(d))
+    val nn = bA + bB + bC + bD
+    val peNum = (bA + bB) * (bA + bC) + (bC + bD) * (bB + bD)
+    assert(BigInt(r.getLong(4)) == (bA + bD) * nn - peNum)
+    assert(BigInt(r.getLong(5)) == nn * nn - peNum)
+    // kappa <= 1: num <= den (den - num = N^2 - (a+d)N >= 0)
+    assert(r.getLong(4) <= r.getLong(5))
+    assert(r.getBoolean(6) == (r.getLong(4) * 10 > r.getLong(5) * 4))
+  }
 }
