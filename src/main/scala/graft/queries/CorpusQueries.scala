@@ -1265,6 +1265,62 @@ object CorpusQueries {
           (col("nn") * col("nn") - col("pe_num")).as("kappa_den"))
         .withColumn("substantial",
           col("kappa_num") * 10 > col("kappa_den") * 4)
+    }),
+
+    // ---- K-ANONYMITY risk report (governance leg beside q204's PII
+    // scrub): under the quasi-identifier triple (lang, source,
+    // length-bucket of 50 tokens), how many docs sit in equivalence
+    // classes smaller than k = 5 — the re-identification-risk measure
+    // a release review reads before publishing per-group statistics.
+    // One map-combined group on the QI triple, one 5-row fold to the
+    // report: classes, small classes, docs at risk, risk_ppm — all
+    // exact integers. At 100 TB this is the cheapest query in the
+    // suite (two aggregates, QI cardinality rows between them).
+    "q218_k_anonymity" -> ((s, d) => {
+      val classes = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT) div 50")
+            .as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("m"))
+      classes.agg(count(lit(1)).as("n_classes"),
+          sum(col("m")).as("n_docs"),
+          sum(when(col("m") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(when(col("m") < 5, col("m")).otherwise(0L))
+            .as("n_docs_at_risk"))
+        .select(col("n_classes"), col("n_docs"), col("n_small_classes"),
+          col("n_docs_at_risk"),
+          expr("n_docs_at_risk * 1000000 div n_docs").as("risk_ppm"))
+    }),
+
+    // ---- CO-OCCURRENCE SUPPORT (market-basket over vocabularies):
+    // which word PAIRS appear together in the most documents? q88
+    // reads ADJACENT bigram lift; this reads unordered within-doc
+    // co-occurrence — the itemset-mining primitive behind topic
+    // drift and template detection. Scale discipline: the pair space
+    // is quadratic in per-doc distinct words, so candidates are
+    // GATED to the top-V vocabulary by document frequency (V = 20,
+    // ties word-asc — deterministic; the df-cap discipline of
+    // q199/q21) via a broadcast semi-join BEFORE any pair is
+    // emitted; per doc that caps pair fanout at V·(V−1)/2. One
+    // distinct (doc, word) frame, in-doc pair expansion via a
+    // self-join on doc_id (a < b), one map-combined support count,
+    // and a 20-row TakeOrdered heap — never a global sort.
+    "q219_cooccurrence" -> ((s, d) => {
+      val dw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val vocab = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w").asc).limit(20)
+        .select(col("w"))
+      val gated = dw.join(broadcast(vocab), Seq("w"), "left_semi")
+      gated.as("a")
+        .join(gated.as("b"), col("a.doc_id") === col("b.doc_id")
+          && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("w_a").asc, col("w_b").asc)
+        .limit(20)
     })
   )
 
@@ -2166,6 +2222,36 @@ object CorpusQueries {
         |  nn * nn - pe_num AS kappa_den,
         |  ((a + d) * nn - pe_num) * 10 > (nn * nn - pe_num) * 4
         |    AS substantial
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    "q218_k_anonymity" ->
+      """WITH c AS (SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) // 50
+        |      AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(m) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) AS BIGINT)
+        |    AS n_docs_at_risk,
+        |  (CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(sum(m) AS BIGINT) AS risk_ppm
+        |FROM c""".stripMargin,
+
+    "q219_cooccurrence" ->
+      """WITH wds AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |dw AS (SELECT DISTINCT doc_id, w FROM wds),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS df FROM dw
+        |    GROUP BY w) ORDER BY df DESC, w ASC LIMIT 20),
+        |g AS (SELECT dw.doc_id, dw.w FROM dw JOIN vocab USING (w))
+        |SELECT a.w AS w_a, b.w AS w_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w < b.w
+        |GROUP BY a.w, b.w
+        |ORDER BY support DESC, w_a ASC, w_b ASC
+        |LIMIT 20""".stripMargin
   )
 }

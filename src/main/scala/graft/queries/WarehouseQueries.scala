@@ -873,6 +873,44 @@ object WarehouseQueries {
           sum(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
           round(sum(least(greatest(col("v"), col("p05")), col("p95"))), 2)
             .as("wsum"))
+    }),
+
+    // ---- MANN–WHITNEY U location-shift audit (rank-biserial): did
+    // the price DISTRIBUTION move between the two customer cohorts
+    // (o_custkey parity), per priority stratum? q212's chi-square
+    // needs a binary outcome; U compares whole distributions with no
+    // normality assumption — the nonparametric A/B read. Exact and
+    // sort-free: U decomposes over the (grp, cents) value histogram as
+    // U2 = Σ_v (2·cA_v·CB_<v + cA_v·cB_v) (doubled to keep the ½-tie
+    // term integral), with CB_< from ONE Prefix.runningSum over the
+    // histogram (two-phase — price is near-unique, so the histogram is
+    // row-cardinality and a plain per-grp window would serialize 5
+    // strata through 5 reducers; the q197 lesson). Cents come from
+    // round(price·100) — prices are 2-decimal doubles, so the product
+    // sits within 1e-9 of an integer and both engines round
+    // identically. Effect size = rank-biserial rb = (U2 − na·nb) over
+    // na·nb as a raw fraction (negative-safe), verdict |rb| > 0.1
+    // cross-multiplied. One histogram exchange + planner-scale
+    // arithmetic at any corpus size.
+    "q220_mannwhitney_shift" -> ((s, d) => {
+      val h = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+          (col("o_custkey") % 2 === 0).as("ia"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("ia"), 1L).otherwise(0L)).as("cb"))
+      val cum = graft.operators.Prefix.runningSum(
+        h, "grp", "v", "cb", "cum_b")
+      cum.groupBy(col("grp"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("ca") * (col("cum_b") - col("cb")) * 2
+            + col("ca") * col("cb")).as("u2"))
+        .select(col("grp"), col("na"), col("nb"), col("u2"),
+          (col("u2") - col("na") * col("nb")).as("rb_num"),
+          (col("na") * col("nb")).as("rb_den"))
+        .withColumn("shifted",
+          abs(col("rb_num")) * 10 > col("rb_den"))
     })
   )
 
@@ -1330,6 +1368,28 @@ object WarehouseQueries {
         |    AS n_hi,
         |  round(sum(least(greatest(v.v, q.p05), q.p95)), 2) AS wsum
         |FROM v JOIN q USING (grp)
-        |GROUP BY v.grp""".stripMargin
+        |GROUP BY v.grp""".stripMargin,
+
+    "q220_mannwhitney_shift" ->
+      """WITH h AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT grp, v, ca, cb,
+        |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_b
+        |  FROM h),
+        |g AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * (cum_b - cb) * 2 + ca * cb) AS BIGINT) AS u2
+        |  FROM c GROUP BY grp)
+        |SELECT grp, na, nb, u2,
+        |  u2 - na * nb AS rb_num, na * nb AS rb_den,
+        |  abs(u2 - na * nb) * 10 > na * nb AS shifted
+        |FROM g""".stripMargin
   )
 }

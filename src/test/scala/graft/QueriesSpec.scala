@@ -1515,4 +1515,71 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(4) <= r.getLong(5))
     assert(r.getBoolean(6) == (r.getLong(4) * 10 > r.getLong(5) * 4))
   }
+
+  test("q218 k-anonymity: ledger equals the naive class census") {
+    val r = SparkEntry.queries("q218_k_anonymity")(spark, sf)
+      .collect().head
+    val classes = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1),
+        x.getString(2).split(" ", -1).length.toLong / 50))
+      .groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+    assert(r.getLong(0) == classes.length.toLong)
+    assert(r.getLong(1) == classes.sum)
+    assert(r.getLong(2) == classes.count(_ < 5).toLong)
+    val atRisk = classes.filter(_ < 5).sum
+    assert(r.getLong(3) == atRisk)
+    assert(r.getLong(4) == atRisk * 1000000 / classes.sum)
+  }
+
+  test("q219 co-occurrence: top-20 equals the naive gated pair count " +
+    "with the deterministic tiebreak") {
+    val out = SparkEntry.queries("q219_cooccurrence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val dw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct))
+    val df = dw.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val vocab = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+      .map(_._1).toSet
+    val support = dw.flatMap { case (_, ws) =>
+        val g = ws.filter(vocab).sorted
+        for (i <- g.indices; j <- (i + 1) until g.length)
+          yield (g(i), g(j))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    assert(out.toSeq == support)
+  }
+
+  test("q220 mann-whitney: U2 equals the naive doubled pair count " +
+    "and rb stays in [-1, 1]") {
+    val out = SparkEntry.queries("q220_mannwhitney_shift")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_custkey")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2) % 2 == 0))
+      .groupBy(_._1)
+    assert(out.keySet == rows.keySet)
+    rows.foreach { case (g, rs) =>
+      val as = rs.filter(_._3).map(_._2)
+      val bs = rs.filter(!_._3).map(_._2)
+      // doubled U: 2 per strict win, 1 per tie (quadratic naive —
+      // fine at sf0.001)
+      val u2 = as.iterator.map(a =>
+        2L * bs.count(_ < a) + bs.count(_ == a)).sum
+      val (na, nb, gu2, rbn, rbd, shifted) = out(g)
+      assert(na == as.length.toLong && nb == bs.length.toLong)
+      assert(gu2 == u2, g)
+      assert(rbn == u2 - na * nb && rbd == na * nb)
+      assert(math.abs(rbn) <= rbd, "rank-biserial is in [-1, 1]")
+      assert(shifted == (math.abs(rbn) * 10 > rbd))
+    }
+  }
 }
