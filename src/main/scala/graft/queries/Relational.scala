@@ -398,6 +398,29 @@ object Relational {
             .as("revenue"))
     }),
 
+    // ---- TPC-H Q6 shape (forecasting revenue change): the canonical
+    // pushdown showcase — three range predicates (ship year, discount
+    // band, quantity cap) that must ALL reach the parquet scan, one
+    // projection, one global aggregate; the plan is a filtered scan
+    // and nothing else. Revenue = Σ extendedprice·discount in the
+    // exact cents×cents integer idiom (q150): BIGINT per row, summed
+    // in DECIMAL(38,0), emitted as the double image. Discount band
+    // compared on cents (5..7) so the predicate is integral, not an
+    // IEEE range on 0.05/0.07 — both engines agree bit-for-bit.
+    "q222_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01")
+          && col("l_quantity") < 24)
+        .select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+        .filter(col("dc").between(5, 7))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("pc") * col("dc")).cast("decimal(38,0)"))
+            .cast("double").as("revenue_x10000"))
+    }),
+
     "q18_topk_per_group" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -563,6 +586,17 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS cnt
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q222_tpch_q6" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+        |    AS revenue_x10000
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
 
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -518,6 +518,30 @@ object SamplingQueries {
           col("sat").as("saturated"))
     }),
 
+    // ---- per-stratum EXACT-k sample (eval carving, stratified leg):
+    // exactly k = 20 docs per source by salted-md5 order with doc_id
+    // tiebreak — q198's fixed-size carving per stratum instead of
+    // globally. Written as the DECLARATIVE row_number idiom on
+    // purpose: the RewriteWindowTopK optimizer rule (the repo's full
+    // custom-operator stack, plans/TopKPerGroupPlan.scala) recognizes
+    // `row_number() OVER (PARTITION BY source ORDER BY …) <= k` and
+    // swaps in the bounded k-row HEAP exec — O(n log k) with ≤ k rows
+    // retained per group, no per-group sort — so the sample costs a
+    // near-scan at any corpus size while the code stays window-shaped.
+    // Assignment is pure projection (same doc → same rank on any
+    // cluster, any day — the q59/q148 determinism contract).
+    "q221_stratified_k_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          hashBucket("doc_id", 17, 1000000).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("h").asc, col("doc_id").asc)))
+      ranked.filter(col("rk") <= 20)
+        .select(col("source"), col("doc_id"), col("rk"))
+    }),
+
     // ---- shard-plan audit: hash docs into 32 output shards and report
     // the token balance per shard (balance = shard share × 32; 1.0 =
     // perfectly even). Hash-mod sharding is the only assignment that
@@ -706,6 +730,15 @@ object SamplingQueries {
   private val DsirBuckets = 64
 
   val oracle: Map[String, String] = Map(
+    "q221_stratified_k_sample" ->
+      s"""WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${hashBucketSql("doc_id", 17, 1000000)}, doc_id)
+        |      AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 20""".stripMargin,
+
     "q59_split_assign" ->
       s"""SELECT CASE
         |    WHEN ${hashBucketSql("doc_id", 1, 100)} < 80 THEN 'train'

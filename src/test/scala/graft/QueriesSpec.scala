@@ -1582,4 +1582,53 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(shifted == (math.abs(rbn) * 10 > rbd))
     }
   }
+
+  test("q221 stratified sample: exactly min(20, stratum) per source, " +
+    "deterministic, and the heap rewrite fires") {
+    val q = SparkEntry.queries("q221_stratified_k_sample")
+    val df = q(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val sizes = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.keySet == sizes.keySet)
+    bySrc.foreach { case (s, rs) =>
+      assert(rs.length.toLong == math.min(20L, sizes(s)), s)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s)
+      assert(rs.map(_._2).distinct.length == rs.length, s)
+    }
+    val again = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq
+      == again.sortBy(r => (r._1, r._3)).toSeq)
+    // the declarative row_number idiom must plan as the bounded heap
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"),
+      s"expected the TopKPerGroup heap exec, got:\n$plan")
+  }
+
+  test("q222 tpch q6: exact cents replay and the predicates reach " +
+    "the scan") {
+    val df = SparkEntry.queries("q222_tpch_q6")(spark, sf)
+    val r = df.collect().head
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("string"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")).collect()
+    val kept = li.filter { x =>
+      !x.isNullAt(0) && x.getString(0) >= "1996-01-01" &&
+        x.getString(0) < "1997-01-01" && x.getDouble(1) < 24 && {
+          val dc = math.round(x.getDouble(3) * 100)
+          dc >= 5 && dc <= 7
+        }
+    }
+    val rev = kept.map(x => BigInt(math.round(x.getDouble(2) * 100))
+      * BigInt(math.round(x.getDouble(3) * 100))).sum
+    assert(r.getLong(0) == kept.length.toLong)
+    assert(r.getDouble(1) == rev.toDouble)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      "quantity/date predicates must push to the parquet scan")
+  }
 }

@@ -112,6 +112,51 @@ class StreamCusumSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("fMGWS and TWS twins emit identical rows on the same events " +
+    "and baselines") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    spark.conf.set(graft.streaming.TwsStrikeMonitor.rocksdbConf._1,
+      graft.streaming.TwsStrikeMonitor.rocksdbConf._2)
+    try {
+      val base = Map(1L -> Baseline(30L, 6L), 2L -> Baseline(20L, 4L))
+      val all = ((1 to 3).flatMap(d => evts(1, d, 2)) ++
+        (4 to 6).flatMap(d => evts(1, d, 8)) ++
+        (1 to 2).flatMap(d => evts(2, d, 1)) ++
+        (3 to 4).flatMap(d => evts(2, d, 9))).sortBy(_.ts.getTime)
+      def run(name: String,
+              mk: org.apache.spark.sql.DataFrame
+                => org.apache.spark.sql.Dataset[_]): Set[String] = {
+        val input = MemoryStream[Evt]
+        val q = mk(input.toDF()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          input.addData(all.take(10): _*)
+          q.processAllAvailable()
+          input.addData(all.drop(10): _*)
+          q.processAllAvailable()
+          input.addData(Evt(99, t("2024-01-08 00:00:00")))
+          q.processAllAvailable()
+          input.addData(Evt(99, t("2024-01-09 12:00:00")))
+          q.processAllAvailable()
+          spark.table(name).collect().map(_.mkString("|")).toSet
+        } finally q.stop()
+      }
+      val fmgws = run("scusum_f",
+        df => StreamCusum.changes(df, base, "6 hours"))
+      val tws = run("scusum_t",
+        df => graft.streaming.TwsStreamCusum.changes(df, base, "6 hours"))
+      assert(tws == fmgws && fmgws.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1, v)
+      case None => spark.conf.unset(
+        graft.streaming.TwsStrikeMonitor.rocksdbConf._1)
+    }
+  }
+
   test("fold is order-insensitive within a batch and finalizes " +
     "ascending") {
     val base = Baseline(10L, 2L)
