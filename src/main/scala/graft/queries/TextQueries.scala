@@ -527,6 +527,36 @@ object TextQueries {
     // over word-trigram shingles
     "q21_minhash_pairs" -> ((s, d) => sharedCandidatePairs(s, d)),
 
+    // ---- DUP-PAIR PROVENANCE split: of the LSH candidate pairs, how
+    // many stay WITHIN each source vs CROSS into another? The answer
+    // decides the dedup deployment shape — within-source dup mass
+    // dedups shard-locally (cheap, per-source jobs), cross-source mass
+    // forces the global pass — and fingers the sources that plagiarize
+    // or syndicate each other (the q105 8-gram matrix reads content
+    // overlap; this reads near-DUPLICATE overlap). Rides the run-shared
+    // pair frame (sharedCandidatePairs — no new pair generation), two
+    // broadcast-sized joins onto doc sources, one fold; a cross pair
+    // contributes one count to EACH of its two sources, so
+    // Σ within + Σ cross / 2 = |pairs| (the spec's ledger).
+    "q224_dup_provenance" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val pairs = sharedCandidatePairs(s, d)
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("source", "src_b"), "doc_b")
+      val within = pairs.filter(col("src_a") === col("src_b"))
+        .groupBy(col("src_a").as("source"))
+        .agg(count(lit(1)).as("n_within"))
+      val cross = pairs.filter(col("src_a") =!= col("src_b"))
+        .select(explode(array(col("src_a"), col("src_b"))).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_cross"))
+      within.join(cross, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_within"), lit(0L)).as("n_within"),
+          coalesce(col("n_cross"), lit(0L)).as("n_cross"))
+    }),
+
     // ---- exact n-gram Jaccard within (lang, source) blocks. Instead of
     // a trigram self-join (sort-merge on wide string keys, two shuffles
     // of the exploded frame), group each trigram's doc list once and
@@ -1161,6 +1191,24 @@ object TextQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q21_minhash_pairs" -> minhashPairsSql,
+
+    "q224_dup_provenance" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+        |p AS (SELECT pa.source AS src_a, pb.source AS src_b
+        |  FROM pairs
+        |  JOIN documents pa ON pairs.doc_a = pa.doc_id
+        |  JOIN documents pb ON pairs.doc_b = pb.doc_id),
+        |w AS (SELECT src_a AS source, CAST(count(*) AS BIGINT)
+        |    AS n_within
+        |  FROM p WHERE src_a = src_b GROUP BY src_a),
+        |x AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cross
+        |  FROM (SELECT src_a AS source FROM p WHERE src_a <> src_b
+        |    UNION ALL SELECT src_b FROM p WHERE src_a <> src_b)
+        |  GROUP BY source)
+        |SELECT coalesce(w.source, x.source) AS source,
+        |  CAST(coalesce(w.n_within, 0) AS BIGINT) AS n_within,
+        |  CAST(coalesce(x.n_cross, 0) AS BIGINT) AS n_cross
+        |FROM w FULL OUTER JOIN x ON w.source = x.source""".stripMargin,
 
     "q112_neardup_flags" ->
       s"""WITH bh AS (

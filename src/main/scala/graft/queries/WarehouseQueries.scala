@@ -892,6 +892,29 @@ object WarehouseQueries {
     // na·nb as a raw fraction (negative-safe), verdict |rb| > 0.1
     // cross-multiplied. One histogram exchange + planner-scale
     // arithmetic at any corpus size.
+    // ---- BUCKETED CO-PARTITIONED JOIN (the missing leg of the
+    // storage family q117/q161/q162/q174 — layout chosen so the JOIN
+    // itself needs no exchange): orders and lineitem are written ONCE
+    // per run as bucketed+sorted tables on their join key (8 buckets,
+    // catalog-backed), and the fact-fact join then planned as a
+    // sort-merge over pre-bucketed, pre-sorted scans — no shuffle, no
+    // sort on either side (asserted in BucketedJoinSpec with AQE/auto-
+    // broadcast pinned off: zero Exchange below the join). At 100 TB
+    // this is THE recurring-pipeline trade: pay one bucketed write at
+    // ingest, then every daily orderkey-grain join is shuffle-free —
+    // the q148 hash-sharding story upgraded to a catalog layout the
+    // PLANNER exploits. Results are layout-independent (the oracle
+    // joins the raw parquet); quantities are integral doubles, so the
+    // group sums are exact.
+    "q223_bucketed_join" -> ((s, d) => {
+      val (to, tl) = bucketedPair(s, d)
+      s.table(tl)
+        .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     "q220_mannwhitney_shift" -> ((s, d) => {
       val h = Tables.orders(s, d)
         .select(col("o_orderpriority").as("grp"),
@@ -913,6 +936,28 @@ object WarehouseQueries {
           abs(col("rb_num")) * 10 > col("rb_den"))
     })
   )
+
+  /** Bucketed+sorted twin tables for q223, written once per run per
+    * sf dir (catalog-checked — the Shared.frame posture for a CATALOG
+    * artifact): both sides bucketed by their join key into the same
+    * bucket count so the sort-merge join needs neither exchange nor
+    * sort. Narrow projections only — the layout carries exactly the
+    * join columns.
+    */
+  private def bucketedPair(s: org.apache.spark.sql.SparkSession,
+                           d: String): (String, String) = {
+    val tag = math.abs(d.hashCode).toString
+    val (to, tl) = (s"g_ord_bucketed_$tag", s"g_li_bucketed_$tag")
+    if (!s.catalog.tableExists(to))
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    if (!s.catalog.tableExists(tl))
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    (to, tl)
+  }
 
   /** DuckDB mirror of ZOrder.spread16 (5 mask-shift doublings). The
     * nesting doubles the operand text per step — fine for a short
@@ -1369,6 +1414,12 @@ object WarehouseQueries {
         |  round(sum(least(greatest(v.v, q.p05), q.p95)), 2) AS wsum
         |FROM v JOIN q USING (grp)
         |GROUP BY v.grp""".stripMargin,
+
+    "q223_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_rows,
+        |  sum(l.l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
 
     "q220_mannwhitney_shift" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

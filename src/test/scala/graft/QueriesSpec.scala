@@ -1631,4 +1631,28 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
       "quantity/date predicates must push to the parquet scan")
   }
+
+  test("q224 dup provenance: ledger closes against the pair frame " +
+    "and the split replays naively") {
+    val out = SparkEntry.queries("q224_dup_provenance")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = SparkEntry.queries("q21_minhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.filter(p => srcOf(p._1) == srcOf(p._2))
+      .groupBy(p => srcOf(p._1)).view.mapValues(_.length.toLong).toMap
+    val cross = pairs.filter(p => srcOf(p._1) != srcOf(p._2))
+      .flatMap(p => Seq(srcOf(p._1), srcOf(p._2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(_._1).toSet == (within.keySet ++ cross.keySet))
+    out.foreach { case (s, w, c) =>
+      assert(w == within.getOrElse(s, 0L), s)
+      assert(c == cross.getOrElse(s, 0L), s)
+    }
+    // every pair lands exactly once (within) or twice (cross)
+    assert(out.map(_._2).sum + out.map(_._3).sum / 2 == pairs.length.toLong)
+  }
 }
