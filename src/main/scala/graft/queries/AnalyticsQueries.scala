@@ -522,6 +522,42 @@ object AnalyticsQueries {
         })
     }),
 
+    // ---- WEEKLY SEASONALITY strength (one-way ANOVA η², integer):
+    // does day-of-week explain the daily event volume? η² =
+    // SS_between/SS_total over the 30-day daily-count series grouped
+    // by weekday — the decomposition a capacity planner runs before
+    // trusting a single weekly profile. Exact-integer discipline:
+    // deviations are N-scaled (dev_d = x_d·N − T, so SS_total·N² =
+    // Σ dev² is integral); the between-group term (T_g·N − T·n_g)²
+    // carries a 1/n_g that is NOT integral, so each group's term takes
+    // ONE floor division (identical in both engines — parity-safe; the
+    // ≤ n_g absolute bias per group is documented and harmless at ppm
+    // scale). Two tiny aggregates (365-row daily frame → 7-row dow
+    // frame); η² ∈ [0, 1e6] ppm.
+    "q225_dow_anova" -> ((s, d) => {
+      val day = 86400000000L
+      val daily = Tables.events(s, d)
+        .select((col("ts_us") - (col("ts_us") % day)).as("day_us"))
+        .groupBy(col("day_us")).agg(count(lit(1)).as("x"))
+        .withColumn("dow", expr("dayofweek(timestamp_micros(day_us))"))
+      val tot = daily.agg(sum(col("x")).as("t"),
+        count(lit(1)).as("n"))
+      val ssTot = daily.crossJoin(broadcast(tot))
+        .select(((col("x") * col("n") - col("t"))
+          * (col("x") * col("n") - col("t"))).as("dev2"),
+          col("t"), col("n"))
+        .groupBy(col("t"), col("n")).agg(sum(col("dev2")).as("ss_tot"))
+      val ssB = daily.groupBy(col("dow"))
+        .agg(sum(col("x")).as("tg"), count(lit(1)).as("ng"))
+        .crossJoin(broadcast(tot))
+        .select(expr("((tg * n - t * ng) * (tg * n - t * ng)) div ng")
+          .as("term"))
+        .agg(sum(col("term")).as("ss_b"))
+      ssTot.crossJoin(broadcast(ssB))
+        .select(col("n").as("n_days"), col("ss_b"), col("ss_tot"),
+          expr("ss_b * 1000000 div ss_tot").as("eta2_ppm"))
+    }),
+
     // ---- FUNNEL CONVERSION LATENCY: how long from a user's first
     // `signup` to their first subsequent `purchase`? q43's funnel
     // counts who converts; operations wants the latency distribution
@@ -876,6 +912,31 @@ object AnalyticsQueries {
         |  (CAST(sum(CASE WHEN m > k THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000) // CAST(count(*) AS BIGINT) AS hazard_ppm
         |FROM e GROUP BY k""".stripMargin,
+
+    // dow is a grouping key only, never output — Spark's 1..7 and
+    // DuckDB's 0..6 weekday labels induce the SAME 7-way partition,
+    // so every reported sum matches bit-for-bit
+    "q225_dow_anova" ->
+      """WITH t0 AS (SELECT (epoch_ns(ts) // 1000)
+        |    - ((epoch_ns(ts) // 1000) % 86400000000) AS day_us
+        |  FROM events),
+        |daily AS (SELECT day_us, CAST(count(*) AS BIGINT) AS x
+        |  FROM t0 GROUP BY day_us),
+        |dw AS (SELECT day_us, x,
+        |    dayofweek(make_timestamp(day_us)) AS dow FROM daily),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily),
+        |st AS (SELECT CAST(sum((x * n - t) * (x * n - t)) AS BIGINT)
+        |    AS ss_tot, max(n) AS n
+        |  FROM daily, tot),
+        |g AS (SELECT dow, CAST(sum(x) AS BIGINT) AS tg,
+        |    CAST(count(*) AS BIGINT) AS ng FROM dw GROUP BY dow),
+        |sb AS (SELECT CAST(sum(((tg * n - t * ng) * (tg * n - t * ng))
+        |    // ng) AS BIGINT) AS ss_b
+        |  FROM g, tot)
+        |SELECT st.n AS n_days, sb.ss_b, st.ss_tot,
+        |  (sb.ss_b * 1000000) // st.ss_tot AS eta2_ppm
+        |FROM st, sb""".stripMargin,
 
     "q215_conversion_latency" ->
       """WITH f AS (SELECT user_id,

@@ -1267,6 +1267,33 @@ object CorpusQueries {
           col("kappa_num") * 10 > col("kappa_den") * 4)
     }),
 
+    // ---- TOKEN-WEIGHTED median length (truncation planning): the doc
+    // length below which HALF THE TOKENS sit — not half the documents
+    // (q201's quartiles). A context-window cut at the doc-count median
+    // can still truncate most of the token mass when long docs carry
+    // it; this is the number the packing/truncation policy actually
+    // needs. Value-at-rank on the (source, toks) histogram weighted by
+    // token MASS (toks·cnt), cumulated through Prefix.runningSum (no
+    // per-source sort window — the q208 discipline), answer = min
+    // length with 2·cum_mass ≥ total_mass. Integer-exact.
+    "q226_token_weighted_median" -> ((s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cnt"))
+        .withColumn("mass", col("toks") * col("cnt"))
+      val cum = graft.operators.Prefix.runningSum(
+        hist, "source", "toks", "mass", "cum_m")
+      val tot = hist.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_docs"), sum(col("mass")).as("total_m"))
+      cum.join(broadcast(tot), "source")
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("total_m")).as("total_tokens"),
+          min(when(col("cum_m") * 2 >= col("total_m"), col("toks")))
+            .as("wmedian_len"))
+    }),
+
     // ---- K-ANONYMITY risk report (governance leg beside q204's PII
     // scrub): under the quasi-identifier triple (lang, source,
     // length-bucket of 50 tokens), how many docs sit in equivalence
@@ -2223,6 +2250,28 @@ object CorpusQueries {
         |  ((a + d) * nn - pe_num) * 10 > (nn * nn - pe_num) * 4
         |    AS substantial
         |FROM k""".stripMargin,
+
+    "q226_token_weighted_median" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |h AS (SELECT source, toks, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(toks * count(*) AS BIGINT) AS mass
+        |  FROM t GROUP BY source, toks),
+        |c AS (SELECT source, toks, mass,
+        |    CAST(sum(mass) OVER (PARTITION BY source ORDER BY toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_m
+        |  FROM h),
+        |g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |    CAST(sum(mass) AS BIGINT) AS total_m
+        |  FROM h GROUP BY source)
+        |SELECT c.source AS source, max(g.n_docs) AS n_docs,
+        |  max(g.total_m) AS total_tokens,
+        |  min(CASE WHEN c.cum_m * 2 >= g.total_m THEN c.toks END)
+        |    AS wmedian_len
+        |FROM c JOIN g ON c.source = g.source
+        |GROUP BY c.source""".stripMargin,
 
     "q218_k_anonymity" ->
       """WITH c AS (SELECT lang, source,

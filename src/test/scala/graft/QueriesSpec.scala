@@ -1655,4 +1655,55 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     // every pair lands exactly once (within) or twice (cross)
     assert(out.map(_._2).sum + out.map(_._3).sum / 2 == pairs.length.toLong)
   }
+
+  test("q225 dow anova: sums replay in BigInt, eta2 in [0, 1e6], " +
+    "between never exceeds total") {
+    val r = SparkEntry.queries("q225_dow_anova")(spark, sf)
+      .collect().head
+    val day = 86400000000L
+    val daily = Tables.events(spark, sf)
+      .select((col("ts_us") - (col("ts_us") % day)).as("day_us"))
+      .groupBy(col("day_us")).count().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val n = BigInt(daily.length)
+    val t = BigInt(daily.map(_._2).sum)
+    val ssTot = daily.map { case (_, x) =>
+      val dv = BigInt(x) * n - t; dv * dv }.sum
+    val byDow = daily.groupBy { case (d0, _) =>
+      // same partition as dayofweek: day index mod 7
+      (d0 / day) % 7
+    }
+    val ssB = byDow.values.map { g =>
+      val ng = BigInt(g.length)
+      val tg = BigInt(g.map(_._2).sum)
+      val dv = tg * n - t * ng
+      dv * dv / ng
+    }.sum
+    assert(r.getLong(0) == daily.length.toLong)
+    assert(BigInt(r.getLong(1)) == ssB && BigInt(r.getLong(2)) == ssTot)
+    assert(r.getLong(1) <= r.getLong(2), "SS_between <= SS_total")
+    val eta = r.getLong(3)
+    assert(eta >= 0 && eta <= 1000000)
+    assert(BigInt(eta) == ssB * 1000000 / ssTot)
+  }
+
+  test("q226 token-weighted median: naive mass replay, and the " +
+    "doc-count median never exceeds it on long-tailed sources") {
+    val out = SparkEntry.queries("q226_token_weighted_median")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val bySrc = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, xs) =>
+      val total = xs.sum
+      var cum = 0L
+      val wmed = xs.find { x => cum += x; cum * 2 >= total }.get
+      val (gn, gt, gw) = out(s)
+      assert(gn == xs.length.toLong && gt == total && gw == wmed, s)
+    }
+  }
 }
