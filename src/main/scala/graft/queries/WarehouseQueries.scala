@@ -948,15 +948,38 @@ object WarehouseQueries {
                            d: String): (String, String) = {
     val tag = math.abs(d.hashCode).toString
     val (to, tl) = (s"g_ord_bucketed_$tag", s"g_li_bucketed_$tag")
-    if (!s.catalog.tableExists(to))
+    if (!s.catalog.tableExists(to)) {
+      purgeStaleLocation(s, to)
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
-    if (!s.catalog.tableExists(tl))
+    }
+    if (!s.catalog.tableExists(tl)) {
+      purgeStaleLocation(s, tl)
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    }
     (to, tl)
+  }
+
+  /** A managed table the CATALOG has forgotten (the derby metastore is
+    * run-scoped and gitignored) can still leave its warehouse directory
+    * behind, and CREATE TABLE then refuses the orphan location. These
+    * tables are run-scoped artifacts, not durable data — delete the
+    * stale location so the rebuild is idempotent across JVMs.
+    */
+  private def purgeStaleLocation(s: org.apache.spark.sql.SparkSession,
+                                 table: String): Unit = {
+    val wh = java.net.URI.create(
+      s.sessionState.conf.warehousePath).getPath
+    val dir = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** DuckDB mirror of ZOrder.spread16 (5 mask-shift doublings). The
