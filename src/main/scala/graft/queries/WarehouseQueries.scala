@@ -756,6 +756,41 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- NEXT-EVENT PREDICTABILITY (integer conditional surprisal):
+    // q75 counts the Markov transitions; this scores how PREDICTABLE
+    // each state is — per current event type, the transition-weighted
+    // mean of ⌊log2(c_cur/c_pair)⌋ (the q195 bit-length idiom:
+    // length(bin(c_cur div c_pair)) − 1 — no libm, parity-exact; a
+    // state whose mass concentrates on one successor scores near 0, a
+    // uniform 5-way fan scores near log2(5)). The floor-of-ratio
+    // surprisal under-counts fractional bits (documented — it is a
+    // lower bound, applied identically in both engines). One
+    // transition-count frame (the q75 shape — user-partitioned lag,
+    // high-cardinality keys), one type-grain fold; output is
+    // state-cardinality rows.
+    "q227_transition_surprisal" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val cur = trans.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("n_out"),
+          count(lit(1)).as("n_next_types"))
+      trans.join(broadcast(cur), "prev_type")
+        .select(col("prev_type"), col("n_out"), col("n_next_types"),
+          (col("n") * (length(expr("bin(n_out div n)")) - 1)
+            .cast("bigint")).as("wsurp"))
+        .groupBy(col("prev_type"), col("n_out"), col("n_next_types"))
+        .agg(sum(col("wsurp")).as("surp_sum"))
+        .select(col("prev_type"), col("n_out"), col("n_next_types"),
+          expr("surp_sum * 1000 div n_out").as("surprisal_x1000"))
+    }),
+
     // ---- z-order layout audit: quantize (l_orderkey, l_partkey) to 16
     // bits each against their true maxima (one broadcast agg row),
     // interleave into a 32-bit Morton code (functions/ZOrder.scala —
@@ -1400,6 +1435,26 @@ object WarehouseQueries {
         |SELECT prev_type, event_type, count(*) AS n FROM seq
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type""".stripMargin,
+
+    "q227_transition_surprisal" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC)
+        |      AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM seq
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |c AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out,
+        |    CAST(count(*) AS BIGINT) AS n_next_types
+        |  FROM t GROUP BY prev_type)
+        |SELECT t.prev_type AS prev_type, max(c.n_out) AS n_out,
+        |  max(c.n_next_types) AS n_next_types,
+        |  (CAST(sum(t.n * (length(bin(c.n_out // t.n)) - 1)) AS BIGINT)
+        |    * 1000) // max(c.n_out) AS surprisal_x1000
+        |FROM t JOIN c ON t.prev_type = c.prev_type
+        |GROUP BY t.prev_type""".stripMargin,
 
     // percentile_disc is DuckDB's exact discrete quantile — the value at
     // rank ceil(p·n), the same point the histogram conditional-min picks

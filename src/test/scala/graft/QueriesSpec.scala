@@ -1706,4 +1706,27 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(gn == xs.length.toLong && gt == total && gw == wmed, s)
     }
   }
+
+  test("q227 transition surprisal: equals the naive bit-length replay " +
+    "over q75's transition counts, bounded by log2(branching)") {
+    val out = SparkEntry.queries("q227_transition_surprisal")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val trans = SparkEntry.queries("q75_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byCur = trans.groupBy(_._1)
+    assert(out.keySet == byCur.keySet)
+    byCur.foreach { case (cur, ts) =>
+      val nOut = ts.map(_._3).sum
+      def lg(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val surp = ts.map { case (_, _, n) => n * lg(nOut / n) }.sum
+      val (gOut, gTypes, gS) = out(cur)
+      assert(gOut == nOut && gTypes == ts.length.toLong, cur)
+      assert(gS == surp * 1000 / nOut, cur)
+      // floor-surprisal cannot exceed log2 of the branching factor
+      assert(gS <= lg(ts.length.toLong.max(1)) * 1000 + 1000, cur)
+      assert(gS >= 0)
+    }
+  }
 }
