@@ -1076,20 +1076,18 @@ object CorpusQueries {
     // one reducer. gini_ppm = Σ|x_i−x_j|·1e6 div (2·n·Σx), all exact
     // integers (bounded by n²·max_toks·1e6 — switch the products to the
     // q205 DECIMAL discipline past ~10^9 docs per source).
+    // The histogram-identity kernel lives in operators/Stats.giniPpm
+    // (PropertySpec: naive rank-formula equality + exact scale
+    // invariance); this query is the per-source doc-length
+    // instantiation.
     "q208_length_gini" -> ((s, d) => {
-      val hist = Tables.documents(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("toks"))
-        .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cv"))
-        .withColumn("sv", col("toks") * col("cv"))
-      val c2 = graft.operators.Prefix.runningSums(
-        hist, "source", "toks", Seq("cv" -> "cum_c", "sv" -> "cum_s"))
-      c2.groupBy(col("source"))
-        .agg(sum(col("cv")).as("n_docs"), sum(col("sv")).as("sum_toks"),
-          (sum(col("cv") * (col("toks") * (col("cum_c") - col("cv"))
-            - (col("cum_s") - col("sv")))) * 2).as("md"))
-        .select(col("source"), col("n_docs"), col("sum_toks"),
-          expr("md * 1000000 div (2 * n_docs * sum_toks)").as("gini_ppm"))
+      graft.operators.Stats.giniPpm(
+          Tables.documents(s, d)
+            .select(col("source"),
+              size(split(col("text"), " ")).cast("bigint").as("toks")),
+          "source", "toks")
+        .withColumnRenamed("n_rows", "n_docs")
+        .withColumnRenamed("sum_vals", "sum_toks")
     }),
 
     // ---- CLASSIFIER CALIBRATION audit (reliability deciles): bin the

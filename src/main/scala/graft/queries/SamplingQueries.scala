@@ -484,38 +484,15 @@ object SamplingQueries {
     // token sum runs at SOURCE cardinality (a 20-row global window
     // here, stratum-count rows at 100 TB — planner-scale by
     // construction, the same posture as q202/q63).
+    // The closed-form algorithm lives in operators/Stats.waterfill
+    // (PropertySpec drives it over randomized cap frames); this query
+    // is the per-source token instantiation at B = ⌊total/2⌋.
     "q206_budget_waterfill" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val caps = Tables.documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("bigint").as("toks"))
         .groupBy(col("source")).agg(sum(col("toks")).as("cap_tokens"))
-      val ord = Window.orderBy(col("cap_tokens").asc, col("source").asc)
-      val ranked = caps
-        .withColumn("i", row_number().over(ord).cast("bigint"))
-        .withColumn("prefix", coalesce(sum(col("cap_tokens")).over(
-          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val tot = caps.agg(sum(col("cap_tokens")).as("total_tokens"),
-        count(lit(1)).as("n_src"))
-      val st = ranked.crossJoin(broadcast(tot))
-        .withColumn("slots", col("n_src") - col("i") + 1)
-        .withColumn("rem", expr("total_tokens div 2") - col("prefix"))
-        .withColumn("sat", col("cap_tokens") * col("slots") <= col("rem"))
-      // the waterline row: min-i unsaturated (agg over an EMPTY frame
-      // when B >= total yields NULLs; every row is then saturated and
-      // the otherwise-branch is never taken)
-      val cut = st.filter(!col("sat"))
-        .agg(min(col("i")).as("cut_i"),
-          min_by(col("rem"), col("i")).as("rem_cut"),
-          min_by(col("slots"), col("i")).as("slots_cut"))
-      st.crossJoin(broadcast(cut))
-        .select(col("source"), col("cap_tokens"),
-          when(col("sat"), col("cap_tokens"))
-            .otherwise(expr("rem_cut div slots_cut")
-              + when(col("i") - col("cut_i") < expr("rem_cut % slots_cut"),
-                  1L).otherwise(0L))
-            .as("alloc_tokens"),
-          col("sat").as("saturated"))
+      graft.operators.Stats.waterfill(caps, "source", "cap_tokens")
     }),
 
     // ---- per-stratum EXACT-k sample (eval carving, stratified leg):

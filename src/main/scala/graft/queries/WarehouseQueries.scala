@@ -950,25 +950,17 @@ object WarehouseQueries {
           sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // The doubled-U histogram kernel lives in
+    // operators/Stats.mannWhitneyShift (PropertySpec: quadratic naive
+    // equality + the exact cohort-swap antisymmetry U2(A,B) + U2(B,A)
+    // = 2·na·nb); this query is the price-by-cohort instantiation.
     "q220_mannwhitney_shift" -> ((s, d) => {
-      val h = Tables.orders(s, d)
-        .select(col("o_orderpriority").as("grp"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
-          (col("o_custkey") % 2 === 0).as("ia"))
-        .groupBy(col("grp"), col("v"))
-        .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("ca"),
-          sum(when(!col("ia"), 1L).otherwise(0L)).as("cb"))
-      val cum = graft.operators.Prefix.runningSum(
-        h, "grp", "v", "cb", "cum_b")
-      cum.groupBy(col("grp"))
-        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-          sum(col("ca") * (col("cum_b") - col("cb")) * 2
-            + col("ca") * col("cb")).as("u2"))
-        .select(col("grp"), col("na"), col("nb"), col("u2"),
-          (col("u2") - col("na") * col("nb")).as("rb_num"),
-          (col("na") * col("nb")).as("rb_den"))
-        .withColumn("shifted",
-          abs(col("rb_num")) * 10 > col("rb_den"))
+      graft.operators.Stats.mannWhitneyShift(
+        Tables.orders(s, d)
+          .select(col("o_orderpriority").as("grp"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+            (col("o_custkey") % 2 === 0).as("ia")),
+        "grp", "v", "ia")
     })
   )
 

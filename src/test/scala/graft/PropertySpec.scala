@@ -134,4 +134,109 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       want.foreach { case (k, qs) => assert(got(k) == qs, s"group $k") }
     }
   }
+
+  test("waterfill: budget conserved, caps respected, equal-within-1 " +
+    "fair shares, equals the sequential simulation on random caps") {
+    import spark.implicits._
+    val capsGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 500L)))
+    samples(Gen.zip(capsGen, Gen.choose(1L, 4L)), 8).foreach {
+      case (caps0, bdiv) =>
+        val caps = caps0.zipWithIndex
+          .map { case (c, i) => (f"k$i%02d", c) }
+        val out = graft.operators.Stats.waterfill(
+            caps.toDF("k", "cap"), "k", "cap", budgetDiv = bdiv)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3)))
+        val total = caps.map(_._2).sum
+        val budget = total / bdiv
+        assert(out.map(_._3).sum == math.min(budget, total))
+        out.foreach { case (k, cap, alloc, sat) =>
+          assert(alloc >= 0 && alloc <= cap, k)
+          assert(!sat || alloc == cap, k)
+        }
+        val unsat = out.filter(!_._4).map(_._3)
+        if (unsat.nonEmpty) assert(unsat.max - unsat.min <= 1)
+        // sequential simulation (cap-ascending, key tiebreak)
+        var rem = budget
+        var slots = caps.length.toLong
+        val sim = scala.collection.mutable.Map.empty[String, Long]
+        var leveled = List.empty[String]
+        caps.sortBy(t => (t._2, t._1)).foreach { case (k, cap) =>
+          if (leveled.isEmpty && cap * slots <= rem) {
+            sim(k) = cap; rem -= cap; slots -= 1
+          } else leveled ::= k
+        }
+        val ordered = leveled.reverse
+        ordered.zipWithIndex.foreach { case (k, j) =>
+          sim(k) = rem / ordered.length +
+            (if (j < rem % ordered.length) 1L else 0L)
+        }
+        out.foreach { case (k, _, alloc, _) => assert(alloc == sim(k), k) }
+    }
+  }
+
+  test("giniPpm: equals the rank formula and is EXACTLY scale-" +
+    "invariant under x -> c*x on random value frames") {
+    import spark.implicits._
+    val rowsG = Gen.listOfN(50,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(1L, 40L)))
+    samples(rowsG, 5).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      def run(f: org.apache.spark.sql.DataFrame) =
+        graft.operators.Stats.giniPpm(f, "k", "v").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3)))).toMap
+      val got = run(df)
+      val want = rows.groupBy(_._1).map { case (k, vs) =>
+        val xs = vs.map(_._2).sorted
+        val n = xs.length.toLong
+        val md = 2 * xs.zipWithIndex.map { case (x, i0) =>
+          (2 * (i0 + 1L) - n - 1) * x }.sum
+        k -> md * 1000000 / (2 * n * xs.sum)
+      }
+      got.foreach { case (k, (_, _, g)) => assert(g == want(k), s"k $k") }
+      // exact invariance: integer scaling multiplies both md and n*sum
+      // by c, so the floored ppm is bit-identical
+      val scaled = run(rows.map { case (k, v) => (k, v * 7L) }
+        .toDF("k", "v"))
+      got.foreach { case (k, (_, _, g)) =>
+        assert(scaled(k)._3 == g, s"scale invariance broke at k $k") }
+    }
+  }
+
+  test("mannWhitneyShift: equals the quadratic naive doubled-U and " +
+    "cohort swap is exactly antisymmetric") {
+    import spark.implicits._
+    val rowsG = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(0L, 15L), Gen.oneOf(true, false)))
+    samples(rowsG, 5).foreach { rows =>
+      val df = rows.toDF("k", "v", "ia")
+      def run(f: org.apache.spark.sql.DataFrame) =
+        graft.operators.Stats.mannWhitneyShift(f, "k", "v", "ia")
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val got = run(df)
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val as = rs.filter(_._3).map(_._2)
+        val bs = rs.filter(!_._3).map(_._2)
+        val u2 = as.iterator.map(a =>
+          2L * bs.count(_ < a) + bs.count(_ == a)).sum
+        val (na, nb, gu2, rbn, rbd) = got(k)
+        assert(na == as.length.toLong && nb == bs.length.toLong)
+        assert(gu2 == u2 && rbn == u2 - na * nb && rbd == na * nb, s"k $k")
+      }
+      // swap cohorts: U2(A,B) + U2(B,A) = 2*na*nb exactly (ties split)
+      val swapped = run(rows.map { case (k, v, ia) => (k, v, !ia) }
+        .toDF("k", "v", "ia"))
+      got.foreach { case (k, (na, nb, u2, rbn, _)) =>
+        val (nb2, na2, u2s, rbn2, _) = swapped(k)
+        assert(na2 == na && nb2 == nb)
+        assert(u2 + u2s == 2 * na * nb, s"tie ledger broke at k $k")
+        assert(rbn2 == -rbn, s"antisymmetry broke at k $k")
+      }
+    }
+  }
 }
