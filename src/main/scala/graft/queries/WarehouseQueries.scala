@@ -950,6 +950,34 @@ object WarehouseQueries {
           sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- BENFORD leading-digit audit (fraud / synthetic-data
+    // detection): the first-digit distribution of o_totalprice (at
+    // exact cents, so the digit comes from an INTEGER's decimal
+    // string — identical formatting in both engines; float-to-string
+    // never enters) against pinned Benford expectations
+    // ppm(d) = ⌊log10(1+1/d)·10⁶⌋. A fabricated or uniformly-generated
+    // amount column misses the 30.1% mass on digit 1 immediately —
+    // TPC-H's synthetic prices do, which is exactly what the audit is
+    // for. Verdict per digit: |observed − expected| > 2 pp,
+    // cross-multiplied (|n_d·10⁶ − exp·N| > 20000·N — no division).
+    // One map-combined digit histogram; the 9-row report is free.
+    "q228_benford_audit" -> ((s, d) => {
+      val exp = Seq((1, 301029L), (2, 176091L), (3, 124938L),
+        (4, 96910L), (5, 79181L), (6, 66946L), (7, 57991L),
+        (8, 51152L), (9, 45757L))
+      val expDf = s.createDataFrame(exp).toDF("digit", "expected_ppm")
+      val h = Tables.orders(s, d)
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice " +
+          "* 100) AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum(col("n")).as("nn"))
+      h.crossJoin(broadcast(tot)).join(broadcast(expDf), Seq("digit"))
+        .select(col("digit"), col("n"), col("expected_ppm"),
+          expr("n * 1000000 div nn").as("observed_ppm"),
+          (abs(col("n") * 1000000L - col("expected_ppm") * col("nn"))
+            > lit(20000L) * col("nn")).as("flagged"))
+    }),
+
     // The doubled-U histogram kernel lives in
     // operators/Stats.mannWhitneyShift (PropertySpec: quadratic naive
     // equality + the exact cohort-swap antisymmetry U2(A,B) + U2(B,A)
@@ -1490,6 +1518,22 @@ object WarehouseQueries {
         |  sum(l.l_quantity) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "q228_benford_audit" ->
+      """WITH e(digit, expected_ppm) AS (VALUES
+        |    (1, CAST(301029 AS BIGINT)), (2, 176091), (3, 124938),
+        |    (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+        |    (8, 51152), (9, 45757)),
+        |h AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice
+        |      * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM h)
+        |SELECT h.digit, h.n, e.expected_ppm,
+        |  (h.n * 1000000) // t.nn AS observed_ppm,
+        |  abs(h.n * 1000000 - e.expected_ppm * t.nn) > 20000 * t.nn
+        |    AS flagged
+        |FROM h, t JOIN e ON h.digit = e.digit""".stripMargin,
 
     "q220_mannwhitney_shift" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

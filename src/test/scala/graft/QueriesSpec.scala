@@ -1729,4 +1729,28 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(gS >= 0)
     }
   }
+
+  test("q228 benford: digit census replays, expectations sum to ~1e6, " +
+    "flags fire exactly at the 2pp rule") {
+    val out = SparkEntry.queries("q228_benford_audit")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val digits = Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.head.asDigit)
+    val census = digits.groupBy(identity).view.mapValues(_.length.toLong)
+    val n = digits.length.toLong
+    assert(out.map(_._2).sum == n, "every order has a leading digit")
+    assert(math.abs(out.map(_._3).sum - 1000000L) <= 9,
+      "pinned Benford ppm must sum to ~1e6")
+    out.foreach { case (d, c, exp, obs, fl) =>
+      assert(c == census(d), s"digit $d")
+      assert(obs == c * 1000000 / n)
+      assert(fl == (math.abs(c * 1000000 - exp * n) > 20000 * n), s"d $d")
+    }
+    // TPC-H prices are synthetic sums, not Benford — the audit must
+    // actually catch that (at least one digit flagged)
+    assert(out.exists(_._5), "synthetic prices should violate Benford")
+  }
 }
