@@ -239,4 +239,31 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("stats kernels: degenerate edges — constant Gini is 0, " +
+    "budgetDiv=1 saturates every key, all-ties U is exactly na*nb") {
+    import spark.implicits._
+    // constant values: every pairwise difference is 0
+    val g = graft.operators.Stats.giniPpm(
+        Seq.fill(30)((1L, 7L)).toDF("k", "v"), "k", "v")
+      .collect().head
+    assert(g.getLong(1) == 30L && g.getLong(3) == 0L)
+    // full budget: every key takes its cap, none unsaturated
+    val w = graft.operators.Stats.waterfill(
+        Seq(("a", 5L), ("b", 0L), ("c", 9L)).toDF("k", "cap"),
+        "k", "cap", budgetDiv = 1L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(w("a") == ((5L, true)) && w("b") == ((0L, true))
+      && w("c") == ((9L, true)))
+    // identical distributions with total ties: U2 = 2*(na*nb/2) ties
+    // -> u2 == na*nb, rb_num == 0, not shifted
+    val rows = (1 to 12).map(i => (1L, 5L, i % 2 == 0))
+    val m = graft.operators.Stats.mannWhitneyShift(
+        rows.toDF("k", "v", "ia"), "k", "v", "ia")
+      .collect().head
+    assert(m.getLong(3) == m.getLong(1) * m.getLong(2))
+    assert(m.getLong(4) == 0L && !m.getBoolean(6))
+  }
 }
