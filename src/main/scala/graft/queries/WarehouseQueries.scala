@@ -950,6 +950,65 @@ object WarehouseQueries {
           sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- KRUSKAL–WALLIS k-sample rank test: do the five priority
+    // strata draw o_totalprice from the same distribution? q220's
+    // Mann–Whitney compares two cohorts; KW is the k-sample
+    // generalization — the one-shot "is any stratum different" gate
+    // run before k·(k−1)/2 pairwise tests. Exact-integer discipline:
+    // tie-adjusted average ranks are half-integers, so DOUBLED ranks
+    // r2(v) = 2·C_<v + c_v + 1 are exact integers from ONE global
+    // prefix sum over the cents-value histogram (constant-key
+    // Prefix.runningSum — the operator's single-mega-key case);
+    // per-stratum doubled rank sums R2_g are exact. The statistic
+    // H = 3·Σ(R2_g²/n_g)/(N(N+1)) − 3(N+1) takes one per-group floor
+    // on R2_g²/n_g (documented, identical both engines, and H is
+    // additionally conservative without the tie correction — both
+    // biases point AWAY from false alarms). Verdict H > 9.488
+    // (χ², df = 4, α = 0.05) cross-multiplied:
+    // 3·Σ⌊R2_g²/n_g⌋ − 12·(N+1)²·N/... kept as the direct comparison
+    // h_num > h_crit over the common positive denominator. Output:
+    // one row per stratum (n_g, r2_g) carrying the global verdict.
+    "q229_kruskal_wallis" -> ((s, d) => {
+      // per-(grp, v) counts; global value counts re-aggregate from them
+      val gv = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+        .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cgv"))
+      val vTot = gv.groupBy(col("v")).agg(sum(col("cgv")).as("cv"))
+        .withColumn("k", lit(1))
+      val cum = graft.operators.Prefix.runningSum(
+        vTot, "k", "v", "cv", "cum_v")
+      val ranked = cum
+        .withColumn("r2", (col("cum_v") - col("cv")) * 2
+          + col("cv") + 1)
+        .select(col("v"), col("r2"))
+      val rg = gv.join(ranked, "v")
+        .groupBy(col("grp"))
+        .agg(sum(col("cgv")).as("n_g"),
+          sum(col("cgv") * col("r2")).as("r2_g"))
+      val tot = rg.agg(sum(col("n_g")).as("nn"),
+        // Σ ⌊R2_g² / n_g⌋ — the one documented floor; the square runs
+        // in DECIMAL(18,0) (R2_g² can pass 2⁶³ at sf0.1), the floored
+        // quotient is back under 2⁶³
+        sum(expr("(CAST(r2_g AS DECIMAL(18,0)) " +
+          "* CAST(r2_g AS DECIMAL(18,0))) div n_g")).as("s2"))
+      // H = 3·S2/(N(N+1)) − 3(N+1)  [R = R2/2 absorbed: 12·(R2/2)²=3·R2²]
+      // H > 9.488 ⟺ 1000·3·S2 − 3000·(N+1)·N·(N+1) > 9488·N·(N+1),
+      // all in DECIMAL(18,0) products (S2 can reach ~N³)
+      rg.crossJoin(broadcast(tot))
+        .select(col("grp"), col("n_g"), col("r2_g"),
+          (lit(3000).cast("decimal(18,0)")
+              * col("s2").cast("decimal(18,0)")
+            - lit(3000).cast("decimal(18,0)")
+              * col("nn").cast("decimal(18,0)")
+              * (col("nn") + 1).cast("decimal(18,0)")
+              * (col("nn") + 1).cast("decimal(18,0)") >
+            lit(9488).cast("decimal(18,0)")
+              * col("nn").cast("decimal(18,0)")
+              * (col("nn") + 1).cast("decimal(18,0)"))
+            .as("significant"))
+    }),
+
     // ---- BENFORD leading-digit audit (fraud / synthetic-data
     // detection): the first-digit distribution of o_totalprice (at
     // exact cents, so the digit comes from an INTEGER's decimal
@@ -1518,6 +1577,31 @@ object WarehouseQueries {
         |  sum(l.l_quantity) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "q229_kruskal_wallis" ->
+      """WITH gv AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cgv
+        |  FROM orders GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(sum(cgv) AS BIGINT) AS cv FROM gv
+        |  GROUP BY v),
+        |c AS (SELECT v, cv, CAST(sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_v
+        |  FROM vt),
+        |r AS (SELECT v, (cum_v - cv) * 2 + cv + 1 AS r2 FROM c),
+        |rg AS (SELECT grp, CAST(sum(cgv) AS BIGINT) AS n_g,
+        |    CAST(sum(cgv * r2) AS BIGINT) AS r2_g
+        |  FROM gv JOIN r USING (v) GROUP BY grp),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+        |    CAST(sum((CAST(r2_g AS HUGEINT) * r2_g) // n_g) AS BIGINT)
+        |      AS s2
+        |  FROM rg)
+        |SELECT grp, n_g, r2_g,
+        |  3000 * CAST(s2 AS HUGEINT)
+        |      - 3000 * CAST(nn AS HUGEINT) * (nn + 1) * (nn + 1)
+        |    > 9488 * CAST(nn AS HUGEINT) * (nn + 1) AS significant
+        |FROM rg, t""".stripMargin,
 
     "q228_benford_audit" ->
       """WITH e(digit, expected_ppm) AS (VALUES

@@ -1753,4 +1753,39 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     // actually catch that (at least one digit flagged)
     assert(out.exists(_._5), "synthetic prices should violate Benford")
   }
+
+  test("q229 kruskal-wallis: doubled rank sums replay, the rank " +
+    "ledger closes at N(N+1), and the verdict equals the BigInt rule") {
+    val out = SparkEntry.queries("q229_kruskal_wallis")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val n = rows.length.toLong
+    // doubled tie-averaged rank per value: 2*C_less + c_v + 1
+    val byV = rows.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val less = sortedV.scanLeft(0L)((acc, v) => acc + byV(v))
+    val r2 = sortedV.zip(less).map { case (v, l) =>
+      v -> (2 * l + byV(v) + 1) }.toMap
+    val expRg = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(t => r2(t._2)).sum) }.toMap
+    assert(out.map(_._1).toSet == expRg.keySet)
+    out.foreach { case (g, ng, rg, _) =>
+      val (en, er) = expRg(g)
+      assert(ng == en && rg == er, g)
+    }
+    // Σ doubled ranks over all rows = N(N+1) (tie-average preserving)
+    assert(out.map(_._3).sum == n * (n + 1))
+    // verdict: H > 9.488 via the same floored-S2 BigInt arithmetic
+    val s2 = expRg.values.map { case (ng, rg) =>
+      BigInt(rg) * rg / ng }.sum
+    val bn = BigInt(n)
+    val want = 3000 * s2 - 3000 * bn * (bn + 1) * (bn + 1) >
+      9488 * bn * (bn + 1)
+    out.foreach { case (g, _, _, sig) => assert(sig == want, g) }
+  }
 }
