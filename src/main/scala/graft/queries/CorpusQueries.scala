@@ -71,7 +71,8 @@ object CorpusQueries {
     * refinements re-scan the MATERIALIZED aggregate instead of
     * re-tokenizing the corpus per pass (9 token passes collapse to 1).
     */
-  private def qualitySignals(s: SparkSession, d: String): DataFrame =
+  private[queries] def qualitySignals(s: SparkSession,
+                                      d: String): DataFrame =
     Shared.frame(s, "quality_signals", d) {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

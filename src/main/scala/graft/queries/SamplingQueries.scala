@@ -519,6 +519,82 @@ object SamplingQueries {
         .select(col("source"), col("doc_id"), col("rk"))
     }),
 
+    // ---- SAMPLE-SIZE PLANNER (per-stratum review budgeting): how many
+    // docs must a human review per source to estimate its keep rate
+    // within ±2 pp at 95% confidence? n = ⌈z²·p(1−p)/e²⌉ with z² and e
+    // PINNED integer constants (z² = 3.8416 → 38416·10⁻⁴, e = 0.02 →
+    // e² = 4·10⁻⁴), p = the observed q124 keep rate in ppm — so the
+    // whole ceiling is one integer expression
+    // (38416·pp·(10⁶−pp) + D − 1) div D with D = 4·10¹²·10⁻⁴·10⁴ =
+    // 4·10¹². The worst case (p = ½) is the familiar n ≈ 2401; skewed
+    // strata need fewer. One pass over the shared quality_signals
+    // artifact; output is stratum-cardinality rows. n_req is capped at
+    // the stratum size (finite population: reviewing everything always
+    // suffices; the FPC refinement is deliberately left out — the
+    // uncapped number is the conservative one).
+    "q230_sample_size_plan" -> ((s, d) => {
+      val rates = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .join(graft.queries.CorpusQueries.qualitySignals(s, d),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
+      rates.select(col("source"), col("n_docs"), col("keep_ppm"),
+        least(col("n_docs"),
+          expr("(38416 * keep_ppm * (1000000 - keep_ppm) " +
+            "+ 3999999999999) div 4000000000000")).as("n_review"))
+    }),
+
+    // ---- NEYMAN REVIEW ALLOCATION: split a fixed review budget
+    // R = 1000 across sources ∝ N_h·σ_h (σ for a Bernoulli keep rate
+    // = √(p·q) — floor-of-sqrt on the ppm product, the q202
+    // correctly-rounded-sqrt discipline), the variance-minimizing
+    // stratified design. Integer weights w_h = N_h·⌊√(pp·(10⁶−pp))⌋;
+    // seats = largest-remainder apportionment (floor share + one extra
+    // seat to the R mod Σw... largest fractional remainders, ties
+    // source-asc — fully deterministic, Σ alloc = R exactly when
+    // Σw > 0). A stratum with pp ∈ {0, 10⁶} has σ = 0 and draws no
+    // reviews — the audit-the-uncertain posture. Stratum-cardinality
+    // arithmetic end to end after one shared-signal pass.
+    "q231_neyman_allocation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000L
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .join(graft.queries.CorpusQueries.qualitySignals(s, d),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
+        .withColumn("w", col("n_docs") * expr(
+          "CAST(floor(sqrt(CAST(keep_ppm * (1000000 - keep_ppm) " +
+            "AS DOUBLE))) AS BIGINT)"))
+      val tot = w.agg(sum(col("w")).as("sum_w"))
+      val base = w.crossJoin(broadcast(tot))
+        .withColumn("floor_seats",
+          when(col("sum_w") > 0, expr(s"$budget * w div sum_w"))
+            .otherwise(lit(0L)))
+        .withColumn("rem",
+          when(col("sum_w") > 0, expr(s"($budget * w) % sum_w"))
+            .otherwise(lit(0L)))
+      val ord = Window.orderBy(col("rem").desc, col("source").asc)
+      // all-zero weights (every stratum fully certain): nothing to
+      // prioritize, allocate nothing rather than spraying the budget
+      val extraTot = base.agg(
+        when(max(col("sum_w")) > 0,
+          lit(budget) - sum(col("floor_seats"))).otherwise(lit(0L))
+          .as("extra"))
+      base.withColumn("rk", row_number().over(ord).cast("bigint"))
+        .crossJoin(broadcast(extraTot))
+        .select(col("source"), col("n_docs"), col("keep_ppm"), col("w"),
+          (col("floor_seats")
+            + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+            .as("n_review"))
+    }),
+
     // ---- shard-plan audit: hash docs into 32 output shards and report
     // the token balance per shard (balance = shard share × 32; 1.0 =
     // perfectly even). Hash-mod sharding is the only assignment that
@@ -706,7 +782,55 @@ object SamplingQueries {
     */
   private val DsirBuckets = 64
 
+  /** Shared oracle fragment: per-doc q124 score joined to source. */
+  private def scoreBySourceSql: String =
+    s"""t AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |fb AS (SELECT doc_id, tok,
+      |    ${hashBucketSql("tok", 1, 1024)} AS b FROM t),
+      |fw AS (SELECT doc_id,
+      |    (${hashBucketSql("b", 9, 2001)}) - 1000 AS w FROM fb),
+      |pd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+      |  FROM fw GROUP BY doc_id),
+      |r AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN pd.score >= 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_keep
+      |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+      |  GROUP BY d.source),
+      |k AS (SELECT source, n_docs,
+      |    (n_keep * 1000000) // n_docs AS keep_ppm FROM r)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q230_sample_size_plan" ->
+      s"""WITH $scoreBySourceSql
+        |SELECT source, n_docs, keep_ppm,
+        |  least(n_docs, (38416 * keep_ppm * (1000000 - keep_ppm)
+        |    + 3999999999999) // 4000000000000) AS n_review
+        |FROM k""".stripMargin,
+
+    "q231_neyman_allocation" ->
+      s"""WITH $scoreBySourceSql,
+        |w AS (SELECT source, n_docs, keep_ppm,
+        |    n_docs * CAST(floor(sqrt(CAST(keep_ppm
+        |      * (1000000 - keep_ppm) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM k),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+        |b AS (SELECT w.source, w.n_docs, w.keep_ppm, w.w,
+        |    CASE WHEN sum_w > 0 THEN (1000 * w.w) // sum_w
+        |      ELSE 0 END AS floor_seats,
+        |    CASE WHEN sum_w > 0 THEN (1000 * w.w) % sum_w
+        |      ELSE 0 END AS rem
+        |  FROM w, s),
+        |e AS (SELECT CASE WHEN (SELECT sum_w FROM s) > 0
+        |    THEN 1000 - CAST(sum(floor_seats) AS BIGINT)
+        |    ELSE 0 END AS extra FROM b),
+        |rk AS (SELECT b.*, CAST(row_number() OVER (ORDER BY rem DESC,
+        |    source ASC) AS BIGINT) AS rk FROM b)
+        |SELECT source, n_docs, keep_ppm, w,
+        |  CAST(floor_seats + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_review
+        |FROM rk, e""".stripMargin,
+
     "q221_stratified_k_sample" ->
       s"""WITH r AS (SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source

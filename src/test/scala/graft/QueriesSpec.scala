@@ -1788,4 +1788,42 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       9488 * bn * (bn + 1)
     out.foreach { case (g, _, _, sig) => assert(sig == want, g) }
   }
+
+  test("q230 sample-size plan: the ceiling formula replays, the " +
+    "worst case tops out at 2401, and certainty needs zero-ish review") {
+    val out = SparkEntry.queries("q230_sample_size_plan")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (s, n, pp, nr) =>
+      assert(pp >= 0 && pp <= 1000000)
+      val raw = (BigInt(38416) * pp * (1000000L - pp)
+        + BigInt("3999999999999")) / BigInt("4000000000000")
+      assert(nr == math.min(n, raw.toLong), s)
+      assert(nr <= 2401, "p=1/2 upper bound")
+      if (pp == 0 || pp == 1000000) assert(nr <= 1)
+    }
+  }
+
+  test("q231 neyman allocation: budget exhausted exactly, weights " +
+    "replay, zero-variance strata draw nothing") {
+    val out = SparkEntry.queries("q231_neyman_allocation")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val sumW = out.map(_._4).sum
+    if (sumW > 0)
+      assert(out.map(_._5).sum == 1000L, "largest-remainder exhausts R")
+    out.foreach { case (s, n, pp, w, nr) =>
+      val sig = math.sqrt((pp * (1000000L - pp)).toDouble).toLong
+      assert(w == n * sig, s)
+      if (w == 0) assert(nr == 0, s"certain stratum $s must draw 0")
+      // floor share bound: alloc within 1 of the exact proportional cut
+      if (sumW > 0) {
+        val floorShare = 1000L * w / sumW
+        assert(nr == floorShare || nr == floorShare + 1, s)
+      }
+    }
+  }
 }
