@@ -449,6 +449,41 @@ object TextQueries {
             .as("weighted_tokens_x1e6"))
     }),
 
+    // ---- KISH EFFECTIVE SAMPLE SIZE (what soft-dedup weighting
+    // actually costs in statistical power): per source,
+    // ESS = (Σw)²/Σw² over the q193 soft-dedup weights and the design
+    // effect deff = n/ESS — a source full of near-identical docs keeps
+    // its surface forms (q193's contract) but contributes far fewer
+    // EFFECTIVE examples; this is the number a mixture designer should
+    // weight by instead of raw doc counts. Integer-exact: weights are
+    // the ×1e6 fixed-point 1/dup_count longs, the squares run in
+    // DECIMAL(18,0) products (Σw² crosses 2⁶³ scaled ×1000; the q205
+    // discipline, HUGEINT in the oracle), both ratios floor to ×1000
+    // fixed-point. Unweighted sources report ess_x1000 = n·1000 and
+    // deff_x1000 = 1000 exactly. One digest group-by (shared shape
+    // with q193) + one source fold.
+    "q232_effective_sample_size" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"))
+      val grp = docs.groupBy(col("h")).agg(count(lit(1)).as("dup_count"))
+      docs.join(grp, "h")
+        .select(col("source"), expr("1000000L div dup_count").as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+        .select(col("source"), col("n_docs"),
+          expr("CAST((CAST(sw AS DECIMAL(18,0)) " +
+            "* CAST(sw AS DECIMAL(18,0)) * 1000) " +
+            "div CAST(sww AS DECIMAL(18,0)) AS BIGINT)")
+            .as("ess_x1000"),
+          expr("CAST((CAST(n_docs AS DECIMAL(18,0)) " +
+            "* CAST(sww AS DECIMAL(18,0)) * 1000) " +
+            "div (CAST(sw AS DECIMAL(18,0)) " +
+            "* CAST(sw AS DECIMAL(18,0))) AS BIGINT)")
+            .as("deff_x1000"))
+    }),
+
     // ---- DEDUP SAVINGS report: the before/after ledger every dedup
     // run publishes — per source, documents and tokens in the raw
     // corpus vs the canonical corpus (q38's rule: drop any doc that is
@@ -1130,6 +1165,24 @@ object TextQueries {
         |FROM documents d
         |JOIN spl ON spl.doc_id = d.doc_id AND spl.is_batch
         |LEFT JOIN ag ON ag.bid = d.doc_id""".stripMargin,
+
+    "q232_effective_sample_size" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h
+        |  FROM documents),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM d GROUP BY h),
+        |w AS (SELECT d.source, 1000000 // g.dup_count AS w
+        |  FROM d JOIN g ON d.h = g.h),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+        |  FROM w GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST((CAST(sw AS HUGEINT) * sw * 1000) // sww AS BIGINT)
+        |    AS ess_x1000,
+        |  CAST((CAST(n_docs AS HUGEINT) * sww * 1000)
+        |    // (CAST(sw AS HUGEINT) * sw) AS BIGINT) AS deff_x1000
+        |FROM a""".stripMargin,
 
     "q193_soft_dedup_weights" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h,

@@ -1826,4 +1826,31 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q232 effective sample size: Kish formula replays in BigInt, " +
+    "ESS <= n with equality iff weights are uniform, deff >= 1") {
+    val out = SparkEntry.queries("q232_effective_sample_size")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dupOf = docs.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.map(t => 1000000L / dupOf(t._2))).toMap
+    assert(out.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ws) =>
+      val sw = BigInt(ws.sum)
+      val sww = ws.map(w => BigInt(w) * w).sum
+      val (n, ess, deff) = out(s)
+      assert(n == ws.length.toLong)
+      assert(BigInt(ess) == sw * sw * 1000 / sww, s)
+      assert(BigInt(deff) == BigInt(n) * sww * 1000 / (sw * sw), s)
+      assert(ess <= n * 1000, "ESS cannot exceed n (Cauchy-Schwarz)")
+      assert(deff >= 1000, "design effect is at least 1")
+      if (ws.distinct.length == 1) assert(ess == n * 1000 && deff == 1000)
+    }
+  }
 }
