@@ -434,6 +434,58 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(2L) == ((0L, 0L, clean.length.toLong)))
   }
 
+  test("q205 TVD: disjoint vocabularies land exactly on the " +
+    "nb/N closed form; a single source scores exactly zero") {
+    // source A speaks only 'aa' (6 tokens), source B only 'bb' (4):
+    // TVD(A) = nb/N = 4/10, TVD(B) = na/N = 6/10 — exact ppm floors
+    val d = docsDir(Seq(
+      (1L, "aa aa aa", "en", "A", 8L),
+      (2L, "aa aa aa", "en", "A", 8L),
+      (3L, "bb bb bb bb", "en", "B", 11L)))
+    val out = SparkEntry.queries("q205_source_divergence")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("A") == ((6L, 400000L)))
+    assert(out("B") == ((4L, 600000L)))
+    // one source: its distribution IS the corpus distribution
+    val d1 = docsDir(Seq((1L, "x y x", "en", "only", 5L),
+      (2L, "y z", "en", "only", 3L)))
+    val one = SparkEntry.queries("q205_source_divergence")(spark, d1)
+      .collect()
+    assert(one.length == 1 && one.head.getLong(2) == 0L)
+  }
+
+  test("mannWhitneyShift: a planted full separation hits rb = -1/+1 " +
+    "exactly and flags the shift") {
+    import spark.implicits._
+    // cohort A all below cohort B: zero A-wins, rb = -1 exactly
+    val rows = (1L to 10L).map(v => (1L, v, true)) ++
+      (101L to 110L).map(v => (1L, v, false))
+    val r = graft.operators.Stats.mannWhitneyShift(
+        rows.toDF("k", "v", "ia"), "k", "v", "ia")
+      .collect().head
+    assert(r.getLong(3) == 0L, "no A-wins, no ties")
+    assert(r.getLong(4) == -r.getLong(5), "rb = -1 exactly")
+    assert(r.getBoolean(6), "full separation must flag")
+  }
+
+  test("q232 ESS: a clone-heavy source collapses toward its family " +
+    "count while a distinct source keeps ESS = n exactly") {
+    val d = docsDir(
+      // source C: 4 clones of one text + 1 distinct -> weights
+      // (250000 x4, 1000000): ESS = (2e6)^2/(4*250000^2+1e12) = 3.2
+      (1L to 4L).map(i => (i, "clone clone clone", "en", "C", 17L)) ++
+        Seq((5L, "unique text here", "en", "C", 16L),
+          (6L, "one", "en", "D", 3L), (7L, "two", "en", "D", 3L)))
+    val out = SparkEntry.queries("q232_effective_sample_size")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // C: sw = 2e6, sww = 4*6.25e10 + 1e12 = 1.25e12 -> ess = 3200
+    assert(out("C") == ((5L, 3200L, 1562L)))
+    // D: two distinct docs, uniform weights -> ESS = n, deff = 1
+    assert(out("D") == ((2L, 2000L, 1000L)))
+  }
+
   test("q171 empty sample: coalesce guard yields a defined zero " +
     "estimate and a defined verdict (VERDICT r7 #6)") {
     // ids whose md5 bucket (substr 13, mod 100) lands >= 50 — the
