@@ -85,6 +85,22 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     val metrics = new ShuffleMetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // per-query job-overhead floor (VERDICT r8 #8): the median cost of a
+    // trivial 1-row noop round-trip through the same write path every
+    // timed query uses. Queries whose absolute time sits under ~3× this
+    // floor are measuring scheduler+codegen overhead, not plan cost —
+    // ratio triage (the swing watchlist below, and any judge-side
+    // driver-vs-here comparison) excludes them, and the measured floor
+    // ships in every bench artifact as floor_sec.
+    val floorSec = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try spark.range(1).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
     // optional subset run (scale smokes over partial-table clone dirs):
     // SPARK_GRAFT_BENCH_ONLY=q22_ngram_jaccard,q87_triangles
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -126,6 +142,25 @@ object Bench {
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       name -> (if (times.exists(_ < 0)) -1.0 else median)
     }
+    // snapshot the shuffle aggregate NOW — after the suite pass, BEFORE
+    // any contention re-times run (ADVICE r8: re-time traffic must not
+    // leak into the committed shuffle numbers; the artifact's bytes
+    // correspond to exactly one suite pass). The listener bus is async:
+    // poll until the aggregate stops moving (two consecutive stable
+    // reads) instead of hoping one fixed sleep outruns a loaded bus;
+    // bounded at ~10 s.
+    locally {
+      var stable = 0
+      var last = -1L
+      var polls = 0
+      while (stable < 2 && polls < 20) {
+        Thread.sleep(500)
+        val c = metrics.checksum()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        polls += 1
+      }
+    }
+    val aggregated = metrics.agg
     // ---- run-level contention verdict (VERDICT r7 #3): the round-7
     // driver bench recorded 447.9 s for a tree that measures 182.9 s
     // exclusive — the per-query watchlist flagged 6 swings but nothing
@@ -171,25 +206,12 @@ object Bench {
         }.sorted
         name -> (if (ts.exists(_ < 0)) -1.0 else ts(1))
       }
-    // the listener bus is async: poll until the aggregate stops moving
-    // (two consecutive stable reads) instead of hoping one fixed sleep
-    // outruns a loaded bus; bounded at ~10 s
-    var stable = 0
-    var last = -1L
-    var polls = 0
-    while (stable < 2 && polls < 20) {
-      Thread.sleep(500)
-      val c = metrics.checksum()
-      if (c == last) stable += 1 else { stable = 0; last = c }
-      polls += 1
-    }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel — exclude them from the total
     // so a broken run can never look faster than a healthy one
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
-    val aggregated = metrics.agg
     val shuffle = results.map { case (name, _) =>
       val (w, r, sp) = aggregated.getOrElse(name, (0L, 0L, 0L))
       s"\"" + name + s"\":{\"write\":$w,\"read\":$r,\"spill\":$sp}"
@@ -204,7 +226,7 @@ object Bench {
     val contentionJson =
       s""""contended":$contended,"n_slow_breaches":${breaches.size},"retimes":${jsonMap(retimes)}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     // subset runs must not clobber the canonical full-suite record
     val outFile =
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
@@ -266,16 +288,48 @@ object Bench {
         f"| $n | $sec%.2f | ${mb(w)} | ${mb(r)} | ${mb(sp)} | ${ratio(n, sec)} |"
       }
       // swing watchlist: material queries (driver ≥ 1 s) whose
-      // driver/exclusive ratio leaves the documented VM noise band
+      // driver/exclusive ratio leaves the documented VM noise band.
+      // Sub-floor exclusion (VERDICT r8 #8): a query whose absolute
+      // time here is < 3× the measured job-overhead floor is timing
+      // scheduler overhead, not plan cost — its ratio is noise (the
+      // round-8 q21 flag: 0.14 s vs 0.04 s read as 3.7×) and is
+      // excluded so the watchlist stays signal.
       val swings = results
         .flatMap { case (n, sec) =>
-          driverMedians.get(n).filter(_ >= 1.0).flatMap { dm =>
+          driverMedians.get(n).filter(_ >= 1.0)
+            .filter(_ => sec >= 3 * floorSec).flatMap { dm =>
             val r = if (sec > 0) dm / sec else Double.PositiveInfinity
             if (r >= 4.0 || r <= 0.25)
               Some(f"| $n | ${dm}%.2f | $sec%.2f | $r%.1f× |")
             else None
           }
         }
+      // no-driver-baseline section (VERDICT r8 #6): queries past the
+      // driver's last full-suite artifact have no external reference —
+      // BENCH_EXCLUSIVE.json is their committed self-reference. Any
+      // such query whose exclusive line exceeds 4 s gets listed loudly
+      // (the q190 contract-cost precedent: expensive is acceptable
+      // only with a plan note), so a slow newcomer can't hide in the
+      // "no ratio available" dash.
+      val noDriver = results.filter { case (n, _) =>
+        !driverMedians.contains(n)
+      }
+      val noDriverSlow = noDriver.filter(_._2 > 4.0).sortBy(-_._2)
+      val noDriverBlock =
+        if (driverMedians.isEmpty || noDriver.isEmpty) Seq.empty[String]
+        else Seq(
+          "",
+          s"**No-driver-baseline queries**: ${noDriver.size} queries " +
+            "have no BENCH_DRIVER.json number (added after the last " +
+            "driver-run artifact); their committed reference is this " +
+            "run's BENCH_LOCAL/BENCH_EXCLUSIVE line. " +
+            (if (noDriverSlow.isEmpty)
+              "None exceed the 4 s watch threshold."
+            else "Lines over the 4 s watch threshold (need a plan-audit " +
+              "note the way q190's contract-cost note works):")) ++
+          (if (noDriverSlow.isEmpty) Seq.empty[String]
+          else Seq("", "| query | this run (s) |", "|---|---|") ++
+            noDriverSlow.map { case (n, sec) => f"| $n | $sec%.2f |" })
       val swingBlock =
         if (driverMedians.isEmpty) Seq(
           "",
@@ -331,10 +385,10 @@ object Bench {
       // assembled line-by-line, NOT via stripMargin — interpolated table
       // rows start with '|' and stripMargin would eat it
       val row = (contentionBlock ++ Seq(
-        f"**Full suite, $sfDir, median-of-$reps: $total%.1f s for ${results.size} queries, $nFail failed, $spillNote** (BENCH_LOCAL.json carries per-query medians + measured shuffle write/read/spill bytes). Generated by `graft.Bench` from the same run that wrote the JSON artifact. Ratio column = driver-run median (BENCH_DRIVER.json) ÷ this run's median.",
+        f"**Full suite, $sfDir, median-of-$reps: $total%.1f s for ${results.size} queries, $nFail failed, $spillNote** (BENCH_LOCAL.json carries per-query medians + measured shuffle write/read/spill bytes). Generated by `graft.Bench` from the same run that wrote the JSON artifact. Ratio column = driver-run median (BENCH_DRIVER.json) ÷ this run's median. Measured job-overhead floor: $floorSec%.2f s/query (ratios on queries under 3× floor are scheduler noise, excluded from the watchlist).",
         "",
         "| query (8 slowest) | median (s) | shuffle write MB | read MB | spill MB | driver÷here |",
-        "|---|---|---|---|---|---|") ++ slowest ++ swingBlock)
+        "|---|---|---|---|---|---|") ++ slowest ++ noDriverBlock ++ swingBlock)
         .mkString("", "\n", "\n")
       Files.write(Paths.get("BASELINE_ROW.md"),
         row.getBytes(StandardCharsets.UTF_8),

@@ -67,9 +67,12 @@ object Quantile {
       df.schema(keyCol).copy(name = keyCol) +:
         ps.map { case (_, name) =>
           StructField(name, DoubleType, nullable = false) })
-    // pass 1: per-group count + range (one combine-friendly aggregate)
+    // pass 1: per-group count + range (one combine-friendly aggregate);
+    // __nr counts ALL rows so partially-null groups are detectable
+    // (count(v) skips nulls and would silently shift every rank)
     val stats = df.groupBy(col(keyCol))
-      .agg(count(v).as("__n"), min(v).as("__lo"), max(v).as("__hi"))
+      .agg(count(v).as("__n"), min(v).as("__lo"), max(v).as("__hi"),
+        count(lit(1)).as("__nr"))
       .limit(maxPartials + 1)
       .collect()
     require(stats.length <= maxPartials,
@@ -84,7 +87,14 @@ object Quantile {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         outSchema)
     val statRows = stats.map { r =>
-      require(!r.isNullAt(1) && !r.getDouble(2).isNaN && !r.getDouble(3).isNaN,
+      // guard on the min/max columns (null ⟺ the group had NO non-null
+      // value) and on count(v) = count(*) (partially-null groups must
+      // fail HERE with the intended message, not later with an opaque
+      // NPE from pass 2's null-bucket row — ADVICE r8: the old check
+      // read the count column, which is never null)
+      require(!r.isNullAt(2) && !r.isNullAt(3)
+          && r.getLong(1) == r.getLong(4)
+          && !r.getDouble(2).isNaN && !r.getDouble(3).isNaN,
         s"Quantile.groupQuantiles: null/NaN values in group ${r.get(0)}")
       (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
     }

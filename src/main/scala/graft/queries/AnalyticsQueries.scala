@@ -587,10 +587,19 @@ object AnalyticsQueries {
             .cast("double").as("delay"))
       val qs = graft.operators.Quantile.groupQuantiles(
         conv, "grp", "delay", Seq(0.5 -> "med", 0.9 -> "p90"))
+      // LEFT join on the literal group key, not a crossJoin: when no
+      // user converts, groupQuantiles returns an EMPTY frame and a
+      // cross join would annihilate the aggregate row — while the
+      // DuckDB oracle's `FROM s, q` keeps it (q is an always-one-row
+      // aggregate emitting NULL percentiles). The left join preserves
+      // the n_signup/n_converted row with NULL med/p90 on that edge
+      // and is identical to the cross join whenever a converter exists
+      // (qs is then exactly one grp=1 row). (ADVICE r8.)
       firsts.agg(count(lit(1)).as("n_signup"),
           sum(when(col("first_purchase") > col("first_signup"), 1L)
             .otherwise(0L)).as("n_converted"))
-        .crossJoin(broadcast(qs))
+        .withColumn("grp", lit(1))
+        .join(broadcast(qs), Seq("grp"), "left")
         .select(col("n_signup"), col("n_converted"),
           col("med").cast("bigint").as("med_delay_us"),
           col("p90").cast("bigint").as("p90_delay_us"))

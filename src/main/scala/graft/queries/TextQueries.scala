@@ -456,10 +456,12 @@ object TextQueries {
     // its surface forms (q193's contract) but contributes far fewer
     // EFFECTIVE examples; this is the number a mixture designer should
     // weight by instead of raw doc counts. Integer-exact: weights are
-    // the ×1e6 fixed-point 1/dup_count longs, the squares run in
-    // DECIMAL(18,0) products (Σw² crosses 2⁶³ scaled ×1000; the q205
-    // discipline, HUGEINT in the oracle), both ratios floor to ×1000
-    // fixed-point. Unweighted sources report ess_x1000 = n·1000 and
+    // the ×1e6 fixed-point 1/dup_count longs; each square w² ≤ 10¹²
+    // fits BIGINT but Σw² ACCUMULATES in DECIMAL(38,0) (ADVICE r8: a
+    // plain BIGINT sum overflows past ~9·10⁶ all-distinct docs per
+    // source; the oracle sums in HUGEINT), and the downstream ratios
+    // keep the 38,0 headroom before flooring to ×1000 fixed-point.
+    // Unweighted sources report ess_x1000 = n·1000 and
     // deff_x1000 = 1000 exactly. One digest group-by (shared shape
     // with q193) + one source fold.
     "q232_effective_sample_size" -> ((s, d) => {
@@ -471,14 +473,14 @@ object TextQueries {
         .select(col("source"), expr("1000000L div dup_count").as("w"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
-          sum(col("w") * col("w")).as("sww"))
+          sum((col("w") * col("w")).cast("decimal(38,0)")).as("sww"))
         .select(col("source"), col("n_docs"),
           expr("CAST((CAST(sw AS DECIMAL(18,0)) " +
             "* CAST(sw AS DECIMAL(18,0)) * 1000) " +
-            "div CAST(sww AS DECIMAL(18,0)) AS BIGINT)")
+            "div CAST(sww AS DECIMAL(38,0)) AS BIGINT)")
             .as("ess_x1000"),
           expr("CAST((CAST(n_docs AS DECIMAL(18,0)) " +
-            "* CAST(sww AS DECIMAL(18,0)) * 1000) " +
+            "* CAST(sww AS DECIMAL(38,0)) * 1000) " +
             "div (CAST(sw AS DECIMAL(18,0)) " +
             "* CAST(sw AS DECIMAL(18,0))) AS BIGINT)")
             .as("deff_x1000"))

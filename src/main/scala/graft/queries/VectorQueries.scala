@@ -192,6 +192,32 @@ object VectorQueries {
        |$iters""".stripMargin
   }
 
+  /** md5 digest of a quantized-vector array column — the family identity
+    * behind q186's dedup staging (identical vectors ⇒ identical digests;
+    * 128-bit md5 is collision-safe at corpus scale, the canonicalInputBy
+    * contract). */
+  private[queries] def vecDigest(c: String): org.apache.spark.sql.Column =
+    md5(expr(s"array_join(transform($c, x -> CAST(x AS STRING)), ',')")
+      .cast("binary"))
+
+  /** Cost probe for q186's staged-vs-raw choice (VERDICT r8 #1 — the
+    * q170 low-dup short-circuit applied to vectors): canonical staging
+    * wins 43.5 s → 2.3 s at 10× clone density but pays ~3× pure
+    * overhead on a clone-free corpus (1.03 s vs the driver's 0.35 s
+    * unstaged plan at sf0.1, where 500 vectors carry zero duplicates).
+    * Staged and raw are BIT-IDENTICAL on every corpus
+    * (DecontamStagingSpec), so the branch is purely a cost choice:
+    * stage only when ≥ 5% of vector rows are non-canonical (the q170
+    * threshold). The probe is ONE planner-scale aggregate over the
+    * run-shared persisted quantized frame — a digest-grain
+    * count-distinct, noise next to the batch × pool pass it gates. */
+  private[graft] def decontamLowDup(s: SparkSession, d: String): Boolean = {
+    val r = quantizedVecs(s, d)
+      .agg(count(lit(1)).as("n"), countDistinct(vecDigest("qv")).as("c"))
+      .collect()(0)
+    (r.getLong(0) - r.getLong(1)) * 20L < r.getLong(0)
+  }
+
   /** The exact batch × pool decontamination pass at the grain of its
     * inputs (ev: eval_id, evv, n2e; tr: train_id, tv, n2t): per eval
     * vector the max-dot train vector under the (dot desc, train_id asc)
@@ -760,9 +786,17 @@ object VectorQueries {
     // partitions on high-cardinality eval_id. Nearest-by-dot is the
     // documented ranking heuristic; the contamination THRESHOLD is
     // norm-corrected and exact.
-    // Default path is DEDUP-STAGED (VERDICT r6 #3, the q190 discipline
-    // applied to vectors): each side collapses exact-duplicate vector
-    // families (Curation.canonicalInputBy over the md5 of the quantized
+    // The staged-vs-raw choice is COST-BASED (VERDICT r8 #1): the
+    // decontamLowDup probe measures duplicate-family mass first and
+    // runs the raw batch × pool pass when families are ~all size 1
+    // (clone-free corpora — where staging is pure overhead), staging
+    // only when ≥ 5% of rows are non-canonical. Forcing confs:
+    // spark.graft.vector.rawDecontam=true pins raw,
+    // spark.graft.vector.stagedDecontam=true pins staged (the spec's
+    // equality hook). The STAGED path (VERDICT r6 #3, the q190
+    // discipline applied to vectors): each side collapses
+    // exact-duplicate vector families (Curation.canonicalInputBy over
+    // the md5 of the quantized
     // components) BEFORE the batch × pool pass, verdicts expand back to
     // eval members afterwards. LOSSLESS, not approximate: identical
     // vectors have identical dots, and the (dot desc, train_id asc)
@@ -789,11 +823,11 @@ object VectorQueries {
           col("n2").as("n2t"))
       val raw = s.conf.getOption("spark.graft.vector.rawDecontam")
         .exists(_.toBoolean)
-      if (raw) decontamExact(ev, tr)
+      val forceStaged = s.conf
+        .getOption("spark.graft.vector.stagedDecontam").exists(_.toBoolean)
+      if (raw || (!forceStaged && decontamLowDup(s, d)))
+        decontamExact(ev, tr)
       else {
-        def vecDigest(c: String) = md5(
-          expr(s"array_join(transform($c, x -> CAST(x AS STRING)), ',')")
-            .cast("binary"))
         val (evCanon, evMembers) = graft.operators.Curation
           .canonicalInputBy(ev, vecDigest("evv"), "eval_id")
         val (trCanon, _) = graft.operators.Curation

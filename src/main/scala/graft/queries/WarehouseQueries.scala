@@ -987,18 +987,30 @@ object WarehouseQueries {
         .agg(sum(col("cgv")).as("n_g"),
           sum(col("cgv") * col("r2")).as("r2_g"))
       val tot = rg.agg(sum(col("n_g")).as("nn"),
-        // Σ ⌊R2_g² / n_g⌋ — the one documented floor; the square runs
-        // in DECIMAL(18,0) (R2_g² can pass 2⁶³ at sf0.1), the floored
-        // quotient is back under 2⁶³
-        sum(expr("(CAST(r2_g AS DECIMAL(18,0)) " +
-          "* CAST(r2_g AS DECIMAL(18,0))) div n_g")).as("s2"))
+        // Σ ⌊R2_g² / n_g⌋ — the one documented floor, computed and
+        // summed ENTIRELY in DECIMAL(38,0) (ADVICE r8): `div` returns
+        // BIGINT, so both the per-group quotient (≤ 4N²·n_g) and the
+        // sum (≤ 4N³) would overflow to NULL near N ≈ 2·10⁶ orders
+        // while the DuckDB HUGEINT oracle stays exact. The floored
+        // quotient is (r2² − r2² % n_g) / n_g: subtracting the exact
+        // decimal remainder makes the division exact-integral, and an
+        // exactly-divisible decimal division is rounding-free (the
+        // scale-6 result has 32 integral digits — room to ~10³² ≫ the
+        // 4N³ envelope at any plausible sf)
+        sum(expr("CAST((CAST(r2_g AS DECIMAL(19,0)) * r2_g " +
+          "- (CAST(r2_g AS DECIMAL(19,0)) * r2_g) % n_g) / n_g " +
+          "AS DECIMAL(38,0))")).as("s2"))
       // H = 3·S2/(N(N+1)) − 3(N+1)  [R = R2/2 absorbed: 12·(R2/2)²=3·R2²]
-      // H > 9.488 ⟺ 1000·3·S2 − 3000·(N+1)·N·(N+1) > 9488·N·(N+1),
-      // all in DECIMAL(18,0) products (S2 can reach ~N³)
+      // H > 9.488 ⟺ 1000·3·S2 − 3000·(N+1)·N·(N+1) > 9488·N·(N+1).
+      // S2 reaches ~N³, so it rides DECIMAL(38,0) through the
+      // comparison (ADVICE r8: an 18,0 cast overflows to NULL at
+      // N ≥ ~10⁶ orders under non-ANSI Spark, silently nulling the
+      // verdict while the DuckDB HUGEINT oracle stays exact); the
+      // remaining operands are ≤ ~N² and promote to 38 in the products
       rg.crossJoin(broadcast(tot))
         .select(col("grp"), col("n_g"), col("r2_g"),
           (lit(3000).cast("decimal(18,0)")
-              * col("s2").cast("decimal(18,0)")
+              * col("s2").cast("decimal(38,0)")
             - lit(3000).cast("decimal(18,0)")
               * col("nn").cast("decimal(18,0)")
               * (col("nn") + 1).cast("decimal(18,0)")
@@ -1594,8 +1606,7 @@ object WarehouseQueries {
         |    CAST(sum(cgv * r2) AS BIGINT) AS r2_g
         |  FROM gv JOIN r USING (v) GROUP BY grp),
         |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
-        |    CAST(sum((CAST(r2_g AS HUGEINT) * r2_g) // n_g) AS BIGINT)
-        |      AS s2
+        |    sum((CAST(r2_g AS HUGEINT) * r2_g) // n_g) AS s2
         |  FROM rg)
         |SELECT grp, n_g, r2_g,
         |  3000 * CAST(s2 AS HUGEINT)

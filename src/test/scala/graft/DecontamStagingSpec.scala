@@ -11,8 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class DecontamStagingSpec extends AnyFunSuite with SparkSpec {
 
   private def runQ186(dir: String, raw: Boolean): Set[(Long, Long, Long, Boolean)] = {
+    // pin the path explicitly: the default is now COST-BASED (VERDICT
+    // r8 #1 — decontamLowDup picks raw on clone-free corpora), so the
+    // equality tests must force the staged plan to actually cover it
     if (raw) spark.conf.set("spark.graft.vector.rawDecontam", "true")
-    else spark.conf.unset("spark.graft.vector.rawDecontam")
+    else spark.conf.set("spark.graft.vector.stagedDecontam", "true")
     try {
       queries.VectorQueries.queries("q186_semantic_decontam")(spark, dir)
         .select("eval_id", "train_id", "dot", "contaminated")
@@ -20,7 +23,10 @@ class DecontamStagingSpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getBoolean(3)))
         .toSet
-    } finally spark.conf.unset("spark.graft.vector.rawDecontam")
+    } finally {
+      spark.conf.unset("spark.graft.vector.rawDecontam")
+      spark.conf.unset("spark.graft.vector.stagedDecontam")
+    }
   }
 
   test("staged q186 equals raw q186 on sf0.001") {
@@ -45,5 +51,16 @@ class DecontamStagingSpec extends AnyFunSuite with SparkSpec {
     val raw = runQ186(dir, raw = true)
     assert(staged == raw)
     assert(staged.nonEmpty)
+  }
+
+  test("cost probe: raw on the clone-free corpus, staged on the clone corpus") {
+    // the VERDICT r8 #1 branch itself: sf0.001 embeddings carry ~no
+    // exact-duplicate vectors (families all size 1 → low-dup → raw
+    // plan); the 4× clone corpus is 75% non-canonical → staged plan
+    assert(queries.VectorQueries.decontamLowDup(spark, sf),
+      "clone-free corpus must take the raw (unstaged) plan")
+    assert(!queries.VectorQueries.decontamLowDup(spark,
+        "/tmp/graft-test-vclone4"),
+      "clone corpus must take the dedup-staged plan")
   }
 }

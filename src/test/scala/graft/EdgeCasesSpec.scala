@@ -509,4 +509,24 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(!r.isNullAt(4) && !r.getBoolean(4),
       "verdict must be computed (false), not NULL")
   }
+
+  test("q215 conversion latency: zero converters still emit the one-row " +
+    "report with NULL percentiles (ADVICE r8)") {
+    // strip every purchase: groupQuantiles gets an empty frame, and the
+    // old crossJoin annihilated the aggregate row (0 rows) while the
+    // DuckDB oracle's always-one-row aggregate kept it — the left join
+    // on the literal group key must preserve it with NULL med/p90
+    val dir = java.nio.file.Files.createTempDirectory("ev215").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") =!= "purchase")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q215_conversion_latency")(spark, dir)
+      .collect()
+    assert(out.length == 1, "the report row must survive the empty edge")
+    val r = out.head
+    assert(r.getLong(0) > 0L, "signups still exist")
+    assert(r.getLong(1) == 0L, "nobody converts")
+    assert(r.isNullAt(2) && r.isNullAt(3),
+      "percentiles must be NULL (not fabricated) with zero converters")
+  }
 }

@@ -35,4 +35,18 @@ class HouseRulesSpec extends AnyFunSuite with SparkSpec {
     assert((q diff o).isEmpty, s"queries without oracle: ${q diff o}")
     assert((o diff q).isEmpty, s"oracles without query: ${o diff q}")
   }
+
+  test("COVERAGE.md header quotes the live query count") {
+    // VERDICT r8 #4: the committed header said "228 queries" while the
+    // suite was 232. The count in the header is now pinned to
+    // SparkEntry.queries.size — growing the suite without updating the
+    // doc fails here instead of drifting silently.
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("COVERAGE.md"))
+    val m = "(\\d+) queries as of round".r.findFirstMatchIn(txt)
+    assert(m.isDefined, "COVERAGE.md header count sentence missing")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md header says '${m.get.group(1)} queries'; " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size} — update the header")
+  }
 }

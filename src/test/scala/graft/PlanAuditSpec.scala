@@ -213,6 +213,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("global windows exist only in the 8 audited queries, over tiny frames") {
+    // VERDICT r8 #3: PLANS.md measures the GLOBAL(1) windows' input
+    // frames as tiny post-aggregation results (q213's ~16 octave rows,
+    // q135's ≤10-row fused lists) — benign single-reducer windows whose
+    // input size is a CONFIG constant, not corpus-proportional. This
+    // test pins that exemption mechanically: (a) the exact set of
+    // queries carrying an unpartitioned Window is closed — a future
+    // edit that introduces a global window anywhere else fails here
+    // instead of hiding in the bench log's WindowExec warning spam;
+    // (b) every exempted window's MEASURED input stays under a hard
+    // row bound, so one of these frames growing corpus-shaped fails a
+    // test instead of silently serializing through one reducer.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.graftaudit.PlanBridge
+    val expected = Set("q63_domain_mix", "q135_hybrid_rrf",
+      "q153_retrieval_metrics", "q195_lm_perplexity", "q200_vocab_growth",
+      "q206_budget_waterfill", "q213_zipf_octaves",
+      "q231_neyman_allocation")
+    val maxRows = 1024L // config-constant frames; corpus-shaped ⇒ ≫ this
+    val found = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val wins = fn(spark, sf).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (wins.nonEmpty)
+        found(name) = wins.map(w => PlanBridge.ofRows(spark, w.child).count())
+    }
+    assert(found.keySet == expected,
+      s"global-window query set drifted: unexpected=${found.keySet -- expected} " +
+        s"missing=${expected -- found.keySet} — a new global window needs " +
+        "a partition key or an explicit exemption here")
+    found.foreach { case (name, rows) =>
+      rows.foreach(r => assert(r <= maxRows,
+        s"$name: global window input measured $r rows (> $maxRows) — " +
+          "the frame is no longer planner-tiny; partition it"))
+    }
+  }
+
   test("q65: tf-idf scan reads only doc_id and text") {
     val p = plan("q65_tfidf_top")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

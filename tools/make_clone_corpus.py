@@ -10,7 +10,13 @@ reproducible. `--single-source` additionally rewrites documents.source to
 one constant value — the q110 sequence-packing adversary, where a
 per-source window plan serializes the whole corpus through one task.
 
-Usage: make_clone_corpus.py <sfDir> <outDir> <factor> [--single-source]
+`--orders` clones the ORDERS table instead of copying it through
+(o_orderkey shifted per copy, every other column — prices, priorities,
+custkeys — byte-identical): the scale adversary for the rank/test
+statistics family (q220 Mann-Whitney, q229 Kruskal-Wallis), where N
+drives the chunk-bounded prefix windows and cloned rows maximize ties.
+
+Usage: make_clone_corpus.py <sfDir> <outDir> <factor> [--single-source] [--orders]
 """
 import os, shutil, sys
 import duckdb
@@ -18,7 +24,7 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]
 
-def main(sf_dir, out_dir, factor, single_source):
+def main(sf_dir, out_dir, factor, single_source, clone_orders=False):
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     # 8-file layout so Spark gets parallel scan partitions even when the
@@ -46,7 +52,18 @@ def main(sf_dir, out_dir, factor, single_source):
             shutil.rmtree(dst)
         elif os.path.exists(dst):
             os.remove(dst)
-        shutil.copy(f"{sf_dir}/{t}.parquet", dst)
+        if t == "orders" and clone_orders:
+            con.execute(f"""
+              COPY (
+                SELECT o.o_orderkey + 100000000 * f.i AS o_orderkey,
+                       o.* EXCLUDE (o_orderkey)
+                FROM '{sf_dir}/orders.parquet' o,
+                     (SELECT unnest(range({factor})) AS i) f
+              ) TO '{dst}'
+              (FORMAT parquet, PER_THREAD_OUTPUT true,
+               OVERWRITE_OR_IGNORE true)""")
+        else:
+            shutil.copy(f"{sf_dir}/{t}.parquet", dst)
     n = con.sql(f"SELECT count(*) FROM '{out_dir}/documents.parquet/*.parquet'"
                 if os.path.isdir(f"{out_dir}/documents.parquet")
                 else f"SELECT count(*) FROM '{out_dir}/documents.parquet'")
@@ -55,4 +72,5 @@ def main(sf_dir, out_dir, factor, single_source):
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
-         "--single-source" in sys.argv[4:])
+         "--single-source" in sys.argv[4:],
+         "--orders" in sys.argv[4:])
