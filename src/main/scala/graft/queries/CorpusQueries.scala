@@ -1323,30 +1323,71 @@ object CorpusQueries {
     // which word PAIRS appear together in the most documents? q88
     // reads ADJACENT bigram lift; this reads unordered within-doc
     // co-occurrence — the itemset-mining primitive behind topic
-    // drift and template detection. Scale discipline: the pair space
-    // is quadratic in per-doc distinct words, so candidates are
-    // GATED to the top-V vocabulary by document frequency (V = 20,
-    // ties word-asc — deterministic; the df-cap discipline of
-    // q199/q21) via a broadcast semi-join BEFORE any pair is
-    // emitted; per doc that caps pair fanout at V·(V−1)/2. One
-    // distinct (doc, word) frame, in-doc pair expansion via a
-    // self-join on doc_id (a < b), one map-combined support count,
-    // and a 20-row TakeOrdered heap — never a global sort.
+    // drift and template detection. Scale discipline, two layers:
+    // (1) the pair space is quadratic in per-doc distinct words, so
+    // candidates are GATED to the top-V vocabulary by document
+    // frequency (V = 20, ties word-asc — deterministic; the df-cap
+    // discipline of q199/q21) via a broadcast semi-join BEFORE any
+    // pair is emitted, capping per-doc fanout at V·(V−1)/2; (2) the
+    // frame is DEDUP-STAGED (the q190/q186/sharedCandidatePairs
+    // discipline): exact-duplicate families collapse to one canonical
+    // row weighted by family size, pairs expand at CANONICAL grain,
+    // and support re-weights by Σ family size — bit-identical because
+    // clones share the text, hence the vocabulary and every pair
+    // (the round-9 100× clone smoke caught raw-grain q219 going
+    // super-linear; staged, pair work is clone-invariant). The word
+    // set is in-row `array_distinct` (no corpus-wide DISTINCT
+    // exchange), support is one map-combined sum, the result a 20-row
+    // TakeOrdered heap — never a global sort.
     "q219_cooccurrence" -> ((s, d) => {
-      val dw = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
-      val vocab = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val fam = Tables.documents(s, d)
+        .select(md5(col("text")).as("dig"), col("text"))
+        .groupBy(col("dig"))
+        .agg(count(lit(1)).as("fw"), max(col("text")).as("text"))
+      val dw = fam.select(col("dig"), col("fw"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      val vocab = dw.groupBy(col("w")).agg(sum(col("fw")).as("df"))
         .orderBy(col("df").desc, col("w").asc).limit(20)
         .select(col("w"))
       val gated = dw.join(broadcast(vocab), Seq("w"), "left_semi")
       gated.as("a")
-        .join(gated.as("b"), col("a.doc_id") === col("b.doc_id")
+        .join(gated.as("b"), col("a.dig") === col("b.dig")
           && col("a.w") < col("b.w"))
         .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
-        .agg(count(lit(1)).as("support"))
+        .agg(sum(col("a.fw")).as("support"))
         .orderBy(col("support").desc, col("w_a").asc, col("w_b").asc)
         .limit(20)
+    }),
+
+    // ---- L-DIVERSITY audit (the governance leg beside q218's
+    // k-anonymity): k-anonymity alone still leaks when every member of
+    // an equivalence class shares the SENSITIVE value — here, under
+    // the quasi-identifier pair (lang, 50-token length bucket), how
+    // many classes carry fewer than l = 3 distinct sources (treating
+    // provenance as the sensitive attribute a release review must not
+    // let a row pin down). One map-combined group on the QI pair with
+    // an exact grouped count-distinct, one tiny fold to the ledger —
+    // all integers, QI-cardinality rows between the two aggregates.
+    "q237_l_diversity" -> ((s, d) => {
+      val classes = Tables.documents(s, d)
+        .select(col("lang"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT) div 50")
+            .as("len_bucket"),
+          col("source"))
+        .groupBy(col("lang"), col("len_bucket"))
+        .agg(countDistinct(col("source")).as("l"),
+          count(lit(1)).as("m"))
+      classes.agg(count(lit(1)).as("n_classes"),
+          sum(col("m")).as("n_docs"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L))
+            .as("n_low_classes"),
+          sum(when(col("l") < 3, col("m")).otherwise(0L))
+            .as("n_docs_exposed"))
+        .select(col("n_classes"), col("n_docs"), col("min_l"),
+          col("n_low_classes"), col("n_docs_exposed"),
+          expr("n_docs_exposed * 1000000 div n_docs")
+            .as("exposed_ppm"))
     })
   )
 
@@ -2300,6 +2341,24 @@ object CorpusQueries {
         |FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.w < b.w
         |GROUP BY a.w, b.w
         |ORDER BY support DESC, w_a ASC, w_b ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q237_l_diversity" ->
+      """WITH c AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) // 50
+        |      AS len_bucket,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(m) AS BIGINT) AS n_docs,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_classes,
+        |  CAST(sum(CASE WHEN l < 3 THEN m ELSE 0 END) AS BIGINT)
+        |    AS n_docs_exposed,
+        |  (CAST(sum(CASE WHEN l < 3 THEN m ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(sum(m) AS BIGINT) AS exposed_ppm
+        |FROM c""".stripMargin
   )
 }

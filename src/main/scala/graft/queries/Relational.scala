@@ -515,6 +515,120 @@ object Relational {
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+
+    // ---- TPC-H Q2 shape (min-cost supplier), reshaped onto lineitem
+    // because this corpus carries no partsupp: a (part, supplier)'s
+    // "supply cost" is the cheapest per-unit price either ever traded
+    // (unit cents = price cents div quantity — both integral and
+    // positive, so Spark's truncating div and DuckDB's flooring //
+    // agree). For STANDARD parts of size ≤ 5, report each part's
+    // cheapest EUROPE supplier(s), best-balance first. The shape Q2
+    // exists to exercise: a per-group min computed once and re-joined
+    // by equality (never a re-run correlated subquery), region/nation
+    // dims broadcast, and the fact table aggregated to (part, supp)
+    // grain BEFORE any wide join — at 100 TB the only big exchange is
+    // the one offer aggregation.
+    "q234_min_cost_supplier" -> ((s, d) => {
+      val eurSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")
+            .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_size"))
+      val offers = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) " +
+            "div CAST(l_quantity AS BIGINT)").as("ucents"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("ucents")).as("cost_cents"))
+      val eurOffers = offers
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+      val minCost = eurOffers.groupBy(col("p_partkey"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      eurOffers
+        .join(minCost, Seq("p_partkey"))
+        .filter(col("cost_cents") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_size"), col("cost_cents"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey").asc,
+          col("s_name").asc)
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q11 shape (value concentration): which parts carry an
+    // outsized share of the traded value flowing through ASIA-based
+    // suppliers? Per-part value = Σ exact price cents (DECIMAL(38,0) —
+    // order-free at any scale), kept iff value exceeds 1/1000 of the
+    // ASIA total. The planner shape: one fact aggregation, a 1-row
+    // global aggregate of THAT result broadcast back as the HAVING
+    // threshold — the second pass costs part-cardinality rows, never a
+    // second fact scan. share_ppm is an exact integer div on both
+    // engines (DECIMAL here, HUGEINT there).
+    "q235_value_concentration" -> ((s, d) => {
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")
+            .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, d)
+        .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .cast("decimal(38,0)")).as("value_c"))
+      val tot = vals.agg(sum(col("value_c")).as("total_c"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value_c") * 1000 > col("total_c"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_c").cast("double").as("value_cents"),
+          expr("CAST((value_c * 1000000) div total_c AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("value_cents").desc, col("p_partkey").asc)
+    }),
+
+    // ---- TPC-H Q20 shape (excess-stock suppliers): suppliers who
+    // moved MORE THAN HALF of a part's 1996 volume — the concentration
+    // audit a sourcing desk runs before renegotiating. Both aggregates
+    // derive from one shipdate-pruned scan: (part, supp) quantity
+    // rolls up first, the per-part total reuses that result (a second
+    // aggregation over (part, supp)-grain rows, not a second scan),
+    // and the half-share test is exact integer 2·q_sp > q_p. Supplier
+    // and nation dims broadcast onto the per-supplier fold.
+    "q236_excess_stock" -> ((s, d) => {
+      val sp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("bigint").as("q"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("sp_qty"))
+      val pt = sp.groupBy(col("l_partkey"))
+        .agg(sum(col("sp_qty")).as("part_qty"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      sp.join(pt, Seq("l_partkey"))
+        .filter(col("sp_qty") * 2 > col("part_qty"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_excess_parts"),
+          sum(col("sp_qty")).as("qty_held"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_excess_parts"), col("qty_held"))
     })
   )
 
@@ -845,6 +959,77 @@ object Relational {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    "q234_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |pr AS (SELECT p_partkey, p_size FROM part
+        |  WHERE p_type = 'STANDARD' AND p_size <= 5),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |eo AS (
+        |  SELECT pr.p_partkey, pr.p_size, eur.s_acctbal, eur.s_name,
+        |    eur.n_name, o.cost_cents
+        |  FROM offers o
+        |  JOIN eur ON o.l_suppkey = eur.s_suppkey
+        |  JOIN pr ON o.l_partkey = pr.p_partkey),
+        |mc AS (SELECT p_partkey, min(cost_cents) AS min_cost
+        |  FROM eo GROUP BY 1)
+        |SELECT eo.s_acctbal, eo.s_name, eo.n_name, eo.p_partkey,
+        |  eo.p_size, eo.cost_cents
+        |FROM eo JOIN mc ON eo.p_partkey = mc.p_partkey
+        |  AND eo.cost_cents = mc.min_cost
+        |ORDER BY eo.s_acctbal DESC, eo.p_partkey ASC, eo.s_name ASC
+        |LIMIT 100""".stripMargin,
+
+    "q235_value_concentration" ->
+      """WITH asia AS (
+        |  SELECT s.s_suppkey FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |v AS (
+        |  SELECT l.l_partkey,
+        |    sum(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS value_c
+        |  FROM lineitem l JOIN asia a ON l.l_suppkey = a.s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT sum(value_c) AS total_c FROM v)
+        |SELECT v.l_partkey AS p_partkey,
+        |  CAST(v.value_c AS DOUBLE) AS value_cents,
+        |  CAST((v.value_c * 1000000) // t.total_c AS BIGINT) AS share_ppm
+        |FROM v, t
+        |WHERE v.value_c * 1000 > t.total_c
+        |ORDER BY value_cents DESC, p_partkey ASC""".stripMargin,
+
+    "q236_excess_stock" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sp_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(sp_qty) AS BIGINT) AS part_qty
+        |  FROM sp GROUP BY 1),
+        |ex AS (
+        |  SELECT sp.l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts,
+        |    CAST(sum(sp.sp_qty) AS BIGINT) AS qty_held
+        |  FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+        |  WHERE sp.sp_qty * 2 > pt.part_qty
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, ex.n_excess_parts,
+        |  ex.qty_held
+        |FROM ex
+        |JOIN supplier s ON ex.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin
   )
 }

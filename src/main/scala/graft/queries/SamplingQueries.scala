@@ -52,6 +52,46 @@ object SamplingQueries {
     s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), $off, 8)) " +
       s"AS BIGINT) % $mod"
 
+  /** q64/q238 shared body: every LSH candidate pair with its sketch
+    * agreement count (matching minima of 16), exact distinct-trigram
+    * intersection, and union — the raw material for both the per-pair
+    * audit and the per-level calibration curve.
+    *
+    * Join-tree shape (round-5 reshape of the round-4 9-BHJ plan): the
+    * per-doc audit inputs — the 16 signature minima and the distinct-
+    * trigram count — are computed ONCE in the signature aggregation
+    * (minima over the distinct set equal minima over the raw multiset)
+    * and CARRIED through the band self-join, so neither the signature
+    * nor the cardinality ever joins back onto the pair set. 4 joins
+    * total: band self-join, tri⋈pairs, ⋈tri (exact intersection),
+    * pairs⋈inter. The carried width is 17 bigints/side (~140 B) on
+    * band rows that are already (band, digest, id) — still no bodies.
+    */
+  private def pairSketchStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tri = Text.wordShingles(docs, "doc_id", "text", 3)
+    val mcols = (0 until 16).map(i => s"m$i")
+    val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
+    val pairs = Text.lshCandidatePairs(
+      Text.lshBands(sig, "doc_id", 4, 4, carryCols = mcols :+ "n_sh"),
+      "doc_id", carryCols = mcols :+ "n_sh")
+    val agree = (0 until 16)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = tri.as("x")
+      .join(pairs.select("doc_a", "doc_b"), col("x.doc_id") === col("doc_a"))
+      .join(tri.as("y"),
+        col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"), agree.as("agree"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("a_n_sh") + col("b_n_sh")
+          - coalesce(col("inter"), lit(0L))).as("uni"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- reproducible train/val/test split: 80/10/10 by id-hash bucket.
     // Report rows + token volume per split — the assignment itself is a
@@ -644,39 +684,38 @@ object SamplingQueries {
     // vs the exact distinct-trigram Jaccard — the report that validates
     // a sketch config before trusting it on 100 TB
     "q64_minhash_est" -> ((s, d) => {
-      // Join-tree shape (round-5 reshape of the round-4 9-BHJ plan): the
-      // per-doc audit inputs — the 16 signature minima and the distinct-
-      // trigram count — are computed ONCE in the signature aggregation
-      // (minima over the distinct set equal minima over the raw multiset)
-      // and CARRIED through the band self-join, so neither the signature
-      // nor the cardinality ever joins back onto the pair set. 4 joins
-      // total: band self-join, tri⋈pairs, ⋈tri (exact intersection),
-      // pairs⋈inter. The carried width is 17 bigints/side (~140 B) on
-      // band rows that are already (band, digest, id) — still no bodies.
-      val docs = Tables.documents(s, d)
-      val tri = Text.wordShingles(docs, "doc_id", "text", 3)
-      val mcols = (0 until 16).map(i => s"m$i")
-      val sig = Text.minhashSignature(tri, "doc_id", 16, withCount = true)
-      val pairs = Text.lshCandidatePairs(
-        Text.lshBands(sig, "doc_id", 4, 4, carryCols = mcols :+ "n_sh"),
-        "doc_id", carryCols = mcols :+ "n_sh")
-      val agree = (0 until 16)
-        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      val inter = tri.as("x")
-        .join(pairs.select("doc_a", "doc_b"), col("x.doc_id") === col("doc_a"))
-        .join(tri.as("y"),
-          col("y.doc_id") === col("doc_b") && col("x.sh") === col("y.sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      pairSketchStats(s, d)
         .select(col("doc_a"), col("doc_b"),
-          (agree.cast("double") / lit(16.0)).as("est_jaccard"),
-          (coalesce(col("inter"), lit(0L)).cast("double")
-            / (col("a_n_sh") + col("b_n_sh")
-              - coalesce(col("inter"), lit(0L))))
-            .as("exact_jaccard"))
+          (col("agree").cast("double") / lit(16.0)).as("est_jaccard"),
+          (col("inter").cast("double") / col("uni")).as("exact_jaccard"))
+    }),
+
+    // ---- sketch CALIBRATION curve (q64's pair audit folded to the
+    // estimator's 17 possible readings): for each minhash agreement
+    // level a ∈ [0, 16], how far is the sketch's implied Jaccard
+    // (a/16) from the mean exact Jaccard of the pairs it was read on?
+    // This is the table that turns "the sketch looks right" into a
+    // per-threshold bias number — the input to choosing the q21-family
+    // match cutoff. Everything is exact integer fixed-point: per-pair
+    // jac_ppm = inter·10⁶ div union, the level mean a div of two sums,
+    // and the signed bias a plain subtraction (no float ever summed).
+    // Scale: rides the same pair frame as q64 (banded, bucket-capped),
+    // then folds to ≤17 rows in one map-combined aggregate.
+    "q238_minhash_calibration" -> ((s, d) => {
+      pairSketchStats(s, d)
+        .select(col("agree").cast("bigint").as("n_agree"),
+          expr("inter * 1000000 div uni").as("jac_ppm"))
+        .groupBy(col("n_agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jac_ppm")).as("jac_sum"),
+          min(col("jac_ppm")).as("min_jac_ppm"),
+          max(col("jac_ppm")).as("max_jac_ppm"))
+        .select(col("n_agree"), col("n_pairs"),
+          expr("n_agree * 1000000 div 16").as("est_ppm"),
+          expr("jac_sum div n_pairs").as("mean_jac_ppm"),
+          col("min_jac_ppm"), col("max_jac_ppm"),
+          expr("n_agree * 1000000 div 16 - jac_sum div n_pairs")
+            .as("bias_ppm"))
     }),
 
     // ---- DSIR-style importance selection (hashed n-gram features,
@@ -1172,6 +1211,53 @@ object SamplingQueries {
         |LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
         |JOIN n na ON na.doc_id = e.doc_a
         |JOIN n nb ON nb.doc_id = e.doc_b""".stripMargin,
+
+    "q238_minhash_calibration" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |shraw AS (SELECT doc_id,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS sh
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+        |    FROM toks)),
+        |hashed AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) AS ha,
+        |    CAST(concat('0x', substr(md5(sh), 17, 10)) AS BIGINT) AS hb
+        |  FROM shraw),
+        |wide AS (SELECT doc_id,
+        |  ${(0 until 16).map(i => s"min(ha + $i * hb) AS m$i")
+             .mkString(",\n  ")}
+        |  FROM hashed GROUP BY doc_id),
+        |ag AS (SELECT p.doc_a, p.doc_b,
+        |    CAST((${(0 until 16)
+             .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) AS BIGINT) AS agree
+        |  FROM pairs p
+        |  JOIN wide a ON p.doc_a = a.doc_id
+        |  JOIN wide b ON p.doc_b = b.doc_id),
+        |tri AS (SELECT DISTINCT doc_id, sh FROM shraw),
+        |n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN tri x ON x.doc_id = p.doc_a
+        |  JOIN tri y ON y.doc_id = p.doc_b AND x.sh = y.sh
+        |  GROUP BY p.doc_a, p.doc_b),
+        |pp AS (SELECT ag.agree,
+        |    (CAST(coalesce(i.inter, 0) AS BIGINT) * 1000000)
+        |      // (na.n + nb.n - coalesce(i.inter, 0)) AS jac_ppm
+        |  FROM ag
+        |  LEFT JOIN inter i ON ag.doc_a = i.doc_a AND ag.doc_b = i.doc_b
+        |  JOIN n na ON na.doc_id = ag.doc_a
+        |  JOIN n nb ON nb.doc_id = ag.doc_b)
+        |SELECT agree AS n_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  (agree * 1000000) // 16 AS est_ppm,
+        |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm,
+        |  CAST(min(jac_ppm) AS BIGINT) AS min_jac_ppm,
+        |  CAST(max(jac_ppm) AS BIGINT) AS max_jac_ppm,
+        |  CAST((agree * 1000000) // 16 - sum(jac_ppm) // count(*)
+        |    AS BIGINT) AS bias_ppm
+        |FROM pp GROUP BY agree""".stripMargin,
 
     "q131_dsir_resample" ->
       s"""WITH t AS (SELECT doc_id, lang,

@@ -925,25 +925,76 @@ object TextQueries {
     // index is materialized ONCE per run (Shared.frame) instead of
     // re-hashing the corpus for the df gate and both self-join sides.
     "q199_winnow_fingerprints" -> ((s, d) => {
-      val idx = Shared.frame(s, "winnow_idx", d) {
-        val fps = Tables.documents(s, d)
-          .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-          .select(col("doc_id"),
-            explode(expr(s"winnowfp(text, $WinnowK, $WinnowW)")).as("fp"))
-        val rare = fps.groupBy(col("fp"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= WinnowMaxDf)
-          .select(col("fp"))
-        fps.join(rare, "fp")
-      }
+      val idx = winnowIdx(s, d)
       idx.as("a")
         .join(idx.as("b"), col("a.fp") === col("b.fp")
           && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
+    }),
+
+    // ---- EVAL-SET CONTAMINATION audit at exact substring grain (the
+    // leg the decontam family was missing: q51/q127 match whole
+    // n-gram/containment profiles, q149 LSH near-dup pairs, q116/q186
+    // membership and embeddings — this one asks the question eval
+    // benchmarks actually ask: "were this held-out doc's k-gram
+    // WINDOWS seen in train?", PaLM/GPT-4-style, via the q199 winnow
+    // fingerprint index). Docs split 80/10/10 by the q59/q149 id-hash
+    // convention; an eval doc is contaminated when ≥ 3 of its rare
+    // winnow fingerprints (the q199 match rule) also occur anywhere in
+    // train. Scale: rides the ONE shared winnow index (df-capped, so
+    // per-fp fanout is bounded); the train side collapses to a
+    // distinct-fp semi-join key set — no doc×doc pair frame is ever
+    // built, unlike q199's pair materialization; folds to 2 rows.
+    // Only fingerprintable docs (length ≥ k+w−1) are in scope, same
+    // as q199.
+    "q233_eval_contamination" -> ((s, d) => {
+      val splitOf =
+        when(SamplingQueries.hashBucket("doc_id", 1, 100) < 80,
+          lit("train"))
+          .when(SamplingQueries.hashBucket("doc_id", 1, 100) < 90,
+            lit("val"))
+          .otherwise(lit("test"))
+      val withSplit = winnowIdx(s, d).withColumn("split", splitOf)
+      val trainFps = withSplit.filter(col("split") === "train")
+        .select(col("fp")).distinct()
+      val evalRows = withSplit.filter(col("split") =!= "train")
+      val hits = evalRows.join(trainFps, Seq("fp"), "left_semi")
+        .groupBy(col("split"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      evalRows.select(col("split"), col("doc_id")).distinct()
+        .join(hits, Seq("split", "doc_id"), "left_outer")
+        .select(col("split"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hit") >= 3, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(col("n_hit")).as("n_hit_fps"))
+        .select(col("split"), col("n_docs"), col("n_contaminated"),
+          expr("n_contaminated * 1000000 div n_docs")
+            .as("contaminated_ppm"),
+          col("n_hit_fps"))
     })
   )
+
+  /** q199/q233 shared winnow-fingerprint index: per doc, its DISTINCT
+    * winnowed k-gram fingerprints, df-capped to kill stop-fingerprints
+    * (WinnowMaxDf — the q21-family hot-bucket discipline). One shared,
+    * persisted artifact per run, exactly like sharedCandidatePairs.
+    */
+  private def winnowIdx(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "winnow_idx", d) {
+      val fps = Tables.documents(s, d)
+        .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+        .select(col("doc_id"),
+          explode(expr(s"winnowfp(text, $WinnowK, $WinnowW)")).as("fp"))
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf)
+        .select(col("fp"))
+      fps.join(rare, "fp")
+    }
 
   // q204 PII patterns, pinned for the oracle — character classes +
   // greedy repetition only, so Java regex and RE2 agree exactly
@@ -1462,6 +1513,41 @@ object TextQueries {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  count(*) AS n_shared
         |FROM i a JOIN i b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q233_eval_contamination" ->
+      s"""WITH g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
+        |      i -> $winnowHashSql) AS hs
+        |  FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}),
+        |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(hs) - ${WinnowW - 1}),
+        |    j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fp
+        |  FROM g),
+        |rare AS (SELECT fp FROM f GROUP BY fp
+        |  HAVING count(*) <= $WinnowMaxDf),
+        |i AS (SELECT doc_id, fp FROM f JOIN rare USING (fp)),
+        |wi AS (SELECT doc_id, fp, CASE
+        |    WHEN ${SamplingQueries.hashBucketSql("doc_id", 1, 100)} < 80
+        |      THEN 'train'
+        |    WHEN ${SamplingQueries.hashBucketSql("doc_id", 1, 100)} < 90
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM i),
+        |tf AS (SELECT DISTINCT fp FROM wi WHERE split = 'train'),
+        |ev AS (SELECT split, doc_id, fp FROM wi WHERE split <> 'train'),
+        |h AS (SELECT split, doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ev JOIN tf USING (fp) GROUP BY 1, 2),
+        |ed AS (SELECT DISTINCT split, doc_id FROM ev),
+        |j AS (SELECT ed.split, coalesce(h.n_hit, 0) AS n_hit
+        |  FROM ed LEFT JOIN h
+        |    ON ed.split = h.split AND ed.doc_id = h.doc_id)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hit >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  (CAST(sum(CASE WHEN n_hit >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS contaminated_ppm,
+        |  CAST(sum(n_hit) AS BIGINT) AS n_hit_fps
+        |FROM j GROUP BY split""".stripMargin
   )
 }

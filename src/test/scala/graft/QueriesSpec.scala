@@ -1853,4 +1853,203 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       if (ws.distinct.length == 1) assert(ess == n * 1000 && deff == 1000)
     }
   }
+
+  test("q233 eval contamination: full Scala replay — winnow index, " +
+    "df cap, split hash, and the >=3-hit rule all reproduce") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = SparkEntry.queries("q233_eval_contamination")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // same one-pass winnow the query uses (compute is the codegen'd
+    // expression's own kernel; the df cap and split rule are replayed
+    // independently below)
+    val fps = docs.map { case (id, t) =>
+      (id, graft.plans.WinnowFingerprints
+        .compute(UTF8String.fromString(t), 8, 4).toLongArray().toSet)
+    }.toMap
+    val df = fps.values.toSeq.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val rare = fps.view.mapValues(_.filter(df(_) <= 20)).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    val split = docs.map { case (id, _) =>
+      val b = bucket(id)
+      (id, if (b < 80) "train" else if (b < 90) "val" else "test")
+    }.toMap
+    val trainFps = rare.collect {
+      case (id, s) if split(id) == "train" => s
+    }.toSet.flatten
+    val evalDocs = rare.filter { case (id, s) =>
+      split(id) != "train" && s.nonEmpty }
+    val expected = evalDocs.toSeq
+      .map { case (id, s) => (split(id), s.count(trainFps)) }
+      .groupBy(_._1).map { case (sp, hits) =>
+        val nDocs = hits.size.toLong
+        val nCont = hits.count(_._2 >= 3).toLong
+        (sp, (nDocs, nCont, nCont * 1000000L / nDocs,
+          hits.map(_._2.toLong).sum))
+      }
+    assert(out == expected)
+    // at least one eval doc exists on both sides at smoke scale
+    assert(out.keySet == Set("val", "test"))
+  }
+
+  test("q234 min-cost supplier: naive replay of per-part cheapest " +
+    "EUROPE offer with the truncating unit-cents contract") {
+    val out = SparkEntry.queries("q234_min_cost_supplier")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4), r.getLong(5)))
+    val regionEu = Tables.region(spark, sf)
+      .filter(col("r_name") === "EUROPE").collect()
+      .map(_.getAs[Number]("r_regionkey").longValue).toSet
+    val natEu = Tables.nation(spark, sf).collect()
+      .filter(r => regionEu(r.getAs[Number]("n_regionkey").longValue))
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+        r.getAs[String]("n_name"))).toMap
+    val supp = Tables.supplier(spark, sf).collect()
+      .flatMap { r =>
+        natEu.get(r.getAs[Number]("s_nationkey").longValue).map(n =>
+          (r.getAs[Long]("s_suppkey"),
+            (r.getAs[String]("s_name"), r.getAs[Double]("s_acctbal"), n)))
+      }.toMap
+    val psize = Tables.part(spark, sf)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Int]("p_size"))).toMap
+    val offers = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 100) / r.getDouble(3).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .toSeq.collect { case ((pk, sk), c)
+        if psize.contains(pk) && supp.contains(sk) => (pk, sk, c) }
+    val minCost = offers.groupBy(_._1).view.mapValues(_.map(_._3).min)
+    val expected = offers
+      .filter { case (pk, _, c) => c == minCost(pk) }
+      .map { case (pk, sk, c) =>
+        val (sn, bal, nn) = supp(sk)
+        (bal, sn, nn, pk, psize(pk), c)
+      }
+      .sortBy { case (bal, sn, _, pk, _, _) => (-bal, pk, sn) }
+      .take(100)
+    assert(out.toSeq == expected)
+  }
+
+  test("q235 value concentration: BigInt replay of the 1/1000 " +
+    "threshold and exact share_ppm") {
+    val out = SparkEntry.queries("q235_value_concentration")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val regionAs = Tables.region(spark, sf)
+      .filter(col("r_name") === "ASIA").collect()
+      .map(_.getAs[Number]("r_regionkey").longValue).toSet
+    val natAs = Tables.nation(spark, sf).collect()
+      .filter(r => regionAs(r.getAs[Number]("n_regionkey").longValue))
+      .map(_.getAs[Number]("n_nationkey").longValue).toSet
+    val suppAs = Tables.supplier(spark, sf).collect()
+      .filter(r => natAs(r.getAs[Number]("s_nationkey").longValue))
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice")).collect()
+      .filter(r => suppAs(r.getLong(1)))
+      .map(r => (r.getLong(0), BigInt(math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = vals.values.sum
+    val expected = vals.toSeq
+      .filter { case (_, v) => v * 1000 > total }
+      .map { case (pk, v) =>
+        (pk, v.toDouble, (v * 1000000 / total).toLong) }
+      .sortBy { case (pk, v, _) => (-v, pk) }
+    assert(out.toSeq == expected)
+    // the gate is a real filter at smoke scale, not pass-everything
+    assert(out.length < vals.size)
+  }
+
+  test("q236 excess stock: naive replay of the 2*q_sp > q_p majority " +
+    "holder rule inside the 1996 window") {
+    val out = SparkEntry.queries("q236_excess_stock")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+        r.getAs[String]("n_name"))).toMap
+    val supp = Tables.supplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"),
+        (r.getAs[String]("s_name"),
+          nat(r.getAs[Number]("s_nationkey").longValue)))).toMap
+    val sp = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val pt = sp.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expected = sp.toSeq
+      .filter { case ((pk, _), q) => q * 2 > pt(pk) }
+      .groupBy(_._1._2).map { case (sk, rs) =>
+        val (sn, nn) = supp(sk)
+        (sk, (sn, nn, rs.size.toLong, rs.map(_._2).sum))
+      }
+    assert(out == expected)
+  }
+
+  test("q237 l-diversity: naive class census replays, ledger is " +
+    "internally consistent") {
+    val r = SparkEntry.queries("q237_l_diversity")(spark, sf)
+      .collect().head
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text"), col("source")).collect()
+      .map(x => ((x.getString(0),
+        x.getString(1).split(" ", -1).length.toLong / 50),
+        x.getString(2)))
+    val classes = docs.groupBy(_._1).toSeq.map { case (_, rs) =>
+      (rs.map(_._2).distinct.length.toLong, rs.length.toLong) }
+    val nDocs = classes.map(_._2).sum
+    val exposed = classes.filter(_._1 < 3)
+    assert(r.getLong(0) == classes.length.toLong)
+    assert(r.getLong(1) == nDocs)
+    assert(r.getLong(2) == classes.map(_._1).min)
+    assert(r.getLong(3) == exposed.length.toLong)
+    assert(r.getLong(4) == exposed.map(_._2).sum)
+    assert(r.getLong(5) == exposed.map(_._2).sum * 1000000L / nDocs)
+  }
+
+  test("q238 minhash calibration: levels fold q64's pair audit — " +
+    "counts match per level, bias arithmetic is exact") {
+    val out = SparkEntry.queries("q238_minhash_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+    val pairs = SparkEntry.queries("q64_minhash_est")(spark, sf)
+      .collect()
+      // est_jaccard = agree/16 is exact in doubles, so *16 recovers
+      // the integer agreement level losslessly
+      .map(r => math.round(r.getDouble(2) * 16))
+    val byLevel = pairs.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(out.map(_._1).toSet == byLevel.keys.map(_.toLong).toSet)
+    out.foreach { case (a, (n, est, mean, mn, mx, bias)) =>
+      assert(a >= 0 && a <= 16)
+      assert(n == byLevel(a), s"level $a pair count")
+      assert(est == a * 1000000L / 16)
+      assert(mn <= mean && mean <= mx,
+        s"level $a: mean outside [min, max]")
+      assert(bias == est - mean)
+      assert(mn >= 0 && mx <= 1000000L)
+    }
+    assert(out.map(_._2._1).sum == pairs.length.toLong,
+      "levels partition the q64 pair set")
+  }
 }
