@@ -235,13 +235,26 @@ object Bench {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
     // an idle-box run (builder-attested via env) refreshes the committed
-    // exclusive reference the contention verdict compares against
+    // exclusive reference the contention verdict compares against.
+    // A run that ITSELF measured contended must not become the
+    // reference — on a hypervisor-noisy box the attestation can be
+    // honest while the numbers still are not (round-9 incident: two
+    // attested runs, 209.5 s and 227.0 s, 5–7 breaches each, every
+    // breacher fast again on retime); refusing here keeps the last
+    // clean reference in place so future verdicts stay calibrated.
     if (only.isEmpty && nFail == 0 &&
-        sys.env.get("SPARK_GRAFT_BENCH_EXCLUSIVE").contains("1"))
-      Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
-        (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-        StandardOpenOption.WRITE)
+        sys.env.get("SPARK_GRAFT_BENCH_EXCLUSIVE").contains("1")) {
+      if (contended)
+        System.err.println(
+          s"[bench] exclusive run measured CONTENDED (${breaches.size} " +
+            "breaches) — NOT refreshing BENCH_EXCLUSIVE.json; re-run on " +
+            "an idle box")
+      else
+        Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
+          (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE)
+    }
     val head = results.filter(r => headline.contains(r._1))
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median",$contentionJson,"queries":${jsonMap(head)},"sf":"$sfDir","full":"$outFile"}""")
