@@ -83,6 +83,27 @@ object CorpusQueries {
           countDistinct(col("tok")).as("uniq"))
     }
 
+  /** Governance-trio shared QI cell census — (lang, 50-token length
+    * bucket, source) cells with their document counts, memoized per
+    * run (Shared.frame): q218 (k-anonymity) reads the cells directly,
+    * q237 (l-diversity) folds them per class, q239 (t-closeness) joins
+    * them against the class and corpus totals. Before this, q239 alone
+    * paid FOUR corpus scans (column pruning de-canonicalizes the
+    * aggregate, so exchange reuse never fires — plan-audited); now the
+    * whole trio pays one, and every frame after the census is
+    * QI-cardinality-sized.
+    */
+  private[queries] def qiCells(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "qi_cells", d) {
+      Tables.documents(s, d)
+        .select(col("lang"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT) div 50")
+            .as("len_bucket"),
+          col("source"))
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("m_cs"))
+    }
+
   val queries: Map[String, Q] = Map(
     // ---- LM-PERPLEXITY quality scoring (the CCNet bucket filter —
     // the classic pretraining quality signal the heuristic gates
@@ -1303,12 +1324,8 @@ object CorpusQueries {
     // exact integers. At 100 TB this is the cheapest query in the
     // suite (two aggregates, QI cardinality rows between them).
     "q218_k_anonymity" -> ((s, d) => {
-      val classes = Tables.documents(s, d)
-        .select(col("lang"), col("source"),
-          expr("CAST(size(split(text, ' ')) AS BIGINT) div 50")
-            .as("len_bucket"))
-        .groupBy(col("lang"), col("source"), col("len_bucket"))
-        .agg(count(lit(1)).as("m"))
+      val classes = qiCells(s, d).select(col("lang"), col("source"),
+        col("len_bucket"), col("m_cs").as("m"))
       classes.agg(count(lit(1)).as("n_classes"),
           sum(col("m")).as("n_docs"),
           sum(when(col("m") < 5, 1L).otherwise(0L)).as("n_small_classes"),
@@ -1369,14 +1386,13 @@ object CorpusQueries {
     // an exact grouped count-distinct, one tiny fold to the ledger —
     // all integers, QI-cardinality rows between the two aggregates.
     "q237_l_diversity" -> ((s, d) => {
-      val classes = Tables.documents(s, d)
-        .select(col("lang"),
-          expr("CAST(size(split(text, ' ')) AS BIGINT) div 50")
-            .as("len_bucket"),
-          col("source"))
+      // cells are one row per (class, source), so the class's distinct
+      // source count is a plain count(*) over its cells — the exact
+      // countDistinct, with the corpus scan already paid by the trio's
+      // shared census
+      val classes = qiCells(s, d)
         .groupBy(col("lang"), col("len_bucket"))
-        .agg(countDistinct(col("source")).as("l"),
-          count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("l"), sum(col("m_cs")).as("m"))
       classes.agg(count(lit(1)).as("n_classes"),
           sum(col("m")).as("n_docs"),
           min(col("l")).as("min_l"),
@@ -1388,6 +1404,147 @@ object CorpusQueries {
           col("n_low_classes"), col("n_docs_exposed"),
           expr("n_docs_exposed * 1000000 div n_docs")
             .as("exposed_ppm"))
+    }),
+
+    // ---- T-CLOSENESS audit (completing the q218/q237 governance
+    // trio): l-diversity still leaks when a class's sensitive-value
+    // DISTRIBUTION is skewed vs the corpus (3 distinct sources at
+    // 98/1/1% pins a row almost as hard as 1). Per QI class, the
+    // categorical earth-mover's distance — which under the uniform
+    // ground metric is exactly total variation — between the class's
+    // source distribution and the global one: TVD = ½ Σ_s |m_cs/m_c −
+    // g_s/N|, exact in fixed point as Σ_s |m_cs·N − g_s·m_c| · 5·10⁵
+    // div (m_c·N), with the absent-source term (N − Σ_present g_s)·m_c
+    // added in closed form so no class×source dense frame is ever
+    // built. Scale: ONE corpus-grain aggregate to (class, source)
+    // cells; everything after is cell-grain with the source totals and
+    // the 1-row corpus total broadcast. Products ride DECIMAL(38,0)
+    // (m_cs·N reaches N² — BIGINT dies at ~3·10⁹ docs, the q229
+    // ADVICE discipline). Breach threshold t = 0.2 (200000 ppm).
+    "q239_t_closeness" -> ((s, d) => {
+      val cells = qiCells(s, d)
+      val ctot = cells.groupBy(col("lang"), col("len_bucket"))
+        .agg(sum(col("m_cs")).as("m_c"))
+      val gtot = cells.groupBy(col("source"))
+        .agg(sum(col("m_cs")).as("g_s"))
+      val n = gtot.agg(sum(col("g_s")).as("n_total"))
+      val per = cells
+        .join(broadcast(gtot), "source")
+        .join(broadcast(ctot), Seq("lang", "len_bucket"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("lang"), col("len_bucket"), col("m_c"),
+          col("n_total"))
+        .agg(sum(abs(col("m_cs").cast("decimal(38,0)") * col("n_total")
+            - col("g_s").cast("decimal(38,0)") * col("m_c")))
+            .as("a_present"),
+          sum(col("g_s")).as("b_present"))
+        .select(col("m_c"),
+          // integral div (not decimal /): Spark's decimal division
+          // ROUNDS while DuckDB's // floors — div truncates, and both
+          // operands are positive, so the engines agree exactly
+          expr("(a_present + CAST(n_total - b_present AS " +
+            "DECIMAL(38,0)) * m_c) * 500000 div " +
+            "(CAST(m_c AS DECIMAL(19,0)) * n_total)")
+            .as("tvd_ppm"))
+      per.agg(count(lit(1)).as("n_classes"),
+          max(col("tvd_ppm")).as("max_tvd_ppm"),
+          sum(when(col("tvd_ppm") > 200000, 1L).otherwise(0L))
+            .as("n_breaching"),
+          sum(when(col("tvd_ppm") > 200000, col("m_c")).otherwise(0L))
+            .as("n_docs_exposed"),
+          sum(col("m_c")).as("n_docs"))
+        .select(col("n_classes"), col("max_tvd_ppm"),
+          col("n_breaching"), col("n_docs_exposed"),
+          expr("n_docs_exposed * 1000000 div n_docs").as("exposed_ppm"))
+    }),
+
+    // ---- SPEARMAN rank correlation between two quality signals (the
+    // MONOTONE-association read q217's kappa can't give: kappa compares
+    // two BINARY gates; this asks whether the learned score and token
+    // length co-move across their whole ranges — the check before
+    // using one signal as a proxy for the other). Exact end to end:
+    // tie-averaged ranks come DOUBLED from histogram prefix sums (2r =
+    // 2·cum_below + c + 1, the q220/q229 idiom — no global sort
+    // window), and since Σ2r = N(N+1) exactly, the mean doubled rank
+    // is the INTEGER N+1, so deviations d = 2r − (N+1) are exact
+    // integers bounded by N. Pearson-on-ranks then needs only Σdxdy,
+    // Σdx², Σdy² (each ≤ N³ — DECIMAL(38,0) holds to N ≈ 2·10⁶ for
+    // the 4·num² verdict product, documented envelope). Verdict
+    // |ρ| > 0.5 cross-multiplied: 4·num² > denx·deny — no sqrt, no
+    // float. Scale: two value-grain histograms + prefix sums, two
+    // broadcast rank joins back onto the doc-grain signal frame, one
+    // fold.
+    "q240_spearman_signals" -> ((s, d) => {
+      val sig = qualitySignals(s, d)
+        .select(col("doc_id"), col("score"), col("n_tokens"))
+      val n = sig.agg(count(lit(1)).as("nn"))
+      def ranks(vc: String): DataFrame = {
+        val h = sig.groupBy(col(vc)).agg(count(lit(1)).as("c"))
+          .withColumn("k", lit(1))
+        graft.operators.Prefix.runningSum(h, "k", vc, "c", "cum")
+          .select(col(vc), ((col("cum") - col("c")) * 2 + col("c") + 1)
+            .as(s"r2_$vc"))
+      }
+      sig
+        .join(ranks("score"), "score")
+        .join(ranks("n_tokens"), "n_tokens")
+        .crossJoin(broadcast(n))
+        .select(
+          (col("r2_score") - (col("nn") + 1)).cast("decimal(19,0)")
+            .as("dx"),
+          (col("r2_n_tokens") - (col("nn") + 1)).cast("decimal(19,0)")
+            .as("dy"),
+          col("nn"))
+        .groupBy(col("nn"))
+        .agg(sum(expr("CAST(dx * dy AS DECIMAL(38,0))")).as("num"),
+          sum(expr("CAST(dx * dx AS DECIMAL(38,0))")).as("denx"),
+          sum(expr("CAST(dy * dy AS DECIMAL(38,0))")).as("deny"))
+        .select(col("nn").as("n"),
+          col("num").cast("decimal(38,0)").as("num"),
+          col("denx").cast("decimal(38,0)").as("denx"),
+          col("deny").cast("decimal(38,0)").as("deny"),
+          (col("num") > 0).as("positive"),
+          (lit(4).cast("decimal(19,0)") * col("num") * col("num")
+            > col("denx") * col("deny")).as("correlated"))
+    }),
+
+    // ---- classifier AUC as an exact rank statistic (the THRESHOLD-
+    // FREE discrimination read beside q209's binned calibration: does
+    // the q124 learned score actually separate diverse from repetitive
+    // docs, at every operating point at once?). AUC is the probability
+    // a random positive outranks a random negative = U/(n₁n₀) — exactly
+    // the q220 Mann–Whitney machinery pointed at (score, heuristic
+    // diversity gate) instead of (price, cohort): doubled U from ONE
+    // histogram prefix sum (2 per strict win, 1 per tie — the ½-tie
+    // AUC convention kept integral), auc_ppm = u2·10⁶ div (2n₁n₀),
+    // verdict AUC > 0.7 cross-multiplied (u2·10 > 14·n₁n₀ — n₁n₀
+    // promoted to DECIMAL first: it reaches N²/4, past BIGINT at
+    // ~6·10⁹ docs). Scale: rides the run-shared quality_signals frame;
+    // one score-grain histogram, one fold.
+    "q241_score_auc" -> ((s, d) => {
+      val h = qualitySignals(s, d)
+        .select(col("score"),
+          (col("uniq") * 2 >= col("n_tokens")).as("pos"))
+        .groupBy(col("score"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("k", lit(1))
+      val cum = graft.operators.Prefix.runningSum(h, "k", "score",
+        "cb", "cum_b")
+      cum.agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+          sum(col("ca") * (col("cum_b") - col("cb")) * 2
+            + col("ca") * col("cb")).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          // explicit degenerate-class guard (the q215 lesson): one
+          // all-positive or all-negative corpus leaves AUC undefined —
+          // NULL on both engines, never a crash or a 0-row collapse
+          expr("CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+            "CAST(u2 AS DECIMAL(38,0)) * 1000000 div " +
+            "(CAST(n_pos AS DECIMAL(19,0)) * n_neg * 2) END")
+            .as("auc_ppm"),
+          (col("u2").cast("decimal(38,0)") * 10
+            > col("n_pos").cast("decimal(19,0)") * col("n_neg") * 14)
+            .as("discriminative"))
     })
   )
 
@@ -2359,6 +2516,110 @@ object CorpusQueries {
         |    AS n_docs_exposed,
         |  (CAST(sum(CASE WHEN l < 3 THEN m ELSE 0 END) AS BIGINT)
         |    * 1000000) // CAST(sum(m) AS BIGINT) AS exposed_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q239_t_closeness" ->
+      """WITH cells AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) // 50
+        |      AS len_bucket,
+        |    source, CAST(count(*) AS BIGINT) AS m_cs
+        |  FROM documents GROUP BY 1, 2, 3),
+        |ct AS (SELECT lang, len_bucket, CAST(sum(m_cs) AS BIGINT) AS m_c
+        |  FROM cells GROUP BY 1, 2),
+        |gt AS (SELECT source, CAST(sum(m_cs) AS BIGINT) AS g_s
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(g_s) AS BIGINT) AS n_total FROM gt),
+        |per AS (SELECT c.lang, c.len_bucket, ct.m_c, n.n_total,
+        |    sum(abs(CAST(c.m_cs AS HUGEINT) * n.n_total
+        |      - CAST(gt.g_s AS HUGEINT) * ct.m_c)) AS a_present,
+        |    CAST(sum(gt.g_s) AS BIGINT) AS b_present
+        |  FROM cells c
+        |  JOIN gt USING (source)
+        |  JOIN ct ON c.lang = ct.lang AND c.len_bucket = ct.len_bucket, n
+        |  GROUP BY 1, 2, 3, 4),
+        |tv AS (SELECT m_c,
+        |    ((a_present + CAST(n_total - b_present AS HUGEINT) * m_c)
+        |      * 500000) // (CAST(m_c AS HUGEINT) * n_total) AS tvd_ppm
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+        |  CAST(sum(CASE WHEN tvd_ppm > 200000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_breaching,
+        |  CAST(sum(CASE WHEN tvd_ppm > 200000 THEN m_c ELSE 0 END)
+        |    AS BIGINT) AS n_docs_exposed,
+        |  (CAST(sum(CASE WHEN tvd_ppm > 200000 THEN m_c ELSE 0 END)
+        |      AS BIGINT) * 1000000)
+        |    // CAST(sum(m_c) AS BIGINT) AS exposed_ppm
+        |FROM tv""".stripMargin,
+
+    "q240_spearman_signals" ->
+      s"""WITH $signalsSqlCte,
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pd),
+        |hs AS (SELECT score, CAST(count(*) AS BIGINT) AS c
+        |  FROM pd GROUP BY 1),
+        |rs AS (SELECT score,
+        |    (CAST(sum(c) OVER (ORDER BY score) AS BIGINT) - c) * 2
+        |      + c + 1 AS r2s
+        |  FROM hs),
+        |ht AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS c
+        |  FROM pd GROUP BY 1),
+        |rt AS (SELECT n_tokens,
+        |    (CAST(sum(c) OVER (ORDER BY n_tokens) AS BIGINT) - c) * 2
+        |      + c + 1 AS r2t
+        |  FROM ht),
+        |dev AS (SELECT CAST(rs.r2s - (nn.n + 1) AS HUGEINT) AS dx,
+        |    CAST(rt.r2t - (nn.n + 1) AS HUGEINT) AS dy, nn.n
+        |  FROM pd
+        |  JOIN rs ON pd.score = rs.score
+        |  JOIN rt ON pd.n_tokens = rt.n_tokens, nn)
+        |SELECT max(n) AS n,
+        |  CAST(sum(dx * dy) AS DECIMAL(38,0)) AS num,
+        |  CAST(sum(dx * dx) AS DECIMAL(38,0)) AS denx,
+        |  CAST(sum(dy * dy) AS DECIMAL(38,0)) AS deny,
+        |  sum(dx * dy) > 0 AS positive,
+        |  4 * sum(dx * dy) * sum(dx * dy)
+        |    > sum(dx * dx) * sum(dy * dy) AS correlated
+        |FROM dev""".stripMargin,
+
+    "q241_score_auc" ->
+      s"""WITH $signalsSqlCte,
+        |g AS (SELECT score, (uniq * 2 >= n_tokens) AS pos FROM pd),
+        |h AS (SELECT score,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM g GROUP BY 1),
+        |c AS (SELECT ca, cb,
+        |    CAST(sum(cb) OVER (ORDER BY score) AS BIGINT) AS cum_b
+        |  FROM h),
+        |u AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+        |    CAST(sum(cb) AS BIGINT) AS n_neg,
+        |    CAST(sum(ca * (cum_b - cb) * 2 + ca * cb) AS BIGINT) AS u2
+        |  FROM c)
+        |SELECT n_pos, n_neg, u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST((CAST(u2 AS HUGEINT) * 1000000)
+        |      // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
+        |  END AS auc_ppm,
+        |  CAST(u2 AS HUGEINT) * 10
+        |    > CAST(n_pos AS HUGEINT) * n_neg * 14 AS discriminative
+        |FROM u""".stripMargin
   )
+
+  /** q240/q241 shared oracle CTE: the per-doc quality signals exactly
+    * as `qualitySignals` computes them (hashed-feature score, token
+    * count, distinct-token count) — same body q217's oracle inlines.
+    */
+  private def signalsSqlCte: String =
+    s"""t AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |fb AS (SELECT doc_id, tok,
+      |    ${SamplingQueries.hashBucketSql("tok", 1, 1024)} AS b
+      |  FROM t),
+      |fw AS (SELECT doc_id, tok,
+      |    (${SamplingQueries.hashBucketSql("b", 9, 2001)}) - 1000 AS w
+      |  FROM fb),
+      |pd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS uniq
+      |  FROM fw GROUP BY doc_id)""".stripMargin
 }

@@ -629,6 +629,74 @@ object Relational {
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"),
           col("n_excess_parts"), col("qty_held"))
+    }),
+
+    // ---- TPC-H Q17 shape (small-quantity revenue): total revenue of
+    // Brand#12 lineitems whose quantity is below HALF the part's own
+    // average — the correlated-subquery showcase. Decorrelated the
+    // only way that scales: the per-part (n, Σq) aggregate is computed
+    // ONCE from the brand-pruned scan and re-joined by part key (never
+    // a per-row re-scan), the brand filter reaches the fact scan as a
+    // broadcast semi-join BEFORE the aggregate, and the half-average
+    // test is exact integer cross-multiplication 2·q·n < Σq (no
+    // division, no float). Revenue in exact cents, summed in
+    // DECIMAL(38,0).
+    "q242_small_qty_revenue" -> ((s, d) => {
+      val pk = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("bigint").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_li"), sum(col("q")).as("sum_q"))
+      li.join(pa, Seq("l_partkey"))
+        .filter(col("q") * 2 * col("n_li") < col("sum_q"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_small_lines"),
+          sum(col("cents").cast("decimal(38,0)")).as("revenue_cents"))
+        .select(col("n_parts"), col("n_small_lines"),
+          col("revenue_cents").cast("double").as("revenue_cents"))
+    }),
+
+    // ---- TPC-H Q21 shape (lone failing supplier): suppliers who were
+    // the ONLY supplier with a returned line in a multi-supplier order
+    // — the exists + not-exists double-correlation showcase (the
+    // reference corpus has no receipt/commit dates, so "failed" is
+    // l_returnflag = 'R'). Decorrelated to ONE scan: lineitem rolls up
+    // to (order, supplier, has_return) grain, the order-grain census
+    // (distinct suppliers, suppliers-with-return) re-aggregates THAT
+    // frame — same shuffle key, so the second aggregate and the
+    // back-join are exchange-free behind the first — and both EXISTS
+    // legs become integer predicates (n_supp ≥ 2, n_ret = 1) on the
+    // census row. Supplier/nation dims broadcast onto the final
+    // supplier-grain fold.
+    "q243_lone_failed_supplier" -> ((s, d) => {
+      val os = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_r"))
+      val ord = os.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      os.join(ord, Seq("l_orderkey"))
+        .filter(col("has_r") === 1 && col("n_supp") >= 2
+          && col("n_ret") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lone_fault"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_lone_fault"))
+        .orderBy(col("n_lone_fault").desc, col("s_suppkey").asc)
+        .limit(100)
     })
   )
 
@@ -1030,6 +1098,46 @@ object Relational {
         |  ex.qty_held
         |FROM ex
         |JOIN supplier s ON ex.l_suppkey = s.s_suppkey
-        |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+
+    "q242_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS q,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  WHERE l.l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')),
+        |pa AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_li,
+        |    CAST(sum(q) AS BIGINT) AS sum_q
+        |  FROM li GROUP BY 1),
+        |sm AS (SELECT li.l_partkey, li.cents
+        |  FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+        |  WHERE li.q * 2 * pa.n_li < pa.sum_q)
+        |SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_small_lines,
+        |  CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE)
+        |    AS revenue_cents
+        |FROM sm""".stripMargin,
+
+    "q243_lone_failed_supplier" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS has_r
+        |  FROM lineitem GROUP BY 1, 2),
+        |o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+        |    CAST(sum(has_r) AS BIGINT) AS n_ret
+        |  FROM os GROUP BY 1),
+        |lf AS (SELECT os.l_suppkey,
+        |    CAST(count(*) AS BIGINT) AS n_lone_fault
+        |  FROM os JOIN o ON os.l_orderkey = o.l_orderkey
+        |  WHERE os.has_r = 1 AND o.n_supp >= 2 AND o.n_ret = 1
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, lf.n_lone_fault
+        |FROM lf
+        |JOIN supplier s ON lf.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY lf.n_lone_fault DESC, s.s_suppkey ASC
+        |LIMIT 100""".stripMargin
   )
 }

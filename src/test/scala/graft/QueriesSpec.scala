@@ -2052,4 +2052,160 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2._1).sum == pairs.length.toLong,
       "levels partition the q64 pair set")
   }
+
+  // md5-hash bucket replay shared by the q239-q241 tests (the exact
+  // arithmetic of SamplingQueries.hashBucket: first/second 8 hex chars
+  // of the md5 of the value's string bytes, base-16, mod m)
+  private def md5Bucket(v: String, off: Int, mod: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(off - 1, off + 7), 16) % mod
+  }
+
+  // per-doc quality signals exactly as qualitySignals computes them
+  private def signalReplay(): Seq[(Long, Long, Long, Long)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val wts = toks.map { t =>
+          val b = md5Bucket(t, 1, 1024)
+          md5Bucket(b.toString, 9, 2001) - 1000
+        }
+        (r.getLong(0), wts.sum, toks.length.toLong,
+          toks.distinct.length.toLong)
+      }.toSeq
+
+  test("q239 t-closeness: BigInt replay of per-class TVD vs the " +
+    "global source distribution, absent-source term included") {
+    val r = SparkEntry.queries("q239_t_closeness")(spark, sf)
+      .collect().head
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text"), col("source")).collect()
+      .map(x => ((x.getString(0),
+        x.getString(1).split(" ", -1).length.toLong / 50),
+        x.getString(2)))
+    val g = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(docs.length)
+    val classes = docs.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val mC = BigInt(rs.length)
+      val bySrc = rs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val tvdNum = g.map { case (s, gs) =>
+        (BigInt(bySrc.getOrElse(s, 0L)) * n - BigInt(gs) * mC).abs
+      }.sum
+      (mC, tvdNum * 500000 / (mC * n))
+    }
+    val exposed = classes.filter(_._2 > 200000)
+    assert(r.getLong(0) == classes.length.toLong)
+    assert(BigInt(r.getLong(1)) == classes.map(_._2).max)
+    assert(r.getLong(2) == exposed.length.toLong)
+    assert(BigInt(r.getLong(3)) == exposed.map(_._1).sum)
+    assert(BigInt(r.getLong(4))
+      == exposed.map(_._1).sum * 1000000 / classes.map(_._1).sum)
+    // TVD is a probability distance: every class's reading is <= 1
+    classes.foreach { case (_, t) => assert(t <= 1000000) }
+  }
+
+  test("q240 spearman: full replay — doubled tie-averaged ranks, " +
+    "integer centering, BigInt moments, cross-multiplied verdict") {
+    val r = SparkEntry.queries("q240_spearman_signals")(spark, sf)
+      .collect().head
+    val sig = signalReplay().map(t => (t._2, t._3)) // (score, n_tokens)
+    val n = sig.length.toLong
+    def ranks(vs: Seq[Long]): Map[Long, Long] = {
+      val h = vs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      h.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (v, c)) =>
+        (v, 2 * cum + c + 1, cum + c)
+      }.drop(1).map(t => (t._1, t._2)).toMap
+    }
+    val rx = ranks(sig.map(_._1))
+    val ry = ranks(sig.map(_._2))
+    val devs = sig.map { case (s, t) =>
+      (BigInt(rx(s)) - (n + 1), BigInt(ry(t)) - (n + 1)) }
+    // Σ of doubled average ranks is N(N+1) exactly, so centering by
+    // the integer N+1 leaves zero-sum deviations
+    assert(devs.map(_._1).sum == 0 && devs.map(_._2).sum == 0)
+    val num = devs.map { case (a, b) => a * b }.sum
+    val denx = devs.map { case (a, _) => a * a }.sum
+    val deny = devs.map { case (_, b) => b * b }.sum
+    assert(r.getLong(0) == n)
+    assert(BigInt(r.getDecimal(1).toBigInteger) == num)
+    assert(BigInt(r.getDecimal(2).toBigInteger) == denx)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == deny)
+    assert(r.getBoolean(4) == (num > 0))
+    assert(r.getBoolean(5) == (4 * num * num > denx * deny))
+    // Cauchy-Schwarz: |rho| <= 1
+    assert(num * num <= denx * deny)
+  }
+
+  test("q241 score AUC: quadratic naive doubled-U replay, " +
+    "rank-statistic identity, and the 0.7 gate") {
+    val r = SparkEntry.queries("q241_score_auc")(spark, sf)
+      .collect().head
+    val sig = signalReplay()
+    val pos = sig.filter(t => 2 * t._4 >= t._3).map(_._2)
+    val neg = sig.filter(t => 2 * t._4 < t._3).map(_._2)
+    val u2 = pos.iterator.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(r.getLong(0) == pos.length.toLong)
+    assert(r.getLong(1) == neg.length.toLong)
+    assert(r.getLong(2) == u2)
+    assert(r.getLong(3)
+      == BigInt(u2) * 1000000 / (BigInt(pos.length) * neg.length * 2))
+    assert(r.getBoolean(4)
+      == (BigInt(u2) * 10 > BigInt(pos.length) * neg.length * 14))
+    assert(u2 <= 2L * pos.length * neg.length, "AUC <= 1")
+  }
+
+  test("q242 small-quantity revenue: naive replay of the half-average " +
+    "cross-multiplied gate in exact cents") {
+    val r = SparkEntry.queries("q242_small_qty_revenue")(spark, sf)
+      .collect().head
+    val pk = Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#12").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .filter(x => pk(x.getLong(0)))
+      .map(x => (x.getLong(0), x.getDouble(1).toLong,
+        math.round(x.getDouble(2) * 100)))
+    val pa = li.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val small = li.filter { case (p, q, _) =>
+      val (nLi, sumQ) = pa(p); q * 2 * nLi < sumQ }
+    assert(r.getLong(0) == small.map(_._1).distinct.length.toLong)
+    assert(r.getLong(1) == small.length.toLong)
+    assert(r.getDouble(2) == small.map(_._3).sum.toDouble)
+  }
+
+  test("q243 lone failed supplier: naive replay of the exists + " +
+    "not-exists census predicates") {
+    val out = SparkEntry.queries("q243_lone_failed_supplier")(spark, sf)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3)))
+    val os = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getString(2) == "R"))
+      .groupBy(_._1).view.mapValues(_.exists(_._2)).toSeq
+    val byOrd = os.groupBy(_._1._1).view
+      .mapValues(rs => (rs.length, rs.count(_._2))).toMap
+    val faults = os.filter { case ((o, _), hasR) =>
+      val (nSupp, nRet) = byOrd(o); hasR && nSupp >= 2 && nRet == 1 }
+      .groupBy(_._1._2).view.mapValues(_.length.toLong).toMap
+    val nat = Tables.nation(spark, sf).collect()
+      .map(x => (x.getAs[Number]("n_nationkey").longValue,
+        x.getAs[String]("n_name"))).toMap
+    val supp = Tables.supplier(spark, sf).collect()
+      .map(x => (x.getAs[Long]("s_suppkey"),
+        (x.getAs[String]("s_name"),
+          nat(x.getAs[Number]("s_nationkey").longValue)))).toMap
+    val expected = faults.toSeq.map { case (sk, c) =>
+      val (sn, nn) = supp(sk); (sk, sn, nn, c) }
+      .sortBy { case (sk, _, _, c) => (-c, sk) }.take(100)
+    assert(out.toSeq == expected)
+  }
 }
