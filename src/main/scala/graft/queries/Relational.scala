@@ -697,6 +697,107 @@ object Relational {
           col("n_lone_fault"))
         .orderBy(col("n_lone_fault").desc, col("s_suppkey").asc)
         .limit(100)
+    }),
+
+    // ---- TPC-H Q13 shape (order-count distribution): how many
+    // customers placed 0, 1, 2, … orders — the left-join-then-
+    // two-level-aggregate planner shape, and the zero-preserving
+    // histogram every engagement report needs. Scale discipline: the
+    // FACT side aggregates to customer grain FIRST (orders-per-custkey,
+    // map-combined), so the left join is dim × already-small — never
+    // raw orders rows through a join; zero-order customers survive via
+    // coalesce, and the final histogram is order-count-cardinality
+    // rows.
+    "q244_order_count_distribution" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders").desc)
+    }),
+
+    // ---- TPC-H Q8 shape (market share): within the ASIA customers'
+    // market, each supplier NATION's share of yearly revenue — the
+    // two-level share report (group revenue ÷ broadcast-back yearly
+    // total). Plan shape: customer prunes to the region and broadcasts
+    // onto orders (the market filter reaches the fact join as a
+    // broadcast semi-join), the one big exchange is lineitem ⋈ pruned
+    // orders on orderkey, supplier/nation broadcast onto the fold, and
+    // the yearly totals re-join the year-grain aggregate (never a
+    // second fact pass). Revenue exact cents in DECIMAL(38,0);
+    // share_ppm an exact integral div.
+    "q245_market_share" -> ((s, d) => {
+      val asiaNat = broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+      val asiaCust = Tables.customer(s, d)
+        .join(asiaNat, col("c_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .join(broadcast(asiaCust),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("yr"))
+      val suppNat = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("yr"), col("n_name"))
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("rev_c"))
+      val tot = rev.groupBy(col("yr"))
+        .agg(sum(col("rev_c")).as("tot_c"))
+      rev.join(broadcast(tot), Seq("yr"))
+        .select(col("yr"), col("n_name"),
+          col("rev_c").cast("double").as("revenue_cents"),
+          expr("rev_c * 1000000 div tot_c").as("share_ppm"))
+        .orderBy(col("yr").asc, col("n_name").asc)
+    }),
+
+    // ---- TPC-H Q22 shape (idle rich customers): per market segment,
+    // customers with an above-average positive balance and NO ORDER
+    // since 2001-01-01 — the scalar-threshold + anti-join combination,
+    // read as churn risk (in this corpus every customer has ordered at
+    // least once, so Q22's literal never-ordered leg is vacuous; the
+    // recency cutoff keeps the planner shape AND a non-empty answer).
+    // The average enters as an exact CROSS-MULTIPLICATION (cents·n >
+    // Σcents — no float mean is ever materialized, so the engines
+    // cannot disagree on boundary rows, the q242 discipline), the
+    // threshold is a 1-row broadcast, the recency predicate reaches
+    // the orders scan (PushedFilters), and the no-recent-orders test
+    // is an anti-join against the distinct recent-buyer key set —
+    // never raw orders rows.
+    "q246_idle_rich_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val thr = cust.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c").cast("decimal(38,0)")).as("sum_c"),
+          count(lit(1)).as("n_pos"))
+      val buyers = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_c").cast("decimal(38,0)") * col("n_pos")
+          > col("sum_c"))
+        .join(buyers, col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("bal_c")).as("total_bal_cents"))
+        .orderBy(col("c_mktsegment").asc)
     })
   )
 
@@ -1138,6 +1239,58 @@ object Relational {
         |JOIN supplier s ON lf.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY lf.n_lone_fault DESC, s.s_suppkey ASC
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q244_order_count_distribution" ->
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(oc.n, 0) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+        |GROUP BY 1
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+
+    "q245_market_share" ->
+      """WITH ac AS (
+        |  SELECT c.c_custkey FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |o AS (SELECT o_orderkey,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr
+        |  FROM orders JOIN ac ON o_custkey = ac.c_custkey),
+        |sn AS (SELECT s.s_suppkey, n.n_name FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |rev AS (SELECT o.yr, sn.n_name,
+        |    sum(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS rev_c
+        |  FROM lineitem l
+        |  JOIN o ON l.l_orderkey = o.o_orderkey
+        |  JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT yr, sum(rev_c) AS tot_c FROM rev GROUP BY 1)
+        |SELECT rev.yr, rev.n_name,
+        |  CAST(rev.rev_c AS DOUBLE) AS revenue_cents,
+        |  CAST((rev.rev_c * 1000000) // t.tot_c AS BIGINT) AS share_ppm
+        |FROM rev JOIN t ON rev.yr = t.yr
+        |ORDER BY rev.yr ASC, rev.n_name ASC""".stripMargin,
+
+    "q246_idle_rich_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |thr AS (SELECT CAST(sum(bal_c) AS HUGEINT) AS sum_c,
+        |    CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM c WHERE bal_c > 0),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(c.bal_c) AS BIGINT) AS total_bal_cents
+        |FROM c, thr
+        |WHERE CAST(c.bal_c AS HUGEINT) * thr.n_pos > thr.sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM b WHERE b.o_custkey = c.c_custkey)
+        |GROUP BY 1
+        |ORDER BY c.c_mktsegment ASC""".stripMargin
   )
 }

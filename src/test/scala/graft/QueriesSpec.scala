@@ -2208,4 +2208,115 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       .sortBy { case (sk, _, _, c) => (-c, sk) }.take(100)
     assert(out.toSeq == expected)
   }
+
+  test("q244 order-count distribution: zero-order customers survive, " +
+    "histogram replays naively, masses ledger to the customer count") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q244_order_count_distribution")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val perCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).toSeq
+      .map { case (n, cs) => (n, cs.length.toLong) }
+      .sortBy { case (n, m) => (-m, -n) }
+    assert(out.toSeq == expected)
+    assert(out.map(_._2).sum == custs.length.toLong,
+      "histogram masses partition the customer population")
+    // the zero-preservation leg needs a planted corpus — every sf0.001
+    // customer has ordered, so the left join's raison d'être never
+    // fires there
+    val dir = "/tmp/graft-test-q244"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+      .withColumn("c_nationkey", lit(1))
+      .withColumn("c_acctbal", lit(0.0))
+      .withColumn("c_mktsegment", lit("X"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderdate",
+        lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val planted = SparkEntry.queries("q244_order_count_distribution")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted == Set((0L, 1L), (1L, 1L), (2L, 1L)),
+      "customer 3 (no orders) survives into the zero bucket")
+  }
+
+  test("q245 market share: BigInt replay of per-(year, nation) " +
+    "revenue and exact ppm shares that ledger to <= 1e6 per year") {
+    val out = SparkEntry.queries("q245_market_share")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    val regionAs = Tables.region(spark, sf)
+      .filter(col("r_name") === "ASIA").collect()
+      .map(_.getAs[Number]("r_regionkey").longValue).toSet
+    val natKeys = Tables.nation(spark, sf).collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+        (r.getAs[String]("n_name"),
+          regionAs(r.getAs[Number]("n_regionkey").longValue)))).toMap
+    val asiaCust = Tables.customer(spark, sf).collect()
+      .filter(r => natKeys(r.getAs[Number]("c_nationkey").longValue)._2)
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val ordYr = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr")).collect()
+      .filter(r => asiaCust(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    val suppNat = Tables.supplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"),
+        natKeys(r.getAs[Number]("s_nationkey").longValue)._1)).toMap
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice")).collect()
+      .flatMap { r =>
+        ordYr.get(r.getLong(0)).map(yr =>
+          ((yr, suppNat(r.getLong(1))),
+            BigInt(math.round(r.getDouble(2) * 100))))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val totByYr = rev.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    assert(out.keySet == rev.keySet)
+    rev.foreach { case (k @ (yr, _), v) =>
+      val (rc, ppm) = out(k)
+      assert(rc == v.toDouble)
+      assert(BigInt(ppm) == v * 1000000 / totByYr(yr))
+    }
+    // floor-division shares under-count: per year they sum to <= 1e6
+    out.toSeq.groupBy(_._1._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2._2).sum <= 1000000L)
+    }
+  }
+
+  test("q246 idle rich customers: cross-multiplied threshold and " +
+    "anti-join replay naively") {
+    val out = SparkEntry.queries("q246_idle_rich_customers")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (sumC, nPos) = (pos.map(BigInt(_)).sum, BigInt(pos.length))
+    val buyers = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val expected = cust
+      .filter(c => BigInt(c._3) * nPos > sumC && !buyers(c._1))
+      .groupBy(_._2).map { case (seg, rs) =>
+        (seg, (rs.length.toLong, rs.map(_._3).sum)) }
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
 }
