@@ -798,6 +798,68 @@ object Relational {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("bal_c")).as("total_bal_cents"))
         .orderBy(col("c_mktsegment").asc)
+    }),
+
+    // ---- TPC-H Q15 shape (top supplier, ties preserved): the
+    // supplier(s) with the maximum 1996-H1 revenue — the create-view +
+    // scalar-max showcase. The per-supplier aggregate is computed ONCE
+    // from the shipdate-pruned scan; the 1-row global max re-joins it
+    // by EQUALITY (never a rank window over the whole supplier set,
+    // never a second scan), so ties all surface — Q15's explicit
+    // contract. Revenue in exact cents DECIMAL(38,0); supplier dim
+    // broadcast onto the (usually 1-row) winners.
+    "q247_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1996-07-01"))
+        .select(col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("rev_c"))
+      val mx = rev.agg(max(col("rev_c")).as("max_c"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_c") === col("max_c"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_c").cast("double").as("revenue_cents"))
+        .orderBy(col("s_suppkey").asc)
+    }),
+
+    // ---- supplier-market concentration (Herfindahl–Hirschman index)
+    // per part type: HHI = Σ share² over each type's supplier revenue
+    // shares — the market-structure read behind q235's concentration
+    // gate (HHI > 0.25 ⇒ "highly concentrated" under the usual DOJ
+    // banding, here in exact ppm). Exactness: hhi_ppm = Σ rev_i² · 10⁶
+    // div tot² entirely in DECIMAL(38,0) — squaring BEFORE the division
+    // so no floored share ever compounds (rev² ≤ 10²⁶ at sf1-scale
+    // cents, Σ·10⁶ well under the 38-digit ceiling). Plan: part type
+    // broadcast onto the fact scan, ONE (type, supplier) aggregate,
+    // a type-grain re-aggregate for the totals, one fold — the q235
+    // two-pass shape with the second pass at group grain.
+    "q248_market_concentration" -> ((s, d) => {
+      val ty = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type")))
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .join(ty, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("rev_c"))
+      rev.groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_c")).as("tot_c"),
+          sum(expr("CAST(rev_c * rev_c AS DECIMAL(38,0))")).as("sq_c"))
+        .select(col("p_type"), col("n_suppliers"),
+          col("tot_c").cast("double").as("total_cents"),
+          expr("sq_c * 1000000 div CAST(tot_c * tot_c AS DECIMAL(38,0))")
+            .as("hhi_ppm"),
+          expr("sq_c * 4 > CAST(tot_c * tot_c AS DECIMAL(38,0))")
+            .as("concentrated"))
+        .orderBy(col("p_type").asc)
     })
   )
 
@@ -1291,6 +1353,40 @@ object Relational {
         |WHERE CAST(c.bal_c AS HUGEINT) * thr.n_pos > thr.sum_c
         |  AND NOT EXISTS (SELECT 1 FROM b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY 1
-        |ORDER BY c.c_mktsegment ASC""".stripMargin
+        |ORDER BY c.c_mktsegment ASC""".stripMargin,
+
+    "q247_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(rev_c) AS max_c FROM rev)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(rev.rev_c AS DOUBLE) AS revenue_cents
+        |FROM rev
+        |CROSS JOIN mx
+        |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.rev_c = mx.max_c
+        |ORDER BY s.s_suppkey ASC""".stripMargin,
+
+    "q248_market_concentration" ->
+      """WITH rev AS (
+        |  SELECT p.p_type, l.l_suppkey,
+        |    sum(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS rev_c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(rev_c) AS DOUBLE) AS total_cents,
+        |  CAST((sum(rev_c * rev_c) * 1000000)
+        |    // (sum(rev_c) * sum(rev_c)) AS BIGINT) AS hhi_ppm,
+        |  sum(rev_c * rev_c) * 4 > sum(rev_c) * sum(rev_c)
+        |    AS concentrated
+        |FROM rev GROUP BY 1
+        |ORDER BY p_type ASC""".stripMargin
   )
 }

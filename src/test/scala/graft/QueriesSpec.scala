@@ -2319,4 +2319,55 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(out == expected)
     assert(out.nonEmpty)
   }
+
+  test("q247 top supplier: the max re-join preserves ties and replays " +
+    "the H1-1996 revenue naively") {
+    val out = SparkEntry.queries("q247_top_supplier")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val names = Tables.supplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name")))
+      .toMap
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1996-07-01"))
+      .select(col("l_suppkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), BigInt(math.round(r.getDouble(1) * 100))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = rev.values.max
+    val expected = rev.toSeq.filter(_._2 == mx)
+      .map { case (sk, v) => (sk, names(sk), v.toDouble) }
+      .sortBy(_._1)
+    assert(out.toSeq == expected)
+    assert(out.nonEmpty)
+  }
+
+  test("q248 market concentration: BigInt HHI replay, ppm bounded by " +
+    "the (1/n, 1] Herfindahl envelope") {
+    val out = SparkEntry.queries("q248_market_concentration")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val ptype = Tables.part(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("p_type")))
+      .toMap
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice")).collect()
+      .map(r => ((ptype(r.getLong(0)), r.getLong(1)),
+        BigInt(math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val expected = rev.groupBy(_._1._1).map { case (t, rs) =>
+      val tot = rs.map(_._2).sum
+      val sq = rs.map(r => r._2 * r._2).sum
+      (t, (rs.length.toLong, tot.toDouble,
+        (sq * 1000000 / (tot * tot)).toLong, sq * 4 > tot * tot))
+    }
+    assert(out == expected)
+    out.foreach { case (t, (n, _, hhi, _)) =>
+      // floor-division under-counts by < 1 ppm: the exact HHI lies in
+      // (1/n, 1], so the floored reading sits within one ppm below it
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L, t)
+    }
+  }
 }
