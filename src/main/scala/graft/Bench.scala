@@ -53,6 +53,23 @@ object Bench {
     def checksum(): Long =
       perStage.values.map(t => t._1 + t._2 + t._3).sum + perStage.size
   }
+  /** VERDICT r9 #2: the committed exclusive reference is the per-query
+    * MIN across the session's clean runs, not the latest clean run
+    * wholesale — a noisy-but-not-CONTENDED clean run can then only
+    * TIGHTEN the ≥4× breach baseline, never inflate it (the round-9
+    * q226 escape: a 0.76 s → 4.22 s cross-round swing on unchanged
+    * code went unflagged because the latest-run-wholesale reference
+    * had already absorbed inflated lines). Keys absent from the
+    * current suite are dropped — renamed/retired queries must not
+    * haunt the reference; non-positive prior lines (failed-run
+    * sentinels) are ignored.
+    */
+  def mergeExclusiveRef(prior: Map[String, Double],
+      current: Seq[(String, Double)]): Seq[(String, Double)] =
+    current.map { case (n, sec) =>
+      n -> prior.get(n).filter(p => p > 0 && p < sec).getOrElse(sec)
+    }
+
   // Headline subset for the stdout line: the driver's tail-capture window
   // is small (~4 KB) and the full 96-query map overflows it, which is why
   // BENCH_r01/r02 recorded "parsed": null. The stdout line stays short;
@@ -61,6 +78,45 @@ object Bench {
     "q02_pricing_summary", "q21_minhash_pairs", "q22_ngram_jaccard",
     "q30_embedding_neardup", "q34_simhash_knn", "q62_dup_clusters",
     "q70_edit_distance", "q87_triangles", "q95_corpus_pipeline")
+
+  /** Plan-audit notes for expensive no-driver-baseline queries
+    * (VERDICT r8 #6 / r9 #4, the q190 contract-cost pattern): a query
+    * whose exclusive line exceeds the 4 s watch threshold is acceptable
+    * only with a named reason the cost IS the contract, emitted into
+    * BASELINE_ROW.md's table so no slow newcomer hides behind a dash.
+    * A >4 s line with no entry here renders as a loud MISSING cell.
+    */
+  private val planNotes: Map[String, String] = Map(
+    "q190_exact_setsim" -> ("exact prefix-filter set-similarity " +
+      "contract: 6 exchanges, all windows on high-cardinality doc_id; " +
+      "100×-smoked sub-linear (4.6→8.5 s) — cost is the contract"),
+    "q220_mannwhitney_shift" -> ("doubled-rank histogram + " +
+      "chunk-bounded prefix sums; constant planner-action count; " +
+      "100×-smoked ~3× time for 100× rows — job-count-bound, no sort"),
+    "q240_spearman_signals" -> ("two value-grain rank histograms + " +
+      "prefix sums, ~8 tiny planner actions — constant job count; " +
+      "job-overhead-bound shape, not data-bound at sf0.1"),
+    "q201_source_quartiles" -> ("three map-combined linear scans " +
+      "(per-source stats, source×8192 histogram, rank-target value " +
+      "count) — no window/sort anywhere; cost = 3 corpus scans by " +
+      "the exact-quartile contract"),
+    "q216_quality_ensemble" -> ("one shared token pass (run-shared " +
+      "quality_signals artifact) + 3 exact decile refinements = 9 " +
+      "map-combined aggregates + 3 broadcast 9-row threshold arrays; " +
+      "cost is the token pass the ensemble family shares"),
+    "q209_calibration" -> ("rides the shared quality_signals token " +
+      "pass; decile thresholds via 3 map-combined Quantile " +
+      "aggregates broadcast back — quantile-refinement actions " +
+      "dominate at toy scale, one token pass at 100 TB"),
+    "q195_lm_perplexity" -> ("bigram-LM train+score: one bigram-grain " +
+      "shuffle (hashed 8-byte keys) + doc-grain fold; the LM join is " +
+      "the contract's only corpus-sized exchange, LM is vocab-grain"),
+    "q196_incremental_neardup" -> ("batch-probe join on the persisted " +
+      "dedup-staged band index + exact-Jaccard verify on candidates " +
+      "only — per-day cost ∝ batch × bucket hits, never corpus²"),
+    "q226_token_weighted_median" -> ("token-mass value-at-rank on the " +
+      "(source, toks) histogram via chunk-bounded Prefix.runningSum — " +
+      "no per-source sort window; histogram-grain, not row-grain"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -249,11 +305,21 @@ object Bench {
           s"[bench] exclusive run measured CONTENDED (${breaches.size} " +
             "breaches) — NOT refreshing BENCH_EXCLUSIVE.json; re-run on " +
             "an idle box")
-      else
+      else {
+        // per-query MIN merge against the prior reference (VERDICT r9
+        // #2) — the committed baseline only ever tightens; the written
+        // total is the merged total so the headline number and the
+        // per-query lines describe the same (synthetic best) run
+        val merged =
+          mergeExclusiveRef(readMedians("BENCH_EXCLUSIVE.json"), results)
+        val mergedTotal = merged.map(_._2).sum
+        val exclusiveLine =
+          s"""{"metric":"total","value":$mergedTotal,"unit":"sec","n_queries":${merged.size},"n_failed":0,"reps":$reps,"stat":"median","merge":"per-query min across clean exclusive runs","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(merged)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
         Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
-          (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
+          (exclusiveLine + "\n").getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
           StandardOpenOption.WRITE)
+      }
     }
     val head = results.filter(r => headline.contains(r._1))
     println(
@@ -341,8 +407,13 @@ object Bench {
             else "Lines over the 4 s watch threshold (need a plan-audit " +
               "note the way q190's contract-cost note works):")) ++
           (if (noDriverSlow.isEmpty) Seq.empty[String]
-          else Seq("", "| query | this run (s) |", "|---|---|") ++
-            noDriverSlow.map { case (n, sec) => f"| $n | $sec%.2f |" })
+          else Seq("", "| query | this run (s) | plan-audit note |",
+            "|---|---|---|") ++
+            noDriverSlow.map { case (n, sec) =>
+              val note = planNotes.getOrElse(n,
+                "**MISSING — add a planNotes entry in Bench.scala**")
+              f"| $n | $sec%.2f | $note |"
+            })
       val swingBlock =
         if (driverMedians.isEmpty) Seq(
           "",

@@ -1500,9 +1500,19 @@ object CorpusQueries {
           sum(expr("CAST(dx * dx AS DECIMAL(38,0))")).as("denx"),
           sum(expr("CAST(dy * dy AS DECIMAL(38,0))")).as("deny"))
         .select(col("nn").as("n"),
-          col("num").cast("decimal(38,0)").as("num"),
-          col("denx").cast("decimal(38,0)").as("denx"),
-          col("deny").cast("decimal(38,0)").as("deny"),
+          // outputs cast to BIGINT (r9 verdict #1: the driver hasher
+          // normalizes DECIMAL differently on the two engines — the
+          // suite-wide house rule is scalar int64/double/bool/string
+          // output columns, pinned by HouseRulesSpec). Exact: |d| ≤ N
+          // ⇒ Σd² ≤ N³, BIGINT-exact to N ≈ 2.09·10⁶. Past that the
+          // 4·num² verdict product would also silently overflow
+          // DECIMAL(38,0) (ADVICE r9) — so the envelope fails LOUDLY
+          // and identically on both engines via raise_error/error.
+          expr("CASE WHEN nn > 2090000 THEN CAST(raise_error(" +
+            "'q240: N beyond BIGINT-exact rank envelope') AS BIGINT) " +
+            "ELSE CAST(num AS BIGINT) END").as("num"),
+          col("denx").cast("long").as("denx"),
+          col("deny").cast("long").as("deny"),
           (col("num") > 0).as("positive"),
           (lit(4).cast("decimal(19,0)") * col("num") * col("num")
             > col("denx") * col("deny")).as("correlated"))
@@ -1542,8 +1552,12 @@ object CorpusQueries {
             "CAST(u2 AS DECIMAL(38,0)) * 1000000 div " +
             "(CAST(n_pos AS DECIMAL(19,0)) * n_neg * 2) END")
             .as("auc_ppm"),
-          (col("u2").cast("decimal(38,0)") * 10
-            > col("n_pos").cast("decimal(19,0)") * col("n_neg") * 14)
+          // same degenerate-class guard as auc_ppm (ADVICE r9): an
+          // all-positive/all-negative corpus has UNDEFINED AUC — NULL,
+          // not false, so the verdict can't read "not discriminative"
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("u2").cast("decimal(38,0)") * 10
+              > col("n_pos").cast("decimal(19,0)") * col("n_neg") * 14)
             .as("discriminative"))
     })
   )
@@ -2573,9 +2587,12 @@ object CorpusQueries {
         |  JOIN rs ON pd.score = rs.score
         |  JOIN rt ON pd.n_tokens = rt.n_tokens, nn)
         |SELECT max(n) AS n,
-        |  CAST(sum(dx * dy) AS DECIMAL(38,0)) AS num,
-        |  CAST(sum(dx * dx) AS DECIMAL(38,0)) AS denx,
-        |  CAST(sum(dy * dy) AS DECIMAL(38,0)) AS deny,
+        |  CASE WHEN max(n) > 2090000 THEN
+        |    CAST(error('q240: N beyond BIGINT-exact rank envelope')
+        |      AS BIGINT)
+        |  ELSE CAST(sum(dx * dy) AS BIGINT) END AS num,
+        |  CAST(sum(dx * dx) AS BIGINT) AS denx,
+        |  CAST(sum(dy * dy) AS BIGINT) AS deny,
         |  sum(dx * dy) > 0 AS positive,
         |  4 * sum(dx * dy) * sum(dx * dy)
         |    > sum(dx * dx) * sum(dy * dy) AS correlated
@@ -2600,8 +2617,10 @@ object CorpusQueries {
         |    CAST((CAST(u2 AS HUGEINT) * 1000000)
         |      // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
         |  END AS auc_ppm,
-        |  CAST(u2 AS HUGEINT) * 10
-        |    > CAST(n_pos AS HUGEINT) * n_neg * 14 AS discriminative
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(u2 AS HUGEINT) * 10
+        |      > CAST(n_pos AS HUGEINT) * n_neg * 14
+        |  END AS discriminative
         |FROM u""".stripMargin
   )
 

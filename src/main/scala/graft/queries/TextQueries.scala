@@ -948,7 +948,12 @@ object TextQueries {
     // distinct-fp semi-join key set — no doc×doc pair frame is ever
     // built, unlike q199's pair materialization; folds to 2 rows.
     // Only fingerprintable docs (length ≥ k+w−1) are in scope, same
-    // as q199.
+    // as q199 — but the DENOMINATOR is all fingerprintable eval docs,
+    // pre-df-cap (ADVICE r9): a heavily-templated doc whose EVERY
+    // fingerprint is df-capped out is exactly the contamination-prone
+    // case, so it must stay in n_docs; its count is reported as
+    // n_all_common so the audit shows how many docs the rare-fp rule
+    // could not see at all.
     "q233_eval_contamination" -> ((s, d) => {
       val splitOf =
         when(SamplingQueries.hashBucket("doc_id", 1, 100) < 80,
@@ -963,18 +968,27 @@ object TextQueries {
       val hits = evalRows.join(trainFps, Seq("fp"), "left_semi")
         .groupBy(col("split"), col("doc_id"))
         .agg(count(lit(1)).as("n_hit"))
-      evalRows.select(col("split"), col("doc_id")).distinct()
+      // ≥1 rare fp survived the df cap — distinct from having a hit
+      val inIdx = evalRows.select(col("split"), col("doc_id")).distinct()
+        .withColumn("has_rare", lit(1L))
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+        .select(col("doc_id")).withColumn("split", splitOf)
+        .filter(col("split") =!= "train")
         .join(hits, Seq("split", "doc_id"), "left_outer")
-        .select(col("split"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .join(inIdx, Seq("split", "doc_id"), "left_outer")
+        .select(col("split"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("has_rare"), lit(0L)).as("has_rare"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("n_hit") >= 3, 1L).otherwise(0L))
             .as("n_contaminated"),
-          sum(col("n_hit")).as("n_hit_fps"))
+          sum(col("n_hit")).as("n_hit_fps"),
+          sum(lit(1L) - col("has_rare")).as("n_all_common"))
         .select(col("split"), col("n_docs"), col("n_contaminated"),
           expr("n_contaminated * 1000000 div n_docs")
             .as("contaminated_ppm"),
-          col("n_hit_fps"))
+          col("n_hit_fps"), col("n_all_common"))
     })
   )
 
@@ -1538,16 +1552,28 @@ object TextQueries {
         |ev AS (SELECT split, doc_id, fp FROM wi WHERE split <> 'train'),
         |h AS (SELECT split, doc_id, CAST(count(*) AS BIGINT) AS n_hit
         |  FROM ev JOIN tf USING (fp) GROUP BY 1, 2),
-        |ed AS (SELECT DISTINCT split, doc_id FROM ev),
-        |j AS (SELECT ed.split, coalesce(h.n_hit, 0) AS n_hit
-        |  FROM ed LEFT JOIN h
-        |    ON ed.split = h.split AND ed.doc_id = h.doc_id)
+        |ir AS (SELECT DISTINCT split, doc_id FROM ev),
+        |bd AS (SELECT doc_id, CASE
+        |    WHEN ${SamplingQueries.hashBucketSql("doc_id", 1, 100)} < 80
+        |      THEN 'train'
+        |    WHEN ${SamplingQueries.hashBucketSql("doc_id", 1, 100)} < 90
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM g),
+        |be AS (SELECT split, doc_id FROM bd WHERE split <> 'train'),
+        |j AS (SELECT be.split, coalesce(h.n_hit, 0) AS n_hit,
+        |    CASE WHEN ir.doc_id IS NULL THEN 1 ELSE 0 END AS all_common
+        |  FROM be LEFT JOIN h
+        |    ON be.split = h.split AND be.doc_id = h.doc_id
+        |  LEFT JOIN ir
+        |    ON be.split = ir.split AND be.doc_id = ir.doc_id)
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n_hit >= 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_contaminated,
         |  (CAST(sum(CASE WHEN n_hit >= 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000) // CAST(count(*) AS BIGINT) AS contaminated_ppm,
-        |  CAST(sum(n_hit) AS BIGINT) AS n_hit_fps
+        |  CAST(sum(n_hit) AS BIGINT) AS n_hit_fps,
+        |  CAST(sum(all_common) AS BIGINT) AS n_all_common
         |FROM j GROUP BY split""".stripMargin
   )
 }

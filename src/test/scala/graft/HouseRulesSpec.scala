@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Repository-wide output contracts.
@@ -23,6 +23,23 @@ class HouseRulesSpec extends AnyFunSuite with SparkSpec {
           f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[MapType] ||
             f.dataType.isInstanceOf[StructType])
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("no query output schema carries a DecimalType column") {
+    // House rule (VERDICT r9 #1, the q240 incident): the correctness
+    // driver's hasher normalizes DECIMAL differently between the DuckDB
+    // oracle (DECIMAL→float64) and Spark's parquet (decimal128), so
+    // value-identical rows hash apart. DECIMAL is fine INTERNALLY
+    // (exact wide arithmetic); final selects must cast down to
+    // int64/double/bool/string.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).schema.fields
+          .filter(_.dataType.isInstanceOf[DecimalType])
         if (bad.isEmpty) None
         else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
     }

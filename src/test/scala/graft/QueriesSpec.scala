@@ -1860,7 +1860,7 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     val out = SparkEntry.queries("q233_eval_contamination")(spark, sf)
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))).toMap
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -1887,15 +1887,19 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     val trainFps = rare.collect {
       case (id, s) if split(id) == "train" => s
     }.toSet.flatten
-    val evalDocs = rare.filter { case (id, s) =>
+    // denominator = ALL fingerprintable eval docs (pre-df-cap, ADVICE
+    // r9): a doc whose every fp is df-capped out stays in n_docs and
+    // is reported via n_all_common
+    val evalDocs = fps.filter { case (id, s) =>
       split(id) != "train" && s.nonEmpty }
     val expected = evalDocs.toSeq
-      .map { case (id, s) => (split(id), s.count(trainFps)) }
+      .map { case (id, _) =>
+        (split(id), rare(id).count(trainFps), rare(id).isEmpty) }
       .groupBy(_._1).map { case (sp, hits) =>
         val nDocs = hits.size.toLong
         val nCont = hits.count(_._2 >= 3).toLong
         (sp, (nDocs, nCont, nCont * 1000000L / nDocs,
-          hits.map(_._2.toLong).sum))
+          hits.map(_._2.toLong).sum, hits.count(_._3).toLong))
       }
     assert(out == expected)
     // at least one eval doc exists on both sides at smoke scale
@@ -2130,9 +2134,11 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     val denx = devs.map { case (a, _) => a * a }.sum
     val deny = devs.map { case (_, b) => b * b }.sum
     assert(r.getLong(0) == n)
-    assert(BigInt(r.getDecimal(1).toBigInteger) == num)
-    assert(BigInt(r.getDecimal(2).toBigInteger) == denx)
-    assert(BigInt(r.getDecimal(3).toBigInteger) == deny)
+    // outputs are BIGINT since r10 (the q240 driver-hash fix); the
+    // internal DECIMAL(38,0) moments are BIGINT-exact to N ≈ 2.09e6
+    assert(BigInt(r.getLong(1)) == num)
+    assert(BigInt(r.getLong(2)) == denx)
+    assert(BigInt(r.getLong(3)) == deny)
     assert(r.getBoolean(4) == (num > 0))
     assert(r.getBoolean(5) == (4 * num * num > denx * deny))
     // Cauchy-Schwarz: |rho| <= 1

@@ -16,7 +16,17 @@ custkeys — byte-identical): the scale adversary for the rank/test
 statistics family (q220 Mann-Whitney, q229 Kruskal-Wallis), where N
 drives the chunk-bounded prefix windows and cloned rows maximize ties.
 
-Usage: make_clone_corpus.py <sfDir> <outDir> <factor> [--single-source] [--orders]
+`--tpch` clones ORDERS and LINEITEM together with MATCHED key shifts
+(o_orderkey and l_orderkey both + 100M*i), so every cloned order keeps
+exactly its original lineitems — per-order selectivities (q243's
+">=2 suppliers, exactly 1 failed", q242's per-part averages via the
+unshifted partkeys) are preserved while the fact tables scale 10x.
+This is the sf1-equivalent smoke for the TPC-H planner shapes
+(q234-q248, VERDICT r9 #5); dims stay 1x, which only makes the
+broadcast-vs-shuffle choice MORE visible.
+
+Usage: make_clone_corpus.py <sfDir> <outDir> <factor>
+       [--single-source] [--orders] [--tpch]
 """
 import os, shutil, sys
 import duckdb
@@ -24,7 +34,8 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]
 
-def main(sf_dir, out_dir, factor, single_source, clone_orders=False):
+def main(sf_dir, out_dir, factor, single_source, clone_orders=False,
+         tpch=False):
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     # 8-file layout so Spark gets parallel scan partitions even when the
@@ -52,12 +63,23 @@ def main(sf_dir, out_dir, factor, single_source, clone_orders=False):
             shutil.rmtree(dst)
         elif os.path.exists(dst):
             os.remove(dst)
-        if t == "orders" and clone_orders:
+        if t == "orders" and (clone_orders or tpch):
             con.execute(f"""
               COPY (
                 SELECT o.o_orderkey + 100000000 * f.i AS o_orderkey,
                        o.* EXCLUDE (o_orderkey)
                 FROM '{sf_dir}/orders.parquet' o,
+                     (SELECT unnest(range({factor})) AS i) f
+              ) TO '{dst}'
+              (FORMAT parquet, PER_THREAD_OUTPUT true,
+               OVERWRITE_OR_IGNORE true)""")
+        elif t == "lineitem" and tpch:
+            # matched shift: cloned lineitems follow their cloned order
+            con.execute(f"""
+              COPY (
+                SELECT l.l_orderkey + 100000000 * f.i AS l_orderkey,
+                       l.* EXCLUDE (l_orderkey)
+                FROM '{sf_dir}/lineitem.parquet' l,
                      (SELECT unnest(range({factor})) AS i) f
               ) TO '{dst}'
               (FORMAT parquet, PER_THREAD_OUTPUT true,
@@ -73,4 +95,5 @@ def main(sf_dir, out_dir, factor, single_source, clone_orders=False):
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
          "--single-source" in sys.argv[4:],
-         "--orders" in sys.argv[4:])
+         "--orders" in sys.argv[4:],
+         "--tpch" in sys.argv[4:])
