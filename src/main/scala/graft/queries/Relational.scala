@@ -860,6 +860,230 @@ object Relational {
           expr("sq_c * 4 > CAST(tot_c * tot_c AS DECIMAL(38,0))")
             .as("concentrated"))
         .orderBy(col("p_type").asc)
+    }),
+
+    // ---- TPC-H Q4 shape (order-priority checking): 1996-Q1 orders
+    // per priority having AT LEAST ONE late-shipped line (shipped
+    // > 30 days after the order date — this corpus has no
+    // commitdate/receiptdate, so lateness is vs o_orderdate; the
+    // planner shape Q4 exists for is intact: a correlated EXISTS
+    // decorrelated into a distinct-key LEFT SEMI join). The date
+    // bracket pushes to the orders scan; the lineitem side joins only
+    // the quarter's orders (the EXISTS is evaluated on the REDUCED
+    // order set, never all of lineitem × orders); the late test is an
+    // integer day difference — midnight-aligned timestamps on both
+    // engines, no tz arithmetic.
+    "q249_order_priority_check" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("o_date"))
+      val late = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("s_date"))
+        .join(ord.select(col("o_orderkey"), col("o_date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("s_date"), col("o_date")) > 30)
+        .select(col("l_orderkey")).distinct()
+      ord.join(late, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority").asc)
+    }),
+
+    // ---- TPC-H Q7 shape (volume shipping between two nations):
+    // revenue flowing supplier-nation → customer-nation for the
+    // NATION_1/NATION_2 pair, by ship year. The shape's point: BOTH
+    // nation filters reduce their dimension legs BEFORE the fact join
+    // (supplier side broadcast — always dim-sized; customer side
+    // shuffle-joined through orders — at 100 TB a 2-of-25-nations
+    // customer set is still fact-sized, so it must NOT broadcast), and
+    // the cross-pair inequality filters AFTER both nations are known,
+    // on the already-reduced rows. Exact cents in DECIMAL(38,0).
+    "q250_volume_shipping" -> ((s, d) => {
+      val nat2 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name")))
+      val supp = broadcast(Tables.supplier(s, d)
+        .join(nat2, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = Tables.customer(s, d)
+        .join(nat2, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("bigint").as("yr"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("cents").cast("decimal(38,0)")).cast("double")
+            .as("revenue_cents"))
+        .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+          col("yr").asc)
+    }),
+
+    // ---- TPC-H Q9 shape (product-type profit): per supplier nation
+    // and ship year, the margin ECONOMY parts earned over each part's
+    // corpus-min unit price (no partsupp table here, so "supply cost"
+    // is the q234 convention: cheapest traded unit cents). The Q9
+    // machinery is intact: a part-filtered fact scan, a per-part
+    // aggregate re-joined by EQUALITY (the decorrelated correlated
+    // subquery — computed once, never per-row), dims broadcast, and
+    // the profit fold grouped by (nation, year). Unit cents and
+    // margins are exact integers; negative margins are real (a row
+    // cheaper than the min means THIS row set the min → margin 0 on
+    // itself, positive elsewhere).
+    "q251_product_type_profit" -> ((s, d) => {
+      val eco = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(eco), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("bigint").as("yr"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("pc"),
+          col("l_quantity").cast("bigint").as("q"))
+        .withColumn("uc", expr("pc div q"))
+      val minU = li.groupBy(col("l_partkey"))
+        .agg(min(col("uc")).as("min_uc"))
+      val suppNat = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      li.join(minU, Seq("l_partkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("pc") - col("min_uc") * col("q"))
+            .cast("decimal(38,0)")).cast("double").as("margin_cents"))
+        .orderBy(col("n_name").asc, col("yr").asc)
+    }),
+
+    // ---- TPC-H Q12 shape (shipping-delay vs priority): the
+    // big-fact ⋈ big-fact join with a CASE-split aggregate — per ship-
+    // delay bucket (≤30 fast / ≤90 medium / else slow; this corpus has
+    // no shipmode column, delay plays its role), how many lines belong
+    // to critical-priority orders (1-URGENT/2-HIGH) vs not, for lines
+    // shipped in 1996. The year filter pushes to the lineitem scan
+    // BEFORE the orderkey shuffle; the CASE arithmetic is integer day
+    // differences on midnight-aligned timestamps.
+    "q252_delay_priority" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("s_date"))
+      li.join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("o_date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(datediff(col("s_date"), col("o_date")) <= 30, "fast")
+            .when(datediff(col("s_date"), col("o_date")) <= 90, "medium")
+            .otherwise("slow").as("delay_bucket"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .as("critical"))
+        .groupBy(col("delay_bucket"))
+        .agg(sum(when(col("critical"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("critical"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy(col("delay_bucket").asc)
+    }),
+
+    // ---- TPC-H Q14 shape (promotion-revenue share): what fraction of
+    // March-1996 traded value was PROMO parts? One month-pruned fact
+    // scan joined to a broadcast (partkey → is_promo) projection, one
+    // fold, share as exact integer ppm (DECIMAL sums, integral div) —
+    // the conditional-aggregate-over-one-join shape Q14 exists for,
+    // with no float division entering the verdict.
+    "q253_promo_revenue" -> ((s, d) => {
+      val promo = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), (col("p_type") === "PROMO")
+          .as("is_promo")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01")
+          && col("l_shipdate") < lit("1996-04-01"))
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("is_promo"), col("cents")).otherwise(0L)
+            .cast("decimal(38,0)")).as("promo_c"),
+          sum(col("cents").cast("decimal(38,0)")).as("tot_c"))
+        .select(col("n_lines"),
+          col("promo_c").cast("double").as("promo_cents"),
+          col("tot_c").cast("double").as("total_cents"),
+          expr("promo_c * 1000000 div tot_c").as("promo_ppm"))
+    }),
+
+    // ---- TPC-H Q16 shape (supplier-relationship census): per
+    // (brand, size), how many DISTINCT suppliers ever traded the part —
+    // excluding one brand and excluding "complained-about" suppliers
+    // (no s_comment column here; negative account balance is the
+    // exclusion list, same NOT-IN-subquery planner shape: a broadcast
+    // ANTI join against a key set, never a per-row probe). The fact
+    // reduces to DISTINCT (part, supp) pairs FIRST — the count-distinct
+    // then runs on pair-grain rows, not raw lineitems.
+    "q254_supplier_census" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      val pt = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#21")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      pairs
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_size").asc)
+        .limit(40)
+    }),
+
+    // ---- TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    // brand × quantity-band × size-band disjuncts — the predicate
+    // Catalyst must push as a single OR filter below the join where
+    // possible (quantity bands prune the fact scan; brand/size prune
+    // the broadcast part projection; the OR across pairs evaluates on
+    // the joined row). Revenue is the q176 exact idiom: cents ×
+    // (100 − disc) summed in DECIMAL(38,0), emitted double (×10⁴
+    // fixed-point units).
+    "q255_discounted_revenue" -> ((s, d) => {
+      val pt = broadcast(Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#25"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"),
+          col("l_quantity").cast("bigint").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("q").between(1, 11)
+            && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("q").between(10, 20)
+            && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#25" && col("q").between(20, 30)
+            && col("p_size").between(1, 15)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("pc") * (lit(100) - col("dc")))
+            .cast("decimal(38,0)")).cast("double")
+            .as("revenue_x10000"))
     })
   )
 
@@ -1387,6 +1611,133 @@ object Relational {
         |  sum(rev_c * rev_c) * 4 > sum(rev_c) * sum(rev_c)
         |    AS concentrated
         |FROM rev GROUP BY 1
-        |ORDER BY p_type ASC""".stripMargin
+        |ORDER BY p_type ASC""".stripMargin,
+
+    "q249_order_priority_check" ->
+      """WITH ord AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS o_date
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |late AS (SELECT DISTINCT l.l_orderkey
+        |  FROM lineitem l JOIN ord ON l.l_orderkey = ord.o_orderkey
+        |  WHERE date_diff('day', ord.o_date,
+        |    CAST(l.l_shipdate AS DATE)) > 30)
+        |SELECT ord.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS order_count
+        |FROM ord
+        |WHERE EXISTS (SELECT 1 FROM late
+        |  WHERE late.l_orderkey = ord.o_orderkey)
+        |GROUP BY 1
+        |ORDER BY ord.o_orderpriority ASC""".stripMargin,
+
+    "q250_volume_shipping" ->
+      """WITH n2 AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |sp AS (SELECT s.s_suppkey, n2.n_name AS supp_nation
+        |  FROM supplier s JOIN n2 ON s.s_nationkey = n2.n_nationkey),
+        |cs AS (SELECT c.c_custkey, n2.n_name AS cust_nation
+        |  FROM customer c JOIN n2 ON c.c_nationkey = n2.n_nationkey),
+        |o AS (SELECT o_orderkey, cs.cust_nation
+        |  FROM orders JOIN cs ON o_custkey = cs.c_custkey)
+        |SELECT sp.supp_nation, o.cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    AS HUGEINT)) AS DOUBLE) AS revenue_cents
+        |FROM lineitem l
+        |JOIN sp ON l.l_suppkey = sp.s_suppkey
+        |JOIN o ON l.l_orderkey = o.o_orderkey
+        |WHERE sp.supp_nation <> o.cust_nation
+        |GROUP BY 1, 2, 3
+        |ORDER BY sp.supp_nation ASC, o.cust_nation ASC, yr ASC""".stripMargin,
+
+    "q251_product_type_profit" ->
+      """WITH li AS (SELECT l.l_partkey, l.l_suppkey,
+        |    CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM part p
+        |    WHERE p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY')),
+        |uc AS (SELECT *, pc // q AS uc FROM li),
+        |mu AS (SELECT l_partkey, min(uc) AS min_uc FROM uc GROUP BY 1),
+        |sn AS (SELECT s.s_suppkey, n.n_name FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT sn.n_name, uc.yr,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(uc.pc - mu.min_uc * uc.q AS HUGEINT))
+        |    AS DOUBLE) AS margin_cents
+        |FROM uc
+        |JOIN mu ON uc.l_partkey = mu.l_partkey
+        |JOIN sn ON uc.l_suppkey = sn.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY sn.n_name ASC, uc.yr ASC""".stripMargin,
+
+    "q252_delay_priority" ->
+      """WITH j AS (SELECT
+        |    CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+        |        CAST(l.l_shipdate AS DATE)) <= 30 THEN 'fast'
+        |      WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+        |        CAST(l.l_shipdate AS DATE)) <= 90 THEN 'medium'
+        |      ELSE 'slow' END AS delay_bucket,
+        |    o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS critical
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT delay_bucket,
+        |  CAST(sum(CASE WHEN critical THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN critical THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM j GROUP BY 1
+        |ORDER BY delay_bucket ASC""".stripMargin,
+
+    "q253_promo_revenue" ->
+      """WITH j AS (SELECT
+        |    p.p_type = 'PROMO' AS is_promo,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-04-01'),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS promo_c,
+        |    CAST(sum(cents) AS HUGEINT) AS tot_c
+        |  FROM j)
+        |SELECT n_lines, CAST(promo_c AS DOUBLE) AS promo_cents,
+        |  CAST(tot_c AS DOUBLE) AS total_cents,
+        |  CAST((promo_c * 1000000) // tot_c AS BIGINT) AS promo_ppm
+        |FROM a""".stripMargin,
+
+    "q254_supplier_census" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem),
+        |ok AS (SELECT pr.l_partkey, pr.l_suppkey FROM pairs pr
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |    WHERE s.s_suppkey = pr.l_suppkey AND s.s_acctbal < 0))
+        |SELECT p.p_brand, p.p_size,
+        |  CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#21'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_size ASC
+        |LIMIT 40""".stripMargin,
+
+    "q255_discounted_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) AS revenue_x10000
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12'
+        |    AND l.l_quantity BETWEEN 1 AND 11
+        |    AND p.p_size BETWEEN 1 AND 5)
+        |  OR (p.p_brand = 'Brand#23'
+        |    AND l.l_quantity BETWEEN 10 AND 20
+        |    AND p.p_size BETWEEN 1 AND 10)
+        |  OR (p.p_brand = 'Brand#25'
+        |    AND l.l_quantity BETWEEN 20 AND 30
+        |    AND p.p_size BETWEEN 1 AND 15)""".stripMargin
   )
 }

@@ -2376,4 +2376,129 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L, t)
     }
   }
+
+  test("q249 order-priority check: naive replay of the decorrelated " +
+    "EXISTS (>=1 line shipped >30 days after order date)") {
+    val out = SparkEntry.queries("q249_order_priority_check")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).cast("string").as("od"),
+        col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(o => o._2 >= "1996-01-01" && o._2 < "1996-04-01")
+    val odate = ord.map(o => (o._1, java.time.LocalDate.parse(o._2))).toMap
+    val late = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        to_date(col("l_shipdate")).cast("string").as("sd")).collect()
+      .flatMap { r =>
+        odate.get(r.getLong(0)).flatMap { od =>
+          val sd = java.time.LocalDate.parse(r.getString(1))
+          if (java.time.temporal.ChronoUnit.DAYS.between(od, sd) > 30)
+            Some(r.getLong(0))
+          else None
+        }
+      }.toSet
+    val expected = ord.filter(o => late(o._1))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(out == expected)
+    assert(out.nonEmpty, "Q1-1996 must have late-shipped orders at sf0.01")
+  }
+
+  test("q251 product-type profit: margin vs part-min unit cents is " +
+    "non-negative per part-min definition and replays naively") {
+    val out = SparkEntry.queries("q251_product_type_profit")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val eco = Tables.part(spark, sf)
+      .filter(col("p_type") === "ECONOMY").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val sn = Tables.supplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"),
+        r.getAs[Number]("s_nationkey").longValue)).toMap
+    val nn = Tables.nation(spark, sf).collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+        r.getAs[String]("n_name"))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_extendedprice"), col("l_quantity")).collect()
+      .filter(r => eco(r.getLong(0)))
+      .map { r =>
+        val pc = math.round(r.getDouble(3) * 100)
+        val q = r.getDouble(4).toLong
+        (r.getLong(0), r.getLong(1), r.getLong(2), pc, q, pc / q)
+      }
+    val minU = li.groupBy(_._1).view.mapValues(_.map(_._6).min).toMap
+    val expected = li
+      .map(x => ((nn(sn(x._2)), x._3), x._4 - minU(x._1) * x._5))
+      .groupBy(_._1).view.mapValues(ms =>
+        (ms.length.toLong, ms.map(m => BigInt(m._2)).sum.toDouble))
+      .toMap
+    assert(out == expected)
+    // every margin is vs the part's own min unit price scaled by qty:
+    // a line CAN price under min_uc*q (min is per-UNIT, truncated), but
+    // the per-part minimum line's own margin is pc - (pc div q)*q >= 0,
+    // so each part contributes at least one non-negative margin; the
+    // grand total must be non-negative because every line's unit price
+    // floors at min_uc: pc >= uc*q >= min_uc*q... only when uc*q <= pc
+    // (true: uc = pc div q). So every single margin >= 0.
+    out.values.foreach { case (_, m) => assert(m >= 0.0) }
+  }
+
+  test("q253 promo revenue: conditional-aggregate replay, ppm bounded") {
+    val r = SparkEntry.queries("q253_promo_revenue")(spark, sf)
+      .collect().head
+    val promo = Tables.part(spark, sf).collect()
+      .map(x => (x.getAs[Long]("p_partkey"),
+        x.getAs[String]("p_type") == "PROMO")).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        to_date(col("l_shipdate")).cast("string").as("sd"),
+        col("l_extendedprice"))
+      .collect()
+      .filter { x =>
+        val s = x.getString(1)
+        s >= "1996-03-01" && s < "1996-04-01"
+      }
+      .map(x => (promo(x.getLong(0)),
+        BigInt(math.round(x.getDouble(2) * 100))))
+    val promoC = li.filter(_._1).map(_._2).sum
+    val totC = li.map(_._2).sum
+    assert(r.getLong(0) == li.length.toLong)
+    assert(r.getDouble(1) == promoC.toDouble)
+    assert(r.getDouble(2) == totC.toDouble)
+    assert(BigInt(r.getLong(3)) == promoC * 1000000 / totC)
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000)
+  }
+
+  test("q255 discounted revenue: OR-of-ANDs replay in exact " +
+    "x10000 fixed point") {
+    val r = SparkEntry.queries("q255_discounted_revenue")(spark, sf)
+      .collect().head
+    val pt = Tables.part(spark, sf).collect()
+      .map(x => (x.getAs[Long]("p_partkey"),
+        (x.getAs[String]("p_brand"), x.getAs[Int]("p_size")))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { x =>
+        val (brand, size) = pt(x.getLong(0))
+        val q = x.getDouble(1).toLong
+        val keep =
+          (brand == "Brand#12" && q >= 1 && q <= 11
+            && size >= 1 && size <= 5) ||
+          (brand == "Brand#23" && q >= 10 && q <= 20
+            && size >= 1 && size <= 10) ||
+          (brand == "Brand#25" && q >= 20 && q <= 30
+            && size >= 1 && size <= 15)
+        if (keep) Some(BigInt(math.round(x.getDouble(2) * 100))
+          * (100 - math.round(x.getDouble(3) * 100)))
+        else None
+      }
+    assert(r.getLong(0) == li.length.toLong)
+    assert(r.getDouble(1) == li.sum.toDouble)
+    assert(li.nonEmpty, "the disjuncts must select rows at sf0.01")
+  }
 }
