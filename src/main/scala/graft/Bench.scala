@@ -272,6 +272,15 @@ object Bench {
       val (w, r, sp) = aggregated.getOrElse(name, (0L, 0L, 0L))
       s"\"" + name + s"\":{\"write\":$w,\"read\":$r,\"spill\":$sp}"
     }.mkString("{", ",", "}")
+    // per-artifact shared-frame build costs (VERDICT r9 #8): these
+    // seconds are INSIDE the first-touching query's rep-1 time (the
+    // median of 3 usually hides them, a retime always does); emitting
+    // them per artifact makes the first-touch cost auditable data
+    val sharedBuilds = graft.queries.Shared.buildTimes(spark).toSeq
+      .sortBy(-_._2)
+    val sharedJson = sharedBuilds
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // stamp the events-ts physical variant the run actually read — a
     // testdata regeneration that changes it (the round-5 incident) is
     // then visible in every bench artifact it produced
@@ -282,7 +291,7 @@ object Bench {
     val contentionJson =
       s""""contended":$contended,"n_slow_breaches":${breaches.size},"retimes":${jsonMap(retimes)}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(results)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(results)},"shared_builds":$sharedJson,"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     // subset runs must not clobber the canonical full-suite record
     val outFile =
       if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
@@ -468,11 +477,22 @@ object Bench {
           } ++ Seq("")
       // assembled line-by-line, NOT via stripMargin — interpolated table
       // rows start with '|' and stripMargin would eat it
+      // shared-artifact build ledger: every artifact ≥ 0.5 s, so a
+      // first-toucher's inflated rep-1 has a named, measured cause
+      val bigBuilds = sharedBuilds.filter(_._2 >= 0.5)
+      val buildBlock =
+        if (bigBuilds.isEmpty) Seq.empty[String]
+        else Seq("",
+          "**Shared-artifact builds ≥ 0.5 s** (paid once per run inside " +
+            "the first-touching query's rep 1; medians-of-3 exclude it):",
+          "") ++ Seq("| artifact | build (s) |", "|---|---|") ++
+          bigBuilds.map { case (k, v) => f"| $k | $v%.2f |" }
       val row = (contentionBlock ++ Seq(
         f"**Full suite, $sfDir, median-of-$reps: $total%.1f s for ${results.size} queries, $nFail failed, $spillNote** (BENCH_LOCAL.json carries per-query medians + measured shuffle write/read/spill bytes). Generated by `graft.Bench` from the same run that wrote the JSON artifact. Ratio column = driver-run median (BENCH_DRIVER.json) ÷ this run's median. Measured job-overhead floor: $floorSec%.2f s/query (ratios on queries under 3× floor are scheduler noise, excluded from the watchlist).",
         "",
         "| query (8 slowest) | median (s) | shuffle write MB | read MB | spill MB | driver÷here |",
-        "|---|---|---|---|---|---|") ++ slowest ++ noDriverBlock ++ swingBlock)
+        "|---|---|---|---|---|---|") ++ slowest ++ buildBlock ++
+        noDriverBlock ++ swingBlock)
         .mkString("", "\n", "\n")
       Files.write(Paths.get("BASELINE_ROW.md"),
         row.getBytes(StandardCharsets.UTF_8),

@@ -1559,6 +1559,76 @@ object CorpusQueries {
             col("u2").cast("decimal(38,0)") * 10
               > col("n_pos").cast("decimal(19,0)") * col("n_neg") * 14)
             .as("discriminative"))
+    }),
+
+    // ---- SIMPSON'S-PARADOX audit on the quality gate (completing the
+    // observational-pitfall family: q217 checks gate AGREEMENT, q225
+    // compares group MEANS, q209 checks calibration — this one checks
+    // whether a source-vs-source gate-pass comparison REVERSES once
+    // conditioned on length, the classic aggregation trap: "source A
+    // passes more than B" pooled can be an artifact of A writing
+    // longer docs, with B better in EVERY length stratum; a mixture
+    // designer acting on the pooled number would upweight the worse
+    // source). Per ordered source pair: the pooled verdict, how many
+    // 50-token length strata hold BOTH sources, stratum wins each way,
+    // and the full-reversal flag (pooled winner loses every shared
+    // stratum — the textbook Simpson flip, both directions). Every
+    // comparison is an exact integer cross-multiplication
+    // (p_a·n_b > p_b·n_a) promoted to DECIMAL(38,0): counts reach
+    // 10¹⁰ docs at 100 TB and the product passes BIGINT at ~3·10⁹.
+    // Scale: rides the run-shared quality_signals token pass + one
+    // doc-grain source join; everything after the (source, bucket)
+    // cell fold is planner-scale (sources² pairs on broadcast-size
+    // frames); folds to C(n_sources, 2) rows.
+    "q257_simpson_audit" -> ((s, d) => {
+      val cell = qualitySignals(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          col("source")), "doc_id")
+        .select(col("source"), expr("n_tokens div 50").as("len_bucket"),
+          (col("uniq") * 2 >= col("n_tokens")).as("pass"))
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("p"))
+      val pooled = cell.groupBy(col("source"))
+        .agg(sum(col("n")).as("np"), sum(col("p")).as("pp"))
+      val pairs = pooled.as("a").join(pooled.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (col("a.pp").cast("decimal(38,0)") * col("b.np")
+            > col("b.pp").cast("decimal(38,0)") * col("a.np"))
+            .as("pooled_a_gt_b"),
+          (col("b.pp").cast("decimal(38,0)") * col("a.np")
+            > col("a.pp").cast("decimal(38,0)") * col("b.np"))
+            .as("pooled_b_gt_a"))
+      val strata = cell.as("x").join(cell.as("y"),
+          col("x.len_bucket") === col("y.len_bucket")
+            && col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+          (col("x.p").cast("decimal(38,0)") * col("y.n")
+            > col("y.p").cast("decimal(38,0)") * col("x.n"))
+            .as("a_gt_b"),
+          (col("y.p").cast("decimal(38,0)") * col("x.n")
+            > col("x.p").cast("decimal(38,0)") * col("y.n"))
+            .as("b_gt_a"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_strata_both"),
+          sum(when(col("a_gt_b"), 1L).otherwise(0L))
+            .as("n_strata_a_gt_b"),
+          sum(when(col("b_gt_a"), 1L).otherwise(0L))
+            .as("n_strata_b_gt_a"))
+      pairs.join(strata, Seq("src_a", "src_b"), "left_outer")
+        .select(col("src_a"), col("src_b"),
+          col("pooled_a_gt_b"), col("pooled_b_gt_a"),
+          coalesce(col("n_strata_both"), lit(0L)).as("n_strata_both"),
+          coalesce(col("n_strata_a_gt_b"), lit(0L))
+            .as("n_strata_a_gt_b"),
+          coalesce(col("n_strata_b_gt_a"), lit(0L))
+            .as("n_strata_b_gt_a"))
+        .withColumn("simpson_flip",
+          (col("pooled_a_gt_b") && col("n_strata_both") > 0
+            && col("n_strata_b_gt_a") === col("n_strata_both")) ||
+          (col("pooled_b_gt_a") && col("n_strata_both") > 0
+            && col("n_strata_a_gt_b") === col("n_strata_both")))
     })
   )
 
@@ -2621,7 +2691,49 @@ object CorpusQueries {
         |    CAST(u2 AS HUGEINT) * 10
         |      > CAST(n_pos AS HUGEINT) * n_neg * 14
         |  END AS discriminative
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "q257_simpson_audit" ->
+      s"""WITH $signalsSqlCte,
+        |sd AS (SELECT pd.doc_id, pd.n_tokens, pd.uniq, d.source
+        |  FROM pd JOIN documents d USING (doc_id)),
+        |cell AS (SELECT source, n_tokens // 50 AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN uniq * 2 >= n_tokens THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM sd GROUP BY 1, 2),
+        |pooled AS (SELECT source, CAST(sum(n) AS HUGEINT) AS np,
+        |    CAST(sum(p) AS HUGEINT) AS pp
+        |  FROM cell GROUP BY 1),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.pp * b.np > b.pp * a.np AS pooled_a_gt_b,
+        |    b.pp * a.np > a.pp * b.np AS pooled_b_gt_a
+        |  FROM pooled a JOIN pooled b ON a.source < b.source),
+        |st AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_strata_both,
+        |    CAST(sum(CASE WHEN CAST(x.p AS HUGEINT) * y.n
+        |        > CAST(y.p AS HUGEINT) * x.n THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_strata_a_gt_b,
+        |    CAST(sum(CASE WHEN CAST(y.p AS HUGEINT) * x.n
+        |        > CAST(x.p AS HUGEINT) * y.n THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_strata_b_gt_a
+        |  FROM cell x JOIN cell y
+        |    ON x.len_bucket = y.len_bucket AND x.source < y.source
+        |  GROUP BY 1, 2),
+        |j AS (SELECT pr.src_a, pr.src_b, pr.pooled_a_gt_b,
+        |    pr.pooled_b_gt_a,
+        |    coalesce(st.n_strata_both, 0) AS n_strata_both,
+        |    coalesce(st.n_strata_a_gt_b, 0) AS n_strata_a_gt_b,
+        |    coalesce(st.n_strata_b_gt_a, 0) AS n_strata_b_gt_a
+        |  FROM pr LEFT JOIN st
+        |    ON pr.src_a = st.src_a AND pr.src_b = st.src_b)
+        |SELECT src_a, src_b, pooled_a_gt_b, pooled_b_gt_a,
+        |  n_strata_both, n_strata_a_gt_b, n_strata_b_gt_a,
+        |  (pooled_a_gt_b AND n_strata_both > 0
+        |    AND n_strata_b_gt_a = n_strata_both)
+        |  OR (pooled_b_gt_a AND n_strata_both > 0
+        |    AND n_strata_a_gt_b = n_strata_both) AS simpson_flip
+        |FROM j""".stripMargin
   )
 
   /** q240/q241 shared oracle CTE: the per-doc quality signals exactly

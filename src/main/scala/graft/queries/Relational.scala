@@ -892,24 +892,30 @@ object Relational {
         .orderBy(col("o_orderpriority").asc)
     }),
 
-    // ---- TPC-H Q7 shape (volume shipping between two nations):
-    // revenue flowing supplier-nation → customer-nation for the
-    // NATION_1/NATION_2 pair, by ship year. The shape's point: BOTH
-    // nation filters reduce their dimension legs BEFORE the fact join
+    // ---- TPC-H Q7 shape (volume shipping between trading partners):
+    // revenue flowing EUROPE-supplier-nation → ASIA-customer-nation at
+    // (supp_nation, cust_nation, ship-year) grain. (Q7's literal
+    // two-NATION pair is empty at smoke scale — ~10 suppliers across
+    // 25 nations — so the selective legs filter by REGION, the same
+    // dims q234/q245 already pin; the regions are disjoint, so Q7's
+    // supp≠cust inequality is structural.) The shape's point survives
+    // intact: BOTH dimension legs reduce BEFORE the fact join
     // (supplier side broadcast — always dim-sized; customer side
-    // shuffle-joined through orders — at 100 TB a 2-of-25-nations
+    // shuffle-joined through orders — at 100 TB a 5-of-25-nations
     // customer set is still fact-sized, so it must NOT broadcast), and
-    // the cross-pair inequality filters AFTER both nations are known,
-    // on the already-reduced rows. Exact cents in DECIMAL(38,0).
+    // the fact aggregates once at pair×year grain. Exact cents in
+    // DECIMAL(38,0).
     "q250_volume_shipping" -> ((s, d) => {
-      val nat2 = broadcast(Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      def natOf(region: String) = broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === region).select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name")))
       val supp = broadcast(Tables.supplier(s, d)
-        .join(nat2, col("s_nationkey") === col("n_nationkey"))
+        .join(natOf("EUROPE"), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation")))
       val cust = Tables.customer(s, d)
-        .join(nat2, col("c_nationkey") === col("n_nationkey"))
+        .join(natOf("ASIA"), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
       val ord = Tables.orders(s, d)
         .join(cust, col("o_custkey") === col("c_custkey"))
@@ -921,7 +927,6 @@ object Relational {
             .as("cents"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
         .agg(count(lit(1)).as("n_lines"),
           sum(col("cents").cast("decimal(38,0)")).cast("double")
@@ -1632,12 +1637,14 @@ object Relational {
         |ORDER BY ord.o_orderpriority ASC""".stripMargin,
 
     "q250_volume_shipping" ->
-      """WITH n2 AS (SELECT n_nationkey, n_name FROM nation
-        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
-        |sp AS (SELECT s.s_suppkey, n2.n_name AS supp_nation
-        |  FROM supplier s JOIN n2 ON s.s_nationkey = n2.n_nationkey),
-        |cs AS (SELECT c.c_custkey, n2.n_name AS cust_nation
-        |  FROM customer c JOIN n2 ON c.c_nationkey = n2.n_nationkey),
+      """WITH rn AS (SELECT n.n_nationkey, n.n_name, r.r_name
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |sp AS (SELECT s.s_suppkey, rn.n_name AS supp_nation
+        |  FROM supplier s JOIN rn ON s.s_nationkey = rn.n_nationkey
+        |  WHERE rn.r_name = 'EUROPE'),
+        |cs AS (SELECT c.c_custkey, rn.n_name AS cust_nation
+        |  FROM customer c JOIN rn ON c.c_nationkey = rn.n_nationkey
+        |  WHERE rn.r_name = 'ASIA'),
         |o AS (SELECT o_orderkey, cs.cust_nation
         |  FROM orders JOIN cs ON o_custkey = cs.c_custkey)
         |SELECT sp.supp_nation, o.cust_nation,
@@ -1648,7 +1655,6 @@ object Relational {
         |FROM lineitem l
         |JOIN sp ON l.l_suppkey = sp.s_suppkey
         |JOIN o ON l.l_orderkey = o.o_orderkey
-        |WHERE sp.supp_nation <> o.cust_nation
         |GROUP BY 1, 2, 3
         |ORDER BY sp.supp_nation ASC, o.cust_nation ASC, yr ASC""".stripMargin,
 

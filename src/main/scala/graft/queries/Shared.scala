@@ -35,6 +35,11 @@ object Shared {
   private val bookCache =
     TrieMap.empty[(String, String, String), Map[Int, Seq[(Int, Seq[Long])]]]
   private val frameCache = TrieMap.empty[(String, String, String), DataFrame]
+  // measured materialization seconds per frame artifact (VERDICT r9 #8:
+  // the shared-artifact first-toucher pays a visible build cost that
+  // distorts its own per-query median; recording the cost per ARTIFACT
+  // makes it data instead of a retime footnote — Bench emits this map)
+  private val buildSecs = TrieMap.empty[(String, String, String), Double]
 
   private def appId(s: SparkSession): String = s.sparkContext.applicationId
 
@@ -56,8 +61,25 @@ object Shared {
     */
   def frame(s: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame =
-    frameCache.getOrElseUpdate((appId(s), key, dir),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    frameCache.getOrElseUpdate((appId(s), key, dir), {
+      // materialize EAGERLY and time it: the frame is fully computed on
+      // first consumption anyway (persisted, every consumer shares it);
+      // forcing the count here pins the build cost to one measured
+      // number per artifact instead of smearing it into whichever
+      // query touched the frame first
+      val t0 = System.nanoTime()
+      val f = build.persist(StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      buildSecs.put((appId(s), key, dir), (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
+  /** Measured frame-build seconds for this session, keyed by artifact
+    * name (dir collapsed — a bench run uses one dir). */
+  def buildTimes(s: SparkSession): Map[String, Double] = {
+    val id = appId(s)
+    buildSecs.toMap.collect { case ((a, k, _), sec) if a == id => k -> sec }
+  }
 
   /** Test hook: drop everything cached for this session. */
   private[graft] def reset(s: SparkSession): Unit = {

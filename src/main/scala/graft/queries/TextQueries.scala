@@ -606,58 +606,52 @@ object TextQueries {
     // same pruned universe, so the Jaccard stays internally consistent —
     // and the worst per-row fan-out is C(HotDf,2), independent of corpus
     // clone density. The oracle mirrors the prune exactly.
-    "q22_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // hash each trigram BEFORE the first shuffle — the dedup +
-      // group-by exchanges then move fixed-width keys, not ~20-char
-      // strings. Default: xxhash64 (8 bytes). Collision caveat: with
-      // ~1e12 distinct trigrams at 100 TB, 64-bit hashing expects tens
-      // of thousands of colliding trigram PAIRS by the birthday bound
-      // (~n^2/2^65) — vanishing as a fraction of set sizes (any one
-      // doc's Jaccard moves by at most a few shingles) but not
-      // "probability ~0". Opt-in exact mode
-      // (spark.graft.text.exactTrigrams=true) keys on unhex(md5) —
-      // 128 bits, where the same bound is ~n^2/2^129 ≈ never — for
-      // pipelines that need exact set semantics at full scale, at the
-      // cost of 16-byte instead of 8-byte shuffle keys. The oracle
-      // compares exact STRINGS either way, so both modes must (and do)
-      // produce identical pairs at test scale.
-      val exactMode = s.conf.getOption("spark.graft.text.exactTrigrams")
-        .exists(_.toBoolean)
-      val triKey =
-        if (exactMode) unhex(md5(col("sh"))) else xxhash64(col("sh"))
-      val tri = Text.wordShingles(docs, "doc_id", "text", 3,
-          dedup = false, carryCols = Seq("lang", "source"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          triKey.as("tri"))
-        .distinct()
-      // one grouped pass serves both the df prune and pair emission;
-      // `n` re-derives per-doc set sizes from the pruned groups (ids
-      // are longs — re-exploding them is cheaper than a second shuffle
-      // of the full trigram frame)
-      val grouped = tri
-        .groupBy(col("lang"), col("source"), col("tri"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) <= Text.HotDf)
-      val n = grouped
-        .select(explode(col("ids")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = grouped
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (a, i) ->
-            |  transform(slice(ids, i + 2, size(ids) - i - 1),
-            |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-      val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    "q22_ngram_jaccard" -> ((s, d) =>
+      ngramPairStats(s, d)
         .filter(col("inter") >= 3)
         .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+          (col("inter") / (col("na") + col("nb") - col("inter")))
+            .as("jac"))),
+
+    // ---- DEDUP-THRESHOLD sensitivity curve: how many pairs/docs does
+    // the near-dup gate flag at each Jaccard cutoff t ∈ {30..90}%? q170
+    // tunes the LSH BANDING at a fixed truth rule; this sweeps the
+    // VERIFY threshold itself, per Jaccard cutoff, on the exact
+    // within-(lang, source) trigram pair frame — what a curation owner
+    // reads before
+    // pinning "near-dup" to 0.8 vs 0.5 (each 10-point step changes
+    // the removable mass; the curve's knee is corpus-specific). The
+    // pass test is exact integer cross-multiplication:
+    // jac ≥ t/100 ⟺ inter·(100+t) ≥ t·(na+nb) — no float enters the
+    // verdict. Scale: ONE shared pair-stats frame (built once per run,
+    // q22 rides the same artifact); the 7-threshold explode multiplies
+    // pair-grain rows (bounded by the q22 HotDf fanout cap), then
+    // folds to 7 rows; the threshold axis is generated, so an
+    // all-unique corpus still reports 7 zero rows, never 0 rows.
+    "q256_dedup_threshold_curve" -> ((s, d) => {
+      val stats = ngramPairStats(s, d).filter(col("inter") >= 3)
+      val axis = Tables.documents(s, d).limit(1)
+        .select(explode(expr("sequence(30, 90, 10)")).as("threshold_pct"))
+      val passing = stats
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("na"), col("nb"),
+          explode(expr("sequence(30, 90, 10)")).as("threshold_pct"))
+        .filter(col("inter") * (lit(100) + col("threshold_pct"))
+          >= col("threshold_pct") * (col("na") + col("nb")))
+      val nP = passing.groupBy(col("threshold_pct"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nD = passing
+        .select(col("threshold_pct"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .distinct()
+        .groupBy(col("threshold_pct"))
+        .agg(count(lit(1)).as("n_docs_flagged"))
+      axis
+        .join(nP, Seq("threshold_pct"), "left_outer")
+        .join(nD, Seq("threshold_pct"), "left_outer")
+        .select(col("threshold_pct").cast("long").as("threshold_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
     }),
 
     // ---- 32-bit SimHash fingerprint per document
@@ -991,6 +985,84 @@ object TextQueries {
           col("n_hit_fps"), col("n_all_common"))
     })
   )
+
+  /** q22/q256 shared within-(lang, source) exact trigram pair stats:
+    * (doc_a, doc_b, inter, na, nb) for every block pair sharing ≥ 1
+    * non-hot trigram. One run-shared artifact (Shared.frame) — q22
+    * reads the Jaccard off it, q256 sweeps thresholds over it.
+    *
+    * Hash each trigram BEFORE the first shuffle — the dedup + group-by
+    * exchanges then move fixed-width keys, not ~20-char strings.
+    * Default: xxhash64 (8 bytes). Collision caveat: with ~1e12
+    * distinct trigrams at 100 TB, 64-bit hashing expects tens of
+    * thousands of colliding trigram PAIRS by the birthday bound
+    * (~n²/2⁶⁵) — vanishing as a fraction of set sizes (any one doc's
+    * Jaccard moves by at most a few shingles) but not "probability
+    * ~0". Opt-in exact mode (spark.graft.text.exactTrigrams=true)
+    * keys on unhex(md5) — 128 bits, where the same bound is ~n²/2¹²⁹
+    * ≈ never — for pipelines that need exact set semantics at full
+    * scale, at the cost of 16-byte instead of 8-byte shuffle keys.
+    * The oracle compares exact STRINGS either way, so both modes must
+    * (and do) produce identical pairs at test scale.
+    *
+    * Instead of a trigram self-join (sort-merge on wide keys, two
+    * shuffles of the exploded frame), group each trigram's doc list
+    * once and emit ordered pairs in-row: one shuffle of the trigrams,
+    * then a shuffle of id-pairs only. Skew bound is ENFORCED, not
+    * advisory: a trigram shared by m docs in a block emits C(m,2)
+    * pairs from one grouped row, so trigrams with block
+    * document-frequency > HotDf are dropped before pair emission
+    * (stopword-ish shingles carry no similarity signal anyway).
+    * Per-doc counts na/nb are taken over the same pruned universe, so
+    * the Jaccard stays internally consistent — and the worst per-row
+    * fan-out is C(HotDf,2), independent of corpus clone density. The
+    * oracle mirrors the prune exactly.
+    */
+  private def ngramPairStats(s: SparkSession, d: String): DataFrame = {
+    val exactMode = s.conf.getOption("spark.graft.text.exactTrigrams")
+      .exists(_.toBoolean)
+    // the mode is part of the cache key (the lsh_pairs_raw discipline):
+    // flipping the conf mid-session must rebuild, not serve the other
+    // mode's cached frame
+    val cacheKey =
+      if (exactMode) "ngram_pair_stats_md5" else "ngram_pair_stats"
+    Shared.frame(s, cacheKey, d) {
+      val docs = Tables.documents(s, d)
+      val triKey =
+        if (exactMode) unhex(md5(col("sh"))) else xxhash64(col("sh"))
+      val tri = Text.wordShingles(docs, "doc_id", "text", 3,
+          dedup = false, carryCols = Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          triKey.as("tri"))
+        .distinct()
+      // one grouped pass serves both the df prune and pair emission;
+      // `n` re-derives per-doc set sizes from the pruned groups (ids
+      // are longs — re-exploding them is cheaper than a second shuffle
+      // of the full trigram frame)
+      val grouped = tri
+        .groupBy(col("lang"), col("source"), col("tri"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= Text.HotDf)
+      val n = grouped
+        .select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = grouped
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+    }
+  }
 
   /** q199/q233 shared winnow-fingerprint index: per doc, its DISTINCT
     * winnowed k-gram fingerprints, df-capped to kill stop-fingerprints
@@ -1393,6 +1465,48 @@ object TextQueries {
         |JOIN n na ON na.doc_id = doc_a
         |JOIN n nb ON nb.doc_id = doc_b
         |WHERE inter >= 3""".stripMargin,
+
+    "q256_dedup_threshold_curve" ->
+      s"""WITH toks AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |tri0 AS (SELECT DISTINCT doc_id, lang, source,
+        |    concat_ws(' ', tk[p], tk[p+1], tk[p+2]) AS tri
+        |  FROM (SELECT doc_id, lang, source, tk,
+        |      unnest(generate_series(1, greatest(len(tk)-2, 1))) AS p
+        |    FROM toks)),
+        |df AS (SELECT lang, source, tri, count(*) AS df
+        |  FROM tri0 GROUP BY 1, 2, 3),
+        |tri AS (SELECT t.doc_id, t.lang, t.source, t.tri
+        |  FROM tri0 t JOIN df USING (lang, source, tri)
+        |  WHERE df.df <= ${graft.functions.Text.HotDf}),
+        |n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM tri a JOIN tri b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.tri = b.tri
+        |      AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |stats AS (SELECT doc_a, doc_b, inter, na.n AS na, nb.n AS nb
+        |  FROM inter
+        |  JOIN n na ON na.doc_id = doc_a
+        |  JOIN n nb ON nb.doc_id = doc_b
+        |  WHERE inter >= 3),
+        |axis AS (SELECT unnest(generate_series(30, 90, 10)) AS t),
+        |pass AS (SELECT axis.t, s.doc_a, s.doc_b
+        |  FROM stats s JOIN axis
+        |    ON s.inter * (100 + axis.t) >= axis.t * (s.na + s.nb)),
+        |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pass GROUP BY 1),
+        |nd AS (SELECT t, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        |  FROM (SELECT t, doc_a AS doc FROM pass
+        |        UNION ALL SELECT t, doc_b FROM pass)
+        |  GROUP BY 1)
+        |SELECT CAST(axis.t AS BIGINT) AS threshold_pct,
+        |  coalesce(np.n_pairs, 0) AS n_pairs,
+        |  coalesce(nd.n_docs, 0) AS n_docs_flagged
+        |FROM axis
+        |LEFT JOIN np ON axis.t = np.t
+        |LEFT JOIN nd ON axis.t = nd.t""".stripMargin,
 
     "q23_simhash" -> simhashSql,
 

@@ -2501,4 +2501,93 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) == li.sum.toDouble)
     assert(li.nonEmpty, "the disjuncts must select rows at sf0.01")
   }
+
+  test("q256 dedup-threshold curve: brute-force trigram Jaccard sweep " +
+    "matches, curve is monotone non-increasing, axis always 7 rows") {
+    val out = SparkEntry.queries("q256_dedup_threshold_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)),
+        r.getString(3)))
+    val tri = docs.map { case (id, blk, t) =>
+      val tk = t.split(" ", -1)
+      val sh =
+        if (tk.length < 3) Set(tk.mkString(" "))
+        else tk.sliding(3).map(_.mkString(" ")).toSet
+      (id, blk, sh)
+    }
+    val df = tri.flatMap { case (_, blk, sh) => sh.map(blk -> _) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val pruned = tri.map { case (id, blk, sh) =>
+      (id, blk, sh.filter(s => df((blk, s)) <= graft.functions.Text.HotDf))
+    }
+    val sortedDocs = pruned.sortBy(_._1)
+    val stats = (for {
+      i <- sortedDocs.indices; j <- (i + 1) until sortedDocs.length
+      (a, blkA, sa) = sortedDocs(i)
+      (b, blkB, sb) = sortedDocs(j)
+      if blkA == blkB
+      inter = (sa & sb).size
+      if inter >= 3
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSeq
+    val expected = (30L to 90L by 10L).map { t =>
+      val pass = stats.filter(s => s._3 * (100 + t) >= t * (s._4 + s._5))
+      (t, (pass.length.toLong,
+        pass.flatMap(s => Seq(s._1, s._2)).distinct.length.toLong))
+    }.toMap
+    assert(out == expected)
+    assert(out.size == 7)
+    // tightening the threshold can only shrink both counts
+    (30L to 80L by 10L).foreach { t =>
+      assert(out(t)._1 >= out(t + 10)._1 && out(t)._2 >= out(t + 10)._2)
+    }
+    assert(out(30L)._1 > 0, "sf0.01 must have near-dup pairs at 30%")
+  }
+
+  test("q257 simpson audit: naive replay of pooled + per-stratum " +
+    "cross-multiplied comparisons and the full-reversal flag") {
+    val out = SparkEntry.queries("q257_simpson_audit")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getBoolean(2), r.getBoolean(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        (src(r.getLong(0)), tk.length.toLong / 50,
+          tk.distinct.length * 2 >= tk.length)
+      }
+    val cell = docs.groupBy(d => (d._1, d._2)).view.mapValues(rs =>
+      (rs.length.toLong, rs.count(_._3).toLong)).toMap
+    val pooled = docs.groupBy(_._1).view.mapValues(rs =>
+      (rs.length.toLong, rs.count(_._3).toLong)).toMap
+    val sources = pooled.keys.toSeq.sorted
+    for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } {
+      val (a, b) = (sources(i), sources(j))
+      val (na, pa) = pooled(a); val (nb, pb) = pooled(b)
+      val pAB = BigInt(pa) * nb > BigInt(pb) * na
+      val pBA = BigInt(pb) * na > BigInt(pa) * nb
+      val buckets = cell.keys.filter(_._1 == a).map(_._2).toSet
+        .intersect(cell.keys.filter(_._1 == b).map(_._2).toSet)
+      val wins = buckets.toSeq.map { lb =>
+        val (xn, xp) = cell((a, lb)); val (yn, yp) = cell((b, lb))
+        (BigInt(xp) * yn > BigInt(yp) * xn, BigInt(yp) * xn > BigInt(xp) * yn)
+      }
+      val exp = (pAB, pBA, buckets.size.toLong,
+        wins.count(_._1).toLong, wins.count(_._2).toLong,
+        (pAB && buckets.nonEmpty && wins.forall(_._2)) ||
+          (pBA && buckets.nonEmpty && wins.forall(_._1)))
+      assert(out((a, b)) == exp, s"pair ($a, $b)")
+    }
+    assert(out.size == sources.length * (sources.length - 1) / 2)
+  }
 }
