@@ -167,4 +167,54 @@ object Components {
         s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster"))
   }
+
+  /** Measure-then-choose components (the Skew.planJoin / q170-lowDup
+    * discipline applied to the cluster build): dedup-pair graphs are
+    * EDGE-sparse relative to the corpus — near-dup pairs at production
+    * thresholds are a sliver of doc count — so most runs' component
+    * graphs fit a driver union-find, where the whole fixed point costs
+    * ONE bounded collect instead of 2–4 distributed contraction passes
+    * × several jobs each (measured: the sf0.1 canon-comps artifact
+    * build dropped from ~20 s of loop overhead for an 8-edge graph).
+    * The probe is a LIMIT-bounded count on the (usually already
+    * persisted) edge frame; past `driverCap` edges it falls back to
+    * the distributed loop — same labels either way (component-min,
+    * deterministic), asserted equal by ComponentsSpec.
+    */
+  def connectedComponentsAuto(edges: DataFrame, srcCol: String,
+                              dstCol: String, maxIter: Int = 50,
+                              reliableCheckpoint: Boolean = false,
+                              driverCap: Int = 2000000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // bounded probe: never fetches more than driverCap+1 rows
+    val sample = edges
+      .select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("t"))
+      .limit(driverCap + 1).as[(Long, Long)].collect()
+    if (sample.length > driverCap)
+      connectedComponents(edges, srcCol, dstCol, maxIter,
+        reliableCheckpoint)
+    else {
+      val parent = new java.util.HashMap[Long, Long]()
+      def findRoot(a: Long): Long = {
+        var r = a
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = a
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      sample.foreach { case (s, t) =>
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(t)) parent.put(t, t)
+        val rs = findRoot(s)
+        val rt = findRoot(t)
+        if (rs < rt) parent.put(rt, rs)
+        else if (rt < rs) parent.put(rs, rt)
+      }
+      val out = Seq.newBuilder[(Long, Long)]
+      parent.keySet.forEach(x => out += ((x, findRoot(x))))
+      spark.createDataFrame(out.result()).toDF("id", "cluster")
+    }
+  }
 }

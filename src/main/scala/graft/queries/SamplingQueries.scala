@@ -257,7 +257,7 @@ object SamplingQueries {
         .exists(_.toBoolean)
       if (raw) {
         val pairs = TextQueries.sharedCandidatePairs(s, d)
-        Components.connectedComponents(pairs, "doc_a", "doc_b")
+        Components.connectedComponentsAuto(pairs, "doc_a", "doc_b")
           .select(col("id").as("doc_id"), col("cluster"))
       } else {
         TextQueries.sharedMembers(s, d)

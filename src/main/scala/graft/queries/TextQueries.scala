@@ -97,7 +97,7 @@ object TextQueries {
                                              d: String): DataFrame =
     Shared.frame(s, "lsh_canon_comps", d)(
       graft.operators.Components
-        .connectedComponents(sharedCanonPairs(s, d), "doc_a", "doc_b")
+        .connectedComponentsAuto(sharedCanonPairs(s, d), "doc_a", "doc_b")
         .select(col("id").as("canon"), col("cluster")))
 
   /** The per-(doc, term) BM25 score expression, shared character-for-

@@ -90,4 +90,29 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
       Components.connectedComponents(edges, "a", "b", maxIter = 0)
     }
   }
+
+  test("Auto (driver path) matches the distributed loop label-for-label") {
+    import spark.implicits._
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (9L, 4L), (4L, 7L)) ++ (20L until 60L).map(i => (i, i + 1)))
+      .toDF("a", "b")
+    val dist = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auto = Components.connectedComponentsAuto(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == dist)
+    assert(auto.nonEmpty)
+  }
+
+  test("Auto past driverCap falls back to the distributed loop, " +
+    "same labels") {
+    import spark.implicits._
+    val edges = (1L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    // cap below the edge count forces the distributed branch
+    val out = Components.connectedComponentsAuto(edges, "a", "b",
+        driverCap = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(1L))
+    assert(out.keySet == (1L to 50L).toSet)
+  }
 }
