@@ -250,6 +250,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q253/q255: single-exchange TPC-H shapes — one fact aggregate, " +
+    "part side broadcast, date/quantity filters pushed to the scan") {
+    for (q <- Seq("q253_promo_revenue", "q255_discounted_revenue")) {
+      val p = plan(q)
+      assert(countExchanges(p) <= 1, s"$q grew exchanges:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q part side must broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q must not SMJ a dim")
+      assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_.*"),
+        s"$q fact filters must reach the scan:\n$p")
+    }
+  }
+
+  test("q249: the EXISTS leg is a LEFT SEMI join on the reduced " +
+    "order set with the date bracket pushed down") {
+    val p = plan("q249_order_priority_check")
+    assert(p.contains("LeftSemi"), s"decorrelated EXISTS must be a semi join:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate.*"),
+      s"quarter bracket must reach the orders scan:\n$p")
+  }
+
+  test("q254: exclusion list is a broadcast ANTI join over " +
+    "pair-grain rows") {
+    val p = plan("q254_supplier_census")
+    assert(p.contains("LeftAnti"), s"NOT-IN shape must be an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q251: per-part min re-joins by equality — no window, no " +
+    "second lineitem scan beyond the shared aggregate") {
+    val p = plan("q251_product_type_profit")
+    assert(!p.contains(") Window"), s"Q9 must not rank-window:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"part filter must reach the fact as a semi join:\n$p")
+  }
+
   test("q65: tf-idf scan reads only doc_id and text") {
     val p = plan("q65_tfidf_top")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
