@@ -1195,22 +1195,27 @@ object CorpusQueries {
     // (numerator, non-negative denominator, and the sign verdict
     // sxy > 0) rather than as a floored quotient, because sxy can be
     // negative and Spark div truncates where DuckDB // floors (the
-    // q209 sign rule). Envelope: products stay under 2^63 while
-    // n·Σx² < 9·10^18 — switch to the q205 DECIMAL discipline past
-    // ~10^6 docs·id² per stratum.
+    // q209 sign rule). The moments and cross-products run in
+    // DECIMAL(38,0) (the q205/q229 discipline) — the round-10 10×
+    // clone smoke crossed the old BIGINT envelope (n·Σx² overflows
+    // past ~10⁶ docs·id² per stratum) and ANSI Spark failed loudly;
+    // DECIMAL holds to ~10³⁸, and the outputs ship as double (exact
+    // below 2⁵³, correctly-rounded and engine-identical above).
     "q214_length_trend" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("source"), col("doc_id").as("x"),
-          size(split(col("text"), " ")).cast("bigint").as("y"))
+        .select(col("source"), col("doc_id").cast("decimal(19,0)").as("x"),
+          size(split(col("text"), " ")).cast("decimal(19,0)").as("y"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
         .select(col("source"), col("n"),
           (col("n") * col("sxy") - col("sx") * col("sy"))
-            .as("slope_num"),
+            .cast("double").as("slope_num"),
           (col("n") * col("sxx") - col("sx") * col("sx"))
-            .as("slope_den"),
+            .cast("double").as("slope_den"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) > 0)
             .as("rising"))
     }),
@@ -1629,6 +1634,66 @@ object CorpusQueries {
             && col("n_strata_b_gt_a") === col("n_strata_both")) ||
           (col("pooled_b_gt_a") && col("n_strata_both") > 0
             && col("n_strata_a_gt_b") === col("n_strata_both")))
+    }),
+
+    // ---- two-sample KOLMOGOROV–SMIRNOV drift per source (the
+    // whole-distribution read beside q205's binned divergence and
+    // q225's mean comparison: does source s's LENGTH DISTRIBUTION
+    // differ from the rest of the corpus ANYWHERE on its support, not
+    // just in a chosen bin or moment?). Exact end to end: both CDFs
+    // are step functions over the value-grain length histogram, so
+    // D = max|cdf_s − cdf_rest| is attained at a histogram step —
+    // evaluate at EVERY corpus-distinct length via a dense
+    // (source × length) grid (planner-scale: sources × distinct
+    // lengths), inclusive prefix sums through the chunk-bounded
+    // Prefix.runningSum (per-source AND corpus — no row-grain sort
+    // window anywhere), and the max runs on cross-multiplied integer
+    // numerators |cum_s·n_rest − cum_rest·n_s| over the common
+    // denominator n_s·n_rest. Verdict: D > 1.36·√((n_s+n_rest)/
+    // (n_s·n_rest)) (α = 0.05) squared into integers —
+    // dnum²·10⁴ > 18496·n_all·n_s·n_rest — BIGINT/DECIMAL-exact to
+    // n_all ≈ 3·10⁸ docs, past which the query fails LOUDLY and
+    // identically on both engines (the q240 envelope discipline);
+    // shard the test per partition beyond that. Scale: one doc-grain
+    // scan to the histogram, then everything is histogram-grain.
+    "q258_ks_drift" -> ((s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cnt"))
+      val grid = hist.select(col("toks")).distinct()
+        .crossJoin(hist.select(col("source")).distinct())
+      val filled = grid.join(hist, Seq("source", "toks"), "left_outer")
+        .select(col("source"), col("toks"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val cumS = graft.operators.Prefix.runningSum(
+        filled, "source", "toks", "cnt", "cum")
+      val cumAll = graft.operators.Prefix.runningSum(
+          hist.groupBy(col("toks")).agg(sum(col("cnt")).as("c_all"))
+            .withColumn("k", lit(1)),
+          "k", "toks", "c_all", "cum_all")
+        .select(col("toks"), col("cum_all"))
+      val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+      val nAll = hist.agg(sum(col("cnt")).as("n_all"))
+      cumS.join(cumAll, "toks")
+        .join(broadcast(tot), "source")
+        .crossJoin(broadcast(nAll))
+        .filter(col("n_s") < col("n_all"))
+        .select(col("source"), col("n_s"), col("n_all"),
+          abs(col("cum").cast("decimal(38,0)")
+              * (col("n_all") - col("n_s"))
+            - (col("cum_all") - col("cum")).cast("decimal(38,0)")
+              * col("n_s")).as("diff"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), max(col("n_all")).as("na"),
+          max(col("diff")).as("dnum"))
+        .select(col("source"), col("n_docs"),
+          expr("CAST(dnum * 1000000 div (CAST(n_docs AS " +
+            "DECIMAL(19,0)) * (na - n_docs)) AS BIGINT)").as("d_ppm"),
+          expr("CASE WHEN na > 300000000 THEN CAST(raise_error(" +
+            "'q258: N beyond the exact KS envelope') AS BOOLEAN) " +
+            "ELSE dnum * dnum * 10000 > CAST(18496 AS DECIMAL(19,0))" +
+            " * na * n_docs * (na - n_docs) END").as("drifted"))
     })
   )
 
@@ -2450,16 +2515,18 @@ object CorpusQueries {
         |FROM agg""".stripMargin,
 
     "q214_length_trend" ->
-      """WITH t AS (SELECT source, doc_id AS x,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      """WITH t AS (SELECT source, CAST(doc_id AS HUGEINT) AS x,
+        |    CAST(len(string_split(text, ' ')) AS HUGEINT) AS y
         |  FROM documents),
         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx
         |  FROM t GROUP BY source)
-        |SELECT source, n, n * sxy - sx * sy AS slope_num,
-        |  n * sxx - sx * sx AS slope_den,
+        |SELECT source, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
         |  (n * sxy - sx * sy) > 0 AS rising
         |FROM g""".stripMargin,
 
@@ -2733,7 +2800,48 @@ object CorpusQueries {
         |    AND n_strata_b_gt_a = n_strata_both)
         |  OR (pooled_b_gt_a AND n_strata_both > 0
         |    AND n_strata_a_gt_b = n_strata_both) AS simpson_flip
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q258_ks_drift" ->
+      """WITH h AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT sx.source, ax.toks, coalesce(h.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT source FROM h) sx
+        |  CROSS JOIN (SELECT DISTINCT toks FROM h) ax
+        |  LEFT JOIN h ON h.source = sx.source AND h.toks = ax.toks),
+        |c AS (SELECT source, toks,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY toks)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |ca AS (SELECT toks,
+        |    CAST(sum(c_all) OVER (ORDER BY toks) AS BIGINT) AS cum_all
+        |  FROM (SELECT toks, sum(cnt) AS c_all FROM h GROUP BY 1)),
+        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+        |  FROM h GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM h),
+        |diffs AS (SELECT c.source, t.n_s, nn.n_all,
+        |    abs(CAST(c.cum AS HUGEINT) * (nn.n_all - t.n_s)
+        |      - CAST(ca.cum_all - c.cum AS HUGEINT) * t.n_s) AS diff
+        |  FROM c
+        |  JOIN ca USING (toks)
+        |  JOIN t ON c.source = t.source, nn
+        |  WHERE t.n_s < nn.n_all),
+        |m AS (SELECT source, max(n_s) AS n_docs, max(n_all) AS nall,
+        |    max(diff) AS dnum
+        |  FROM diffs GROUP BY 1)
+        |SELECT source, n_docs,
+        |  CAST((dnum * 1000000)
+        |    // (CAST(n_docs AS HUGEINT) * (nall - n_docs)) AS BIGINT)
+        |    AS d_ppm,
+        |  CASE WHEN nall > 300000000 THEN
+        |    CAST(error('q258: N beyond the exact KS envelope')
+        |      AS BOOLEAN)
+        |  ELSE dnum * dnum * 10000
+        |    > CAST(18496 AS HUGEINT) * nall * n_docs * (nall - n_docs)
+        |  END AS drifted
+        |FROM m""".stripMargin
   )
 
   /** q240/q241 shared oracle CTE: the per-doc quality signals exactly

@@ -1398,8 +1398,8 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     "and the denominator is positive definite") {
     val out = SparkEntry.queries("q214_length_trend")(spark, sf)
       .collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getBoolean(4)))).toMap
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
     val pts = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("text")).collect()
       .map(r => (r.getString(0),
@@ -1415,8 +1415,11 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       val sxx = xy.map { case (x, _) => x * x }.sum
       val (gn, gnum, gden, grising) = out(src)
       assert(gn == n.toLong)
-      assert(gnum == (n * sxy - sx * sy).toLong, src)
-      assert(gden == (n * sxx - sx * sx).toLong, src)
+      // outputs ship as double since r10 (DECIMAL internals — the 10×
+      // clone smoke overflowed the old BIGINT envelope); exact below
+      // 2^53, which smoke-scale values are
+      assert(gnum == (n * sxy - sx * sy).toDouble, src)
+      assert(gden == (n * sxx - sx * sx).toDouble, src)
       assert(gden > 0, "sxx - (sx)^2/n > 0 unless all x equal")
       assert(grising == (gnum > 0))
     }
@@ -2589,5 +2592,38 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(out((a, b)) == exp, s"pair ($a, $b)")
     }
     assert(out.size == sources.length * (sources.length - 1) / 2)
+  }
+
+  test("q258 KS drift: brute-force CDF-gap replay per source, " +
+    "d_ppm bounded by 1e6, verdict matches the squared 1.36 gate") {
+    val out = SparkEntry.queries("q258_ks_drift")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val nAll = docs.length.toLong
+    val bySrc = docs.groupBy(_._1)
+    val axis = docs.map(_._2).distinct.sorted
+    bySrc.foreach { case (src, rows) =>
+      val nS = rows.length.toLong
+      val lens = rows.map(_._2)
+      val restLens = docs.filter(_._1 != src).map(_._2)
+      val dnum = axis.map { v =>
+        val cumS = lens.count(_ <= v).toLong
+        val cumR = restLens.count(_ <= v).toLong
+        (BigInt(cumS) * (nAll - nS) - BigInt(cumR) * nS).abs
+      }.max
+      val (nDocs, dPpm, drifted) = out(src)
+      assert(nDocs == nS, src)
+      assert(BigInt(dPpm) == dnum * 1000000 / (BigInt(nS) * (nAll - nS)),
+        src)
+      assert(dPpm >= 0 && dPpm <= 1000000, src)
+      assert(drifted ==
+        (dnum * dnum * 10000 > BigInt(18496) * nAll * nS * (nAll - nS)),
+        src)
+    }
+    assert(out.size == bySrc.size)
   }
 }
