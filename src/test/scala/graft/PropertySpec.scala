@@ -36,6 +36,35 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponentsAuto == brute union-find on random graphs, " +
+    "on BOTH branches (driver path and forced-distributed path)") {
+    import spark.implicits._
+    val edgesGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)))
+    samples(edgesGen, 4).foreach { edges =>
+      // brute reference: repeated relabel-to-min until fixpoint
+      var label = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label += (a -> m); label += (b -> m); changed = true
+          }
+        }
+      }
+      val df = edges.toDF("a", "b")
+      for (cap <- Seq(2000000, 1)) { // driver path, then forced fallback
+        val got = graft.operators.Components
+          .connectedComponentsAuto(df, "a", "b", driverCap = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == label, s"cap=$cap edges=$edges")
+      }
+    }
+  }
+
   test("maxfreq == reference multiplicity count on random long arrays") {
     graft.plans.MaxFreqL.register(spark)
     import spark.implicits._
