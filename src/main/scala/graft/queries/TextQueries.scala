@@ -486,6 +486,46 @@ object TextQueries {
             .as("deff_x1000"))
     }),
 
+    // ---- EFFECTIVE MIXTURE after soft-dedup (the number a DoReMi-
+    // style mixture designer actually feeds the sampler): q193 keeps
+    // every surface form at weight 1/dup_count, so each source's
+    // EFFECTIVE token share differs from its raw share exactly when
+    // its duplicate mass differs from the corpus average — a
+    // duplicate-heavy source silently shrinks, a clean source grows,
+    // and training at raw ppm would over-sample the duplicated one.
+    // Per source: raw token ppm vs weighted-token ppm plus the signed
+    // shift. Integer-exact: row-level toks·(10⁶ div dup_count) fits
+    // BIGINT (toks ≤ ~10⁵), the per-source mass ACCUMULATES in
+    // DECIMAL(38,0) (the q232 lesson — a BIGINT sum overflows past
+    // ~10⁷ all-distinct docs per source), ppm by integral div.
+    // Scale: one digest group-by + one source fold + a 1-row
+    // broadcast of the corpus totals.
+    "q259_effective_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+      val grp = docs.groupBy(col("h")).agg(count(lit(1)).as("dup_count"))
+      val per = docs.join(grp, "h")
+        .select(col("source"), col("toks"),
+          (col("toks") * expr("1000000L div dup_count"))
+            .cast("decimal(38,0)").as("wt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("raw_tokens"),
+          sum(col("wt")).as("wt_mass"))
+      val tot = per.agg(sum(col("raw_tokens")).as("tot_raw"),
+        sum(col("wt_mass")).as("tot_wt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          expr("CAST(CAST(raw_tokens AS DECIMAL(38,0)) * 1000000 " +
+            "div CAST(tot_raw AS DECIMAL(38,0)) AS BIGINT)")
+            .as("raw_ppm"),
+          expr("CAST(wt_mass * 1000000 div tot_wt AS BIGINT)")
+            .as("eff_ppm"))
+        .withColumn("shift_ppm", col("eff_ppm") - col("raw_ppm"))
+    }),
+
     // ---- DEDUP SAVINGS report: the before/after ledger every dedup
     // run publishes — per source, documents and tokens in the raw
     // corpus vs the canonical corpus (q38's rule: drop any doc that is
@@ -1334,6 +1374,30 @@ object TextQueries {
         |  CAST(toks * (1000000 // dup_count) AS BIGINT)
         |    AS weighted_tokens_x1e6
         |FROM d JOIN g USING (h)""".stripMargin,
+
+    "q259_effective_mixture" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM d GROUP BY 1),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS raw_tokens,
+        |    CAST(sum(CAST(toks * (1000000 // dup_count) AS HUGEINT))
+        |      AS HUGEINT) AS wt_mass
+        |  FROM d JOIN g USING (h) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(raw_tokens) AS HUGEINT) AS tot_raw,
+        |    CAST(sum(wt_mass) AS HUGEINT) AS tot_wt
+        |  FROM per)
+        |SELECT per.source, per.n_docs, per.raw_tokens,
+        |  CAST((CAST(per.raw_tokens AS HUGEINT) * 1000000)
+        |    // tot.tot_raw AS BIGINT) AS raw_ppm,
+        |  CAST((per.wt_mass * 1000000) // tot.tot_wt AS BIGINT)
+        |    AS eff_ppm,
+        |  CAST((per.wt_mass * 1000000) // tot.tot_wt AS BIGINT)
+        |    - CAST((CAST(per.raw_tokens AS HUGEINT) * 1000000)
+        |      // tot.tot_raw AS BIGINT) AS shift_ppm
+        |FROM per, tot""".stripMargin,
 
     "q173_dedup_savings" ->
       s"""WITH pairs AS ($minhashPairsSql),

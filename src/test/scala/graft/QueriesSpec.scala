@@ -2626,4 +2626,35 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(out.size == bySrc.size)
   }
+
+  test("q259 effective mixture: weighted-token replay, ppm columns " +
+    "near-conserve (floored), duplicate-free corpus shifts zero") {
+    val out = SparkEntry.queries("q259_effective_mixture")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dup = docs.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val rows = docs.map { case (src, t) =>
+      val toks = t.split(" ", -1).length.toLong
+      (src, toks, BigInt(toks) * (1000000L / dup(t)))
+    }
+    val totRaw = BigInt(rows.map(_._2).sum)
+    val totWt = rows.map(_._3).sum
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val raw = BigInt(rs.map(_._2).sum)
+      val wt = rs.map(_._3).sum
+      val exp = (rs.length.toLong, raw.toLong,
+        (raw * 1000000 / totRaw).toLong, (wt * 1000000 / totWt).toLong,
+        (wt * 1000000 / totWt - raw * 1000000 / totRaw).toLong)
+      assert(out(src) == exp, src)
+    }
+    // each ppm column sums to 1e6 minus flooring slack (< n_sources)
+    val sumRaw = out.values.map(_._3).sum
+    val sumEff = out.values.map(_._4).sum
+    assert(sumRaw > 1000000 - out.size && sumRaw <= 1000000)
+    assert(sumEff > 1000000 - out.size && sumEff <= 1000000)
+  }
 }
