@@ -1657,10 +1657,15 @@ object CorpusQueries {
     // shard the test per partition beyond that. Scale: one doc-grain
     // scan to the histogram, then everything is histogram-grain.
     "q258_ks_drift" -> ((s, d) => {
+      // persisted histogram-grain frame = the query's ONE doc scan;
+      // every downstream consumer (grid axis, source axis, fill join,
+      // totals) reads the cached (source, toks, cnt) rows instead of
+      // re-scanning documents (the CorpusQueries:795 precedent)
       val hist = Tables.documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("bigint").as("toks"))
         .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grid = hist.select(col("toks")).distinct()
         .crossJoin(hist.select(col("source")).distinct())
       val filled = grid.join(hist, Seq("source", "toks"), "left_outer")
@@ -1668,11 +1673,11 @@ object CorpusQueries {
           coalesce(col("cnt"), lit(0L)).as("cnt"))
       val cumS = graft.operators.Prefix.runningSum(
         filled, "source", "toks", "cnt", "cum")
-      val cumAll = graft.operators.Prefix.runningSum(
-          hist.groupBy(col("toks")).agg(sum(col("cnt")).as("c_all"))
-            .withColumn("k", lit(1)),
-          "k", "toks", "c_all", "cum_all")
-        .select(col("toks"), col("cum_all"))
+      // the grid is DENSE over sources at every step, so the corpus
+      // CDF is the source CDFs' sum at each toks — no second prefix
+      // pass (and no second approxQuantile/partials job pair)
+      val cumAll = cumS.groupBy(col("toks"))
+        .agg(sum(col("cum")).as("cum_all"))
       val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
       val nAll = hist.agg(sum(col("cnt")).as("n_all"))
       cumS.join(cumAll, "toks")
