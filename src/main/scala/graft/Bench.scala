@@ -70,6 +70,30 @@ object Bench {
       n -> prior.get(n).filter(p => p > 0 && p < sec).getOrElse(sec)
     }
 
+  /** VERDICT r10 #1 (the q112 incident): breach re-times run right
+    * after a contended pass on the same still-noisy host, so a retime
+    * can itself be garbage — round 10 published a 62.9 s median-of-3
+    * "correction" for a query whose committed exclusive line is 1.13 s
+    * (56×), WORSE than the 18.5 s breach it corrected, and any reader
+    * that trusts retimes over references inherits the poison. A retime
+    * is a usable correction only if it lands back inside the same
+    * [*, 4.0) slow-direction band the breach test uses, judged against
+    * the committed exclusive line; otherwise it is flagged unusable and
+    * the committed line stays the query's cost estimate. A failed
+    * retime (-1 sentinel) is unusable by definition. A query with no
+    * committed line keeps its retime — there is no reference to call
+    * it noise against.
+    * Returns (usable retimes, unusable retimes with the discarded
+    * measurement kept for the audit trail).
+    */
+  def adjudicateRetimes(retimes: Seq[(String, Double)],
+      exclusiveRef: Map[String, Double])
+      : (Seq[(String, Double)], Seq[(String, Double)]) =
+    retimes.partition { case (n, sec) =>
+      sec >= 0 &&
+        exclusiveRef.get(n).forall(ref => ref <= 0 || sec / ref < 4.0)
+    }
+
   // Headline subset for the stdout line: the driver's tail-capture window
   // is small (~4 KB) and the full 96-query map overflows it, which is why
   // BENCH_r01/r02 recorded "parsed": null. The stdout line stays short;
@@ -128,6 +152,11 @@ object Bench {
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Engine.session("graft-bench", cpus)
+    // bench runs want the shared-artifact ledger: eager first-build
+    // materialization with a measured cost per artifact (VERDICT r9 #8).
+    // Everywhere else Shared.frame stays lazy (ADVICE r10: plan-only
+    // consumers must not trigger Spark jobs).
+    graft.queries.Shared.eagerBuilds = true
     // warm up JVM/codegen/parquet paths on the tiny sf so the first timed
     // query doesn't absorb session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -262,6 +291,12 @@ object Bench {
         }.sorted
         name -> (if (ts.exists(_ < 0)) -1.0 else ts(1))
       }
+    // adjudicate the retimes against the committed reference BEFORE
+    // publishing (VERDICT r10 #1): a correction worse than its breach
+    // is host noise, not data — it goes to retimes_unusable and the
+    // committed exclusive line remains the query's cost estimate
+    val (retimesUsable, retimesUnusable) =
+      adjudicateRetimes(retimes, exclusiveRef)
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel — exclude them from the total
@@ -289,7 +324,7 @@ object Bench {
         .schema("ts").dataType.simpleString
       catch { case _: Throwable => "unreadable" }
     val contentionJson =
-      s""""contended":$contended,"n_slow_breaches":${breaches.size},"retimes":${jsonMap(retimes)}"""
+      s""""contended":$contended,"n_slow_breaches":${breaches.size},"retimes":${jsonMap(retimesUsable)},"retimes_unusable":${jsonMap(retimesUnusable)}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"reps":$reps,"stat":"median","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(results)},"shared_builds":$sharedJson,"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
     // subset runs must not clobber the canonical full-suite record
@@ -443,7 +478,8 @@ object Bench {
       // run-level contention verdict block (VERDICT r7 #3): loud at the
       // TOP of the parity record when this run breached the band, with
       // the in-process re-times as the artifact's own correction
-      val retimeMap = retimes.toMap
+      val retimeMap = retimesUsable.toMap
+      val unusableMap = retimesUnusable.toMap
       val contentionBlock =
         if (exclusiveRef.isEmpty) Seq(
           "_No BENCH_EXCLUSIVE.json reference — run-level contention " +
@@ -460,7 +496,12 @@ object Bench {
               "ran ≥ 4× their committed exclusive reference " +
               "(BENCH_EXCLUSIVE.json). Do NOT read this run's totals as " +
               "query cost; the in-process re-times below are the " +
-              "run's own correction.**"
+              "run's own correction." +
+              (if (unusableMap.isEmpty) "" else
+                s" ${unusableMap.size} re-time(s) themselves measured " +
+                  "≥ 4× the committed line — marked UNUSABLE; the " +
+                  "committed exclusive line remains those queries' " +
+                  "cost estimate.") + "**"
           else
             s"Run-level contention verdict: ${breaches.size} slow-direction " +
               "breach(es) of the [0.25, 4.0] band vs BENCH_EXCLUSIVE.json " +
@@ -471,8 +512,15 @@ object Bench {
           "|---|---|---|---|---|") ++
           breaches.map { case (n, sec) =>
             val ref = exclusiveRef(n)
-            val rt = retimeMap.get(n).filter(_ >= 0)
-              .map(v => f"$v%.2f").getOrElse("failed")
+            // a retime that itself breached ≥4× the committed line is
+            // published as UNUSABLE, not as the correction — the
+            // committed exclusive line stays the cost estimate
+            val rt = retimeMap.get(n).map(v => f"$v%.2f")
+              .orElse(unusableMap.get(n).map(v =>
+                if (v < 0) f"retime failed — keep committed $ref%.2f s"
+                else f"**UNUSABLE** ($v%.2f s ≥ 4× ref — keep " +
+                  f"committed $ref%.2f s as the estimate)"))
+              .getOrElse("failed")
             f"| $n | $sec%.2f | $ref%.2f | ${sec / ref}%.1f× | $rt |"
           } ++ Seq("")
       // assembled line-by-line, NOT via stripMargin — interpolated table

@@ -187,15 +187,22 @@ object Components {
                               driverCap: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // bounded probe: never fetches more than driverCap+1 rows
-    val sample = edges
+    val pairs = edges
       .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"))
-      .limit(driverCap + 1).as[(Long, Long)].collect()
-    if (sample.length > driverCap)
+    // two-step bounded probe (ADVICE r10): a LIMIT-bounded COUNT
+    // decides the branch before any row is fetched — the old probe
+    // collected up to driverCap+1 = 2,000,001 tuples (plus the boxed
+    // HashMap built on top, a few hundred MB of driver heap at the cap
+    // boundary) even when the distributed fallback was about to be
+    // chosen at cap+2 edges. One extra small job buys bounded driver
+    // memory; the count is cheap (LocalLimit short-circuits the scan).
+    val probed = pairs.limit(driverCap + 1).count()
+    if (probed > driverCap)
       connectedComponents(edges, srcCol, dstCol, maxIter,
         reliableCheckpoint)
     else {
+      val sample = pairs.as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def findRoot(a: Long): Long = {
         var r = a

@@ -15,6 +15,18 @@ import graft.functions.Text
 object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Loud-failure envelope thresholds (VERDICT r10 #2). Production
+    * values are pinned to the literals in the DuckDB oracle SQL
+    * (EnvelopeParitySpec asserts both sides agree), so crossing an
+    * envelope fails LOUDLY and identically on both engines — the
+    * defense against the q214-class silent cross-engine divergence.
+    * `var` only so EdgeCasesSpec can force each failure on a toy
+    * corpus and prove the raise_error path actually fires; nothing in
+    * main source mutates them.
+    */
+  private[graft] var SpearmanEnvelopeN: Long = 2090000L
+  private[graft] var KsEnvelopeN: Long = 300000000L
+
   /** Source-overlap pair frame (src_a < src_b, w = shared distinct
     * 8-gram count) — one build per run (Shared.frame), consumed by q105
     * (the contamination matrix itself) and q141 (as the PageRank edge
@@ -785,18 +797,24 @@ object CorpusQueries {
     // round's lineage re-inlines the whole edge build — the unpersisted
     // plan carries 64 parquet scans of `documents` and re-runs the
     // shingle distinct once per reference (measured 2.8 s at sf0.1 /
-    // 94 s at 100×; persisted: the corpus is scanned once).
+    // 94 s at 100×; persisted: the corpus is scanned once). Both go
+    // through Shared.frame (VERDICT r10 #3): the run-level frameCache
+    // owns the lifecycle — one materialization per run shared across
+    // bench reps, tracked in the shared_builds ledger, released by
+    // reset() — where a raw in-query persist leaked a fresh copy per
+    // rep for session lifetime (~10⁷ rows per leak at 100 TB).
     "q141_domain_pagerank" -> ((s, d) => {
-      val half = sourceOverlap(s, d)
-      val edges = half.select(col("src_a").as("u"), col("src_b").as("v"),
-          col("w"))
-        .unionByName(half.select(col("src_b").as("u"),
-          col("src_a").as("v"), col("w")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = Shared.frame(s, "pagerank_edges", d) {
+        val half = sourceOverlap(s, d)
+        half.select(col("src_a").as("u"), col("src_b").as("v"),
+            col("w"))
+          .unionByName(half.select(col("src_b").as("u"),
+            col("src_a").as("v"), col("w")))
+      }
       val strength = edges.groupBy(col("u")).agg(sum(col("w")).as("st"))
       val e = edges.join(strength, "u")
-      val nodes = Tables.documents(s, d).select(col("source")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = Shared.frame(s, "pagerank_nodes", d)(
+        Tables.documents(s, d).select(col("source")).distinct())
       val r3 = (1 to 3).foldLeft(
         nodes.select(col("source"), lit(1000000L).as("r"))) { (rank, _) =>
         val contrib = e.join(rank, e("u") === rank("source"))
@@ -1513,7 +1531,7 @@ object CorpusQueries {
           // 4·num² verdict product would also silently overflow
           // DECIMAL(38,0) (ADVICE r9) — so the envelope fails LOUDLY
           // and identically on both engines via raise_error/error.
-          expr("CASE WHEN nn > 2090000 THEN CAST(raise_error(" +
+          expr(s"CASE WHEN nn > $SpearmanEnvelopeN THEN CAST(raise_error(" +
             "'q240: N beyond BIGINT-exact rank envelope') AS BIGINT) " +
             "ELSE CAST(num AS BIGINT) END").as("num"),
           col("denx").cast("long").as("denx"),
@@ -1660,12 +1678,15 @@ object CorpusQueries {
       // persisted histogram-grain frame = the query's ONE doc scan;
       // every downstream consumer (grid axis, source axis, fill join,
       // totals) reads the cached (source, toks, cnt) rows instead of
-      // re-scanning documents (the CorpusQueries:795 precedent)
-      val hist = Tables.documents(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("toks"))
-        .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // re-scanning documents. Shared.frame owns the lifecycle
+      // (VERDICT r10 #3): one tracked materialization per run, not a
+      // per-rep leak.
+      val hist = Shared.frame(s, "ks_hist", d)(
+        Tables.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("toks"))
+          .groupBy(col("source"), col("toks"))
+          .agg(count(lit(1)).as("cnt")))
       val grid = hist.select(col("toks")).distinct()
         .crossJoin(hist.select(col("source")).distinct())
       val filled = grid.join(hist, Seq("source", "toks"), "left_outer")
@@ -1695,7 +1716,7 @@ object CorpusQueries {
         .select(col("source"), col("n_docs"),
           expr("CAST(dnum * 1000000 div (CAST(n_docs AS " +
             "DECIMAL(19,0)) * (na - n_docs)) AS BIGINT)").as("d_ppm"),
-          expr("CASE WHEN na > 300000000 THEN CAST(raise_error(" +
+          expr(s"CASE WHEN na > $KsEnvelopeN THEN CAST(raise_error(" +
             "'q258: N beyond the exact KS envelope') AS BOOLEAN) " +
             "ELSE dnum * dnum * 10000 > CAST(18496 AS DECIMAL(19,0))" +
             " * na * n_docs * (na - n_docs) END").as("drifted"))
@@ -2729,7 +2750,7 @@ object CorpusQueries {
         |  JOIN rs ON pd.score = rs.score
         |  JOIN rt ON pd.n_tokens = rt.n_tokens, nn)
         |SELECT max(n) AS n,
-        |  CASE WHEN max(n) > 2090000 THEN
+        |  CASE WHEN max(n) > $SpearmanEnvelopeN THEN
         |    CAST(error('q240: N beyond BIGINT-exact rank envelope')
         |      AS BIGINT)
         |  ELSE CAST(sum(dx * dy) AS BIGINT) END AS num,
@@ -2808,7 +2829,7 @@ object CorpusQueries {
         |FROM j""".stripMargin,
 
     "q258_ks_drift" ->
-      """WITH h AS (SELECT source,
+      s"""WITH h AS (SELECT source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM documents GROUP BY 1, 2),
@@ -2840,7 +2861,7 @@ object CorpusQueries {
         |  CAST((dnum * 1000000)
         |    // (CAST(n_docs AS HUGEINT) * (nall - n_docs)) AS BIGINT)
         |    AS d_ppm,
-        |  CASE WHEN nall > 300000000 THEN
+        |  CASE WHEN nall > $KsEnvelopeN THEN
         |    CAST(error('q258: N beyond the exact KS envelope')
         |      AS BOOLEAN)
         |  ELSE dnum * dnum * 10000

@@ -43,6 +43,18 @@ object Shared {
 
   private def appId(s: SparkSession): String = s.sparkContext.applicationId
 
+  /** Bench-only eager materialization (ADVICE r10): when true, frame()
+    * forces a count() on first build so the `shared_builds` ledger
+    * records one measured number per artifact (VERDICT r9 #8). Default
+    * FALSE so plan/schema-only consumers — HouseRulesSpec's schema
+    * sweep over every query, PlanAuditSpec's plan() — stay
+    * analysis-only: merely CONSTRUCTING a query plan that touches a
+    * shared artifact must never run a Spark job. Lazy mode is still
+    * correct for executing consumers: persist() is lazy, the first
+    * action materializes the cache, and every later consumer shares it.
+    */
+  @volatile private[graft] var eagerBuilds: Boolean = false
+
   /** Memoize a deterministic centroid training run under (session, key, dir). */
   def centroids(s: SparkSession, key: String, dir: String)(
       train: => Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] =
@@ -62,15 +74,17 @@ object Shared {
   def frame(s: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame =
     frameCache.getOrElseUpdate((appId(s), key, dir), {
-      // materialize EAGERLY and time it: the frame is fully computed on
-      // first consumption anyway (persisted, every consumer shares it);
-      // forcing the count here pins the build cost to one measured
-      // number per artifact instead of smearing it into whichever
-      // query touched the frame first
       val t0 = System.nanoTime()
       val f = build.persist(StorageLevel.MEMORY_AND_DISK)
-      f.count()
-      buildSecs.put((appId(s), key, dir), (System.nanoTime() - t0) / 1e9)
+      if (eagerBuilds) {
+        // bench runs materialize EAGERLY and time it: the frame is
+        // fully computed on first consumption anyway (persisted, every
+        // consumer shares it); forcing the count here pins the build
+        // cost to one measured number per artifact instead of smearing
+        // it into whichever query touched the frame first
+        f.count()
+        buildSecs.put((appId(s), key, dir), (System.nanoTime() - t0) / 1e9)
+      }
       f
     })
 

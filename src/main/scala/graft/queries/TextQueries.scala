@@ -670,7 +670,11 @@ object TextQueries {
     // all-unique corpus still reports 7 zero rows, never 0 rows.
     "q256_dedup_threshold_curve" -> ((s, d) => {
       val stats = ngramPairStats(s, d).filter(col("inter") >= 3)
-      val axis = Tables.documents(s, d).limit(1)
+      // corpus-independent constant axis (ADVICE r10): range(1), not a
+      // documents scan — the old documents.limit(1) seed returned 0
+      // rows on an EMPTY corpus (vs the oracle's generate_series 7
+      // zero rows) and cost a needless scan on every other corpus
+      val axis = s.range(1)
         .select(explode(expr("sequence(30, 90, 10)")).as("threshold_pct"))
       val passing = stats
         .select(col("doc_a"), col("doc_b"), col("inter"),

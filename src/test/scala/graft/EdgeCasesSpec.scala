@@ -529,4 +529,68 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(2) && r.isNullAt(3),
       "percentiles must be NULL (not fabricated) with zero converters")
   }
+
+  // ---- loud-failure envelopes (VERDICT r10 #2): the raise_error
+  // guards exist to kill the q214-class silent cross-engine divergence
+  // — past the exact-arithmetic envelope the query must FAIL, loudly
+  // and identically on both engines, never return a silently-wrong
+  // verdict. Nothing drove them past the threshold before; these
+  // planted scenarios force each envelope low and prove the Spark-side
+  // failure actually fires with the documented message.
+
+  private def messageChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) {
+      sb.append(Option(cur.getMessage).getOrElse("")).append(" | ")
+      cur = cur.getCause
+    }
+    sb.toString
+  }
+
+  test("q240 rank envelope fires loudly past N = SpearmanEnvelopeN") {
+    import graft.queries.CorpusQueries
+    val saved = CorpusQueries.SpearmanEnvelopeN
+    try {
+      CorpusQueries.SpearmanEnvelopeN = 1L // any real corpus exceeds it
+      val ex = intercept[Throwable] {
+        SparkEntry.queries("q240_spearman_signals")(spark, sf).collect()
+      }
+      assert(
+        messageChain(ex).contains("q240: N beyond BIGINT-exact rank envelope"),
+        s"expected the documented envelope message, got: ${messageChain(ex)}")
+    } finally CorpusQueries.SpearmanEnvelopeN = saved
+    // restored threshold: the query is green again (no residual state)
+    assert(SparkEntry.queries("q240_spearman_signals")(spark, sf)
+      .collect().length == 1)
+  }
+
+  test("q258 KS envelope fires loudly past N = KsEnvelopeN") {
+    import graft.queries.CorpusQueries
+    val saved = CorpusQueries.KsEnvelopeN
+    try {
+      CorpusQueries.KsEnvelopeN = 1L
+      val ex = intercept[Throwable] {
+        SparkEntry.queries("q258_ks_drift")(spark, sf).collect()
+      }
+      assert(
+        messageChain(ex).contains("q258: N beyond the exact KS envelope"),
+        s"expected the documented envelope message, got: ${messageChain(ex)}")
+    } finally CorpusQueries.KsEnvelopeN = saved
+    assert(SparkEntry.queries("q258_ks_drift")(spark, sf)
+      .collect().nonEmpty)
+  }
+
+  test("envelope production values are pinned to the oracle literals") {
+    // both sides interpolate the same constant, so they cannot drift
+    // from each other — this pins the PRODUCTION value itself so a
+    // stray test-side mutation or refactor can't ship a lowered
+    // envelope (the oracle dump the driver compares against is built
+    // from these strings)
+    assert(graft.queries.CorpusQueries.SpearmanEnvelopeN == 2090000L)
+    assert(graft.queries.CorpusQueries.KsEnvelopeN == 300000000L)
+    assert(SparkEntry.oracleSql("q240_spearman_signals")
+      .contains("> 2090000"))
+    assert(SparkEntry.oracleSql("q258_ks_drift").contains("> 300000000"))
+  }
 }

@@ -53,6 +53,29 @@ class HouseRulesSpec extends AnyFunSuite with SparkSpec {
     assert((o diff q).isEmpty, s"oracles without query: ${o diff q}")
   }
 
+  test("no raw .persist( in queries/ outside Shared") {
+    // House rule (VERDICT r10 #3): an in-query persist has no
+    // lifecycle — every bench rep re-persists a fresh copy and leaks
+    // it for session lifetime (~10⁷ rows per leak for q258's histogram
+    // at 100 TB). Shared.frame tracks, ledgers (shared_builds), and
+    // releases run-shared frames; it is the only legal persist site
+    // under queries/.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val offenders = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".scala"))
+      .filterNot(_.getFileName.toString == "Shared.scala")
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if line.contains(".persist(") =>
+            s"${p.getFileName}:${i + 1}: ${line.trim}"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      "raw .persist( under queries/ — route through Shared.frame:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("COVERAGE.md header quotes the live query count") {
     // VERDICT r8 #4: the committed header said "228 queries" while the
     // suite was 232. The count in the header is now pinned to
