@@ -95,6 +95,20 @@ object Shared {
     buildSecs.toMap.collect { case ((a, k, _), sec) if a == id => k -> sec }
   }
 
+  /** Test hook: drop only the persisted FRAMES for this session —
+    * plan-shape audits need a deterministic no-cache state (Spark's
+    * cacheManager substitutes any registered fragment into any later
+    * query's plan, so formatted-plan operator counts depend on what
+    * happened to be cached first), but the driver-side centroid/
+    * codebook caches don't affect plan shape and are expensive to
+    * retrain. */
+  private[graft] def resetFrames(s: SparkSession): Unit = {
+    val id = appId(s)
+    frameCache.keys.filter(_._1 == id).foreach { k =>
+      frameCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Test hook: drop everything cached for this session. */
   private[graft] def reset(s: SparkSession): Unit = {
     val id = appId(s)

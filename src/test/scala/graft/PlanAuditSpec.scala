@@ -285,6 +285,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"part filter must reach the fact as a semi join:\n$p")
   }
 
+  test("plan budgets hold on the 20 most expensive queries") {
+    // VERDICT r10 #8: exchange-count + sort-merge-join ceilings for
+    // the 20 most expensive committed exclusive lines, so a plan
+    // regression (an extra shuffle, a broadcast flipping to SMJ)
+    // fails a test instead of only changing the generated PLANS.md.
+    // Ceilings are the static formatted-plan counts measured at
+    // sf0.001 on the round-11 tree via PlanBudget.counts, which
+    // measures each query in ISOLATION (frame-cache reset before
+    // construction — Spark's cacheManager substitutes any registered
+    // fragment into any later plan, so un-isolated counts depend on
+    // suite order). A refactor that legitimately changes a plan
+    // re-runs `runMain graft.PlanBudget` and updates the pin
+    // consciously, with the diff showing old and new side by side.
+    val budgets = Map( // name -> (max exchanges, max SortMergeJoins)
+      "q190_prefix_filter_join" -> (22, 0),
+      "q258_ks_drift" -> (11, 1),
+      "q240_spearman_signals" -> (12, 1),
+      "q160_quantile_sketch_audit" -> (6, 0),
+      "q216_quality_ensemble" -> (4, 0),
+      "q175_scalable_percentile" -> (5, 0),
+      "q238_minhash_calibration" -> (13, 1),
+      "q50_percentile_disc" -> (1, 0),
+      "q170_lsh_tuning" -> (54, 4),
+      "q229_kruskal_wallis" -> (11, 0),
+      "q234_min_cost_supplier" -> (5, 1),
+      "q64_minhash_est" -> (12, 1),
+      "q87_triangles" -> (52, 0),
+      "q174_bloom_skipping" -> (7, 1),
+      "q220_mannwhitney_shift" -> (3, 0),
+      "q196_incremental_neardup" -> (17, 2),
+      "q195_lm_perplexity" -> (14, 2),
+      "q101_salted_join" -> (1, 0),
+      "q241_score_auc" -> (7, 0),
+      "q243_lone_failed_supplier" -> (4, 0))
+    val failures = budgets.toSeq.sortBy(_._1).flatMap {
+      case (name, (maxEx, maxSmj)) =>
+        val (ex, smj) = PlanBudget.counts(spark, name, sf)
+        Seq(
+          if (ex > maxEx)
+            Some(s"$name: $ex exchanges > budget $maxEx") else None,
+          if (smj > maxSmj)
+            Some(s"$name: $smj SortMergeJoins > budget $maxSmj")
+          else None).flatten
+    }
+    assert(failures.isEmpty,
+      "plan budget regressions (new shuffle / broadcast→SMJ flip):\n" +
+        failures.mkString("\n"))
+  }
+
   test("q65: tf-idf scan reads only doc_id and text") {
     val p = plan("q65_tfidf_top")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
