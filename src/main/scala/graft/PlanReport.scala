@@ -81,6 +81,13 @@ object PlanReport {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("PLANS.md")
     val spark = Engine.session("graft-plans", "8")
+    // report the plans the bench/production posture actually runs:
+    // shared artifacts materialized eagerly (unmaterialized cached
+    // frames carry no stats, so the static plan shows BHJ→SMJ flips
+    // that AQE undoes at runtime — noise for this report). PlanReport
+    // executes every query anyway (collect + window audits), so
+    // laziness buys nothing here.
+    graft.queries.Shared.eagerBuilds = true
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
