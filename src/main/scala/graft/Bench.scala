@@ -140,7 +140,13 @@ object Bench {
       "only — per-day cost ∝ batch × bucket hits, never corpus²"),
     "q226_token_weighted_median" -> ("token-mass value-at-rank on the " +
       "(source, toks) histogram via chunk-bounded Prefix.runningSum — " +
-      "no per-source sort window; histogram-grain, not row-grain"))
+      "no per-source sort window; histogram-grain, not row-grain"),
+    "q258_ks_drift" -> ("exact two-sample KS: one shared persisted " +
+      "(source, toks) histogram (ks_hist ledger line) + dense " +
+      "per-source prefix-sum CDFs; remaining cost is a handful of " +
+      "planner-scale jobs (quantile chunking + partials collect) over " +
+      "the cached histogram — job-overhead-bound at sf0.1 (3.2 s " +
+      "isolated steady state), histogram-grain at 100 TB"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -11,6 +11,10 @@ object TimeQ {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val s = Engine.session("timeq", "32")
+    // SPARK_GRAFT_EAGER=1 mirrors the bench posture (shared artifacts
+    // materialized eagerly outside the steady-state runs)
+    if (sys.env.get("SPARK_GRAFT_EAGER").contains("1"))
+      graft.queries.Shared.eagerBuilds = true
     try SparkEntry.entry(s).count() catch { case _: Throwable => () }
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
