@@ -30,6 +30,7 @@ object StreamSmoke {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("spike")) { spikeSmoke(); return }
+    if (args.headOption.contains("ksdrift")) { ksDriftSmoke(); return }
     val retentionSec = args.headOption.map(_.toLong).getOrElse(600L)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/clone10")
     val spark = Engine.session("graft-stream-smoke", "32")
@@ -84,6 +85,81 @@ object StreamSmoke {
       s""""retention_sec":$retentionSec,"waves":$nWaves,""" +
       s""""wall_sec":${math.round(wallS * 10) / 10.0},""" +
       s""""total_flags":$total,"batches":[""" +
+      prog.map { p =>
+        val so = p.stateOperators.headOption
+        s"""{"rows_in":${p.numInputRows},""" +
+          s""""duration_ms":${p.batchDuration},""" +
+          s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+          s""""state_mem_bytes":${
+            so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
+      }.mkString(",") + "]}")
+    spark.stop()
+  }
+
+  /** StreamKsDrift scale smoke: the documents corpus fed as one file
+    * per WAVE (doc_id mod 16 → every wave is a uniform corpus sample
+    * in its own tumbling window), verdicts against a reference grid
+    * built from the whole batch corpus. Measures the state bound the
+    * design claims: state rows ≈ OPEN windows × 1 (nGrid+1 longs
+    * each), independent of corpus size and stream rate — and since
+    * every wave is a null sample OF the reference, the reported
+    * false-alarm count should sit at or below the α = 0.05 share of
+    * windows (the subset overlap makes the test conservative vs the
+    * independent-sample null).
+    */
+  private def ksDriftSmoke(): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Engine.session("graft-ks-smoke", "32")
+    val staged = Files.createTempDirectory("graft-ks-smoke").toString
+    val ref = graft.streaming.StreamKsDrift.referenceFrom(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", nGrid = 32)
+    val base = 1700000000L
+    val nWaves = 16
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(base)
+          + (col("doc_id") % nWaves).cast("bigint") * 60L).as("ts"),
+        col("text"))
+    (0 until nWaves).foreach { i =>
+      docs.filter((col("doc_id") % nWaves).cast("int") === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staged/wave_$i")
+      val src = Files.list(Paths.get(s"$staged/wave_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(src), Paths.get(f"$staged/k$i%02d.parquet"))
+      Thread.sleep(20)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/k*.parquet")
+    var windows = 0L
+    var falseAlarms = 0L
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamKsDrift
+      .drift(stream, ref, "1 minute", "1 minute")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = df.persist()
+        windows += c.count()
+        falseAlarms += c.filter(col("drifted")).count()
+        c.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$staged/ckpt")
+      .start()
+    q.awaitTermination()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    println(s"""{"smoke":"stream_ksdrift","dir":"$dir",""" +
+      s""""waves":$nWaves,"ref_total":${ref.refTotal},""" +
+      s""""grid":${ref.cuts.length},""" +
+      s""""wall_sec":${math.round(wallS * 10) / 10.0},""" +
+      s""""windows_closed":$windows,"false_alarms":$falseAlarms,""" +
+      s""""batches":[""" +
       prog.map { p =>
         val so = p.stateOperators.headOption
         s"""{"rows_in":${p.numInputRows},""" +

@@ -33,6 +33,40 @@ class StreamKsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(g.cuts == g.cuts.sorted && g.cuts.distinct == g.cuts)
   }
 
+  test("grid restriction is conservative: D_grid <= D_exact on " +
+    "random corpora (the documented lower-bound claim)") {
+    import spark.implicits._
+    // D = max|cdf_w − cdf_ref| over all reals is attained at a step of
+    // either CDF, so evaluating over the union support is exact; the
+    // grid is a subset of the reference support, so the grid max can
+    // only be <= — the property that makes grid restriction safe
+    // (conservative, never a false alarm relative to exact KS)
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 15) {
+      val refLens = Seq.fill(40 + rng.nextInt(60))(1 + rng.nextInt(30))
+      val winLens = Seq.fill(10 + rng.nextInt(40))(1 + rng.nextInt(40))
+      val g = StreamKsDrift.referenceFrom(
+        refLens.map(docOfLen).toDF("text"), "text",
+        nGrid = 2 + rng.nextInt(8))
+      val c = BigInt(winLens.size)
+      val r = BigInt(g.refTotal)
+      def dnumAt(vs: Seq[Long]): BigInt = vs.map { v =>
+        (BigInt(winLens.count(_ <= v)) * r
+          - BigInt(refLens.count(_ <= v)) * c).abs
+      }.max
+      val dGrid = dnumAt(g.cuts)
+      val dExact = dnumAt(
+        (refLens ++ winLens).map(_.toLong).distinct.sorted)
+      assert(dGrid <= dExact,
+        s"trial $trial: grid D $dGrid exceeds exact D $dExact — the " +
+          "lower-bound property is broken")
+      // and the grid's refCum really is the reference CDF at the cuts
+      g.cuts.zip(g.refCum).foreach { case (cut, cum) =>
+        assert(cum == refLens.count(_ <= cut))
+      }
+    }
+  }
+
   test("mirror window clean, mass-shifted window drifts, verdicts == " +
     "the q258 integer formula") {
     import spark.implicits._
