@@ -67,6 +67,39 @@ class StreamKsDriftSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the C*R envelope fires loudly, never silently wraps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a synthetic reference claiming 10^16 docs pushes maxC down to 1,
+    // so a 2-doc window must trip the raise_error guard (the q240/q258
+    // planted-envelope discipline applied to the streaming twin)
+    val huge = StreamKsDrift.RefGrid(Seq(5L, 10L),
+      Seq(5000000000000000L, 10000000000000000L), 10000000000000000L)
+    val input = MemoryStream[DocEvt]
+    val out = StreamKsDrift.drift(input.toDF(), huge, "1 minute",
+      "1 minute")
+    val q = out.writeStream.format("memory").queryName("ksenv")
+      .outputMode("append").start()
+    try {
+      input.addData(DocEvt(1, t("2024-01-01 10:00:10"), docOfLen(3)))
+      input.addData(DocEvt(2, t("2024-01-01 10:00:20"), docOfLen(7)))
+      val ex = intercept[Throwable] {
+        input.addData(DocEvt(3, t("2024-01-01 10:10:00"), "z"))
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): String = {
+        var c = t; val sb = new StringBuilder
+        while (c != null) {
+          sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause
+        }
+        sb.toString
+      }
+      assert(chain(ex).contains(
+        "StreamKsDrift: C*R beyond the exact KS envelope"),
+        s"expected the documented envelope message, got: ${chain(ex)}")
+    } finally q.stop()
+  }
+
   test("mirror window clean, mass-shifted window drifts, verdicts == " +
     "the q258 integer formula") {
     import spark.implicits._
