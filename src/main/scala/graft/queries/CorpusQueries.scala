@@ -35,6 +35,21 @@ object CorpusQueries {
     * digest-level distinct below to shuffle again — one exchange over
     * 16-byte digests is the whole set-semantics cost (q22 precedent).
     */
+  /** The (source, toks, cnt) token-length histogram — the query's one
+    * doc-grain scan, shared per run (Shared.frame lifecycle: tracked
+    * in the shared_builds ledger, released by reset). Every
+    * length-distribution statistic here (q226 weighted median, q258 KS
+    * drift, q260 MAD quarantine) works at this histogram grain —
+    * sources × distinct lengths, planner-scale — never doc grain.
+    */
+  private def lenHist(s: SparkSession, d: String): DataFrame =
+    Shared.frame(s, "ks_hist", d)(
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy(col("source"), col("toks"))
+        .agg(count(lit(1)).as("cnt")))
+
   private def sourceOverlap(s: SparkSession, d: String): DataFrame =
     Shared.frame(s, "src_overlap", d) {
       val gs = Text.wordShingles(Tables.documents(s, d), "source",
@@ -1320,10 +1335,9 @@ object CorpusQueries {
     // per-source sort window — the q208 discipline), answer = min
     // length with 2·cum_mass ≥ total_mass. Integer-exact.
     "q226_token_weighted_median" -> ((s, d) => {
-      val hist = Tables.documents(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("toks"))
-        .groupBy(col("source"), col("toks")).agg(count(lit(1)).as("cnt"))
+      // rides the run-shared length histogram (one doc scan per run,
+      // shared with q258/q260); mass derives in-row
+      val hist = lenHist(s, d)
         .withColumn("mass", col("toks") * col("cnt"))
       val cum = graft.operators.Prefix.runningSum(
         hist, "source", "toks", "mass", "cum_m")
@@ -1675,18 +1689,7 @@ object CorpusQueries {
     // shard the test per partition beyond that. Scale: one doc-grain
     // scan to the histogram, then everything is histogram-grain.
     "q258_ks_drift" -> ((s, d) => {
-      // persisted histogram-grain frame = the query's ONE doc scan;
-      // every downstream consumer (grid axis, source axis, fill join,
-      // totals) reads the cached (source, toks, cnt) rows instead of
-      // re-scanning documents. Shared.frame owns the lifecycle
-      // (VERDICT r10 #3): one tracked materialization per run, not a
-      // per-rep leak.
-      val hist = Shared.frame(s, "ks_hist", d)(
-        Tables.documents(s, d)
-          .select(col("source"),
-            size(split(col("text"), " ")).cast("bigint").as("toks"))
-          .groupBy(col("source"), col("toks"))
-          .agg(count(lit(1)).as("cnt")))
+      val hist = lenHist(s, d)
       val grid = hist.select(col("toks")).distinct()
         .crossJoin(hist.select(col("source")).distinct())
       val filled = grid.join(hist, Seq("source", "toks"), "left_outer")
@@ -1720,6 +1723,58 @@ object CorpusQueries {
             "'q258: N beyond the exact KS envelope') AS BOOLEAN) " +
             "ELSE dnum * dnum * 10000 > CAST(18496 AS DECIMAL(19,0))" +
             " * na * n_docs * (na - n_docs) END").as("drifted"))
+    }),
+
+    // ---- MAD-based ROBUST outlier quarantine (the robust-statistics
+    // leg beside q223's winsorized means and q106's percentile
+    // audits): per source, the token-length median, the Median
+    // Absolute Deviation around it, and the quarantine count at the
+    // |len − median| > 3·MAD gate — the outlier rule that, unlike
+    // mean±kσ, a few extreme docs cannot drag (50% breakdown point;
+    // the curation gate for truncation-bombs and empty-doc floods).
+    // Exact end to end, ALL integers: both medians are value-at-rank
+    // reads (min value with 2·cum ≥ n — the q226 lower-median
+    // convention) off histogram prefix sums through the chunk-bounded
+    // Prefix.runningSum, never a per-source sort window. Scale: rides
+    // the run-shared length histogram (one doc scan per run, shared
+    // with q226/q258); the deviation histogram REGROUPS the same
+    // histogram rows (|toks − med| collapses symmetric lengths), so
+    // both prefix passes and the quarantine fold are histogram-grain;
+    // per-source medians/MADs broadcast back as source-grain frames.
+    "q260_mad_outliers" -> ((s, d) => {
+      val hist = lenHist(s, d)
+      val tot = hist.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_docs"))
+      val cum = graft.operators.Prefix.runningSum(
+        hist, "source", "toks", "cnt", "cum")
+      val med = cum.join(broadcast(tot), "source")
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") * 2 >= col("n_docs"), col("toks")))
+          .as("median_len"))
+      val devHist = hist.join(broadcast(med), "source")
+        .select(col("source"),
+          abs(col("toks") - col("median_len")).as("dev"), col("cnt"))
+        .groupBy(col("source"), col("dev"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val cumD = graft.operators.Prefix.runningSum(
+        devHist, "source", "dev", "cnt", "cumd")
+      val mad = cumD.join(broadcast(tot), "source")
+        .groupBy(col("source"))
+        .agg(min(when(col("cumd") * 2 >= col("n_docs"), col("dev")))
+          .as("mad"))
+      val out = hist.join(broadcast(med), "source")
+        .join(broadcast(mad), "source")
+        .filter(abs(col("toks") - col("median_len"))
+          > col("mad") * 3)
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_out"))
+      tot.join(med, "source").join(mad, "source")
+        .join(out, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"), col("median_len"),
+          col("mad"),
+          coalesce(col("n_out"), lit(0L)).as("n_outliers"),
+          expr("coalesce(n_out, 0L) * 1000000 div n_docs")
+            .as("outlier_ppm"))
     })
   )
 
@@ -2867,7 +2922,51 @@ object CorpusQueries {
         |  ELSE dnum * dnum * 10000
         |    > CAST(18496 AS HUGEINT) * nall * n_docs * (nall - n_docs)
         |  END AS drifted
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q260_mad_outliers" ->
+      """WITH h AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+        |  FROM h GROUP BY 1),
+        |c AS (SELECT source, toks, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM h),
+        |med AS (SELECT c.source,
+        |    min(CASE WHEN c.cum * 2 >= g.n_docs THEN c.toks END)
+        |      AS median_len
+        |  FROM c JOIN g ON c.source = g.source GROUP BY c.source),
+        |dh AS (SELECT h.source, abs(h.toks - med.median_len) AS dev,
+        |    CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |  FROM h JOIN med ON h.source = med.source GROUP BY 1, 2),
+        |cd AS (SELECT source, dev, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumd
+        |  FROM dh),
+        |mad AS (SELECT cd.source,
+        |    min(CASE WHEN cd.cumd * 2 >= g.n_docs THEN cd.dev END)
+        |      AS mad
+        |  FROM cd JOIN g ON cd.source = g.source GROUP BY cd.source),
+        |o AS (SELECT h.source, CAST(sum(h.cnt) AS BIGINT) AS n_out
+        |  FROM h
+        |  JOIN med ON h.source = med.source
+        |  JOIN mad ON h.source = mad.source
+        |  WHERE abs(h.toks - med.median_len) > mad.mad * 3
+        |  GROUP BY h.source)
+        |SELECT g.source AS source, g.n_docs,
+        |  med.median_len, mad.mad,
+        |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers,
+        |  (CAST(coalesce(o.n_out, 0) AS BIGINT) * 1000000) // g.n_docs
+        |    AS outlier_ppm
+        |FROM g
+        |JOIN med ON g.source = med.source
+        |JOIN mad ON g.source = mad.source
+        |LEFT JOIN o ON g.source = o.source""".stripMargin
   )
 
   /** q240/q241 shared oracle CTE: the per-doc quality signals exactly

@@ -283,6 +283,58 @@ object SamplingQueries {
         .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
     }),
 
+    // ---- cluster-density OVER-MERGE audit (the transitivity check on
+    // q62's components): connected components collapse A~B~C into one
+    // cluster even when A,C never banded together, so chained merges
+    // can union docs that share nothing — the classic over-merge risk
+    // of component-based dedup. Per cluster: members, DIRECT candidate
+    // pairs, density = direct / C(n,2), and the chain_risk flag at
+    // density < 50% (exact integer cross-multiplication: 4·direct <
+    // n·(n−1)). A clique (every pair banded) reads 10⁶ ppm; a pure
+    // chain of n docs reads → 2/n — the number a curation owner checks
+    // before trusting cluster-grain canonical selection (q111).
+    // Scale: computed ENTIRELY at canonical grain via the staged
+    // family algebra (clone-invariant — never touches the expanded
+    // raw pair frame): raw pairs = expand(canonical pairs) ∪
+    // within-family pairs EXACTLY (a minhash signature is a pure
+    // function of the text; StagedLshSpec asserts the set equality),
+    // so direct(cluster) = Σ_{canon pair} fa·fb + Σ_{canon} C(fsize,2)
+    // and n = Σ fsize — three shared planner-scale artifacts folded at
+    // cluster grain. Envelope: fa·fb and n·(n−1) run in DECIMAL(38,0);
+    // outputs BIGINT-exact to clusters of ~3·10⁹ docs.
+    "q261_cluster_density" -> ((s, d) => {
+      val canonF = TextQueries.sharedMembers(s, d)
+        .filter(col("doc_id") === col("canon"))
+        .select(col("canon"), col("fsize"))
+      val verts = canonF
+        .join(TextQueries.sharedCanonComponents(s, d), Seq("canon"),
+          "left_outer")
+        .filter(col("fsize") > 1 || col("cluster").isNotNull)
+        .select(col("canon"), col("fsize"),
+          coalesce(col("cluster"), col("canon")).as("cluster"))
+      val nm = verts.groupBy(col("cluster"))
+        .agg(sum(col("fsize")).as("n_members"),
+          sum(expr("fsize * (fsize - 1) div 2")).as("within"))
+      val cross = TextQueries.sharedCanonPairs(s, d)
+        .join(verts.select(col("canon").as("doc_a"),
+          col("fsize").as("fa"), col("cluster")), "doc_a")
+        .join(canonF.select(col("canon").as("doc_b"),
+          col("fsize").as("fb")), "doc_b")
+        .groupBy(col("cluster"))
+        .agg(sum(expr("CAST(fa AS DECIMAL(38,0)) * fb")).as("cross"))
+      nm.join(cross, Seq("cluster"), "left_outer")
+        .select(col("cluster"), col("n_members"),
+          (col("within") + coalesce(col("cross"), lit(0))
+            .cast("decimal(38,0)")).as("direct"))
+        .select(col("cluster"), col("n_members"),
+          col("direct").cast("long").as("n_direct_pairs"),
+          expr("CAST(direct * 2000000 div (CAST(n_members AS " +
+            "DECIMAL(19,0)) * (n_members - 1)) AS BIGINT)")
+            .as("density_ppm"),
+          expr("4 * direct < CAST(n_members AS DECIMAL(19,0)) " +
+            "* (n_members - 1)").as("chain_risk"))
+    }),
+
     // ---- CANONICAL SELECTION per duplicate cluster: q62's clusters,
     // but the keeper is the LONGEST member (token count, min-doc_id
     // tiebreak) instead of the min id — the curation policy that keeps
@@ -1157,6 +1209,31 @@ object SamplingQueries {
         |SELECT cluster_size, count(*) AS n_clusters,
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    "q261_cluster_density" ->
+      s"""WITH RECURSIVE pairs AS (${TextQueries.minhashPairsSql}),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, re.r FROM edges e JOIN reach re ON re.node = e.t),
+        |cl AS (SELECT node AS doc_id, min(r) AS cluster
+        |  FROM reach GROUP BY node),
+        |n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cl GROUP BY 1),
+        |dp AS (SELECT cl.cluster,
+        |    CAST(count(*) AS BIGINT) AS n_direct_pairs
+        |  FROM pairs p JOIN cl ON p.doc_a = cl.doc_id GROUP BY 1)
+        |SELECT n.cluster, n.n_members, dp.n_direct_pairs,
+        |  CAST((CAST(dp.n_direct_pairs AS HUGEINT) * 2000000)
+        |    // (CAST(n.n_members AS HUGEINT) * (n.n_members - 1))
+        |    AS BIGINT) AS density_ppm,
+        |  4 * CAST(dp.n_direct_pairs AS HUGEINT)
+        |    < CAST(n.n_members AS HUGEINT) * (n.n_members - 1)
+        |    AS chain_risk
+        |FROM n JOIN dp ON n.cluster = dp.cluster""".stripMargin,
 
     "q63_domain_mix" ->
       """WITH s AS (

@@ -581,6 +581,70 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("q260 MAD: a uniform source has MAD 0 and zero outliers; one " +
+    "planted truncation-bomb flags against the 0-MAD gate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev260").toString
+    // source 'uni': 9 docs of exactly 5 tokens; one 500-token bomb
+    val uni = (1 to 9).map(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "), "en", "uni", 9L))
+    val bomb = Seq((99L, Seq.fill(500)("x").mkString(" "), "en", "uni", 999L))
+    (uni ++ bomb).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q260_mad_outliers")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 10L, "n_docs")
+    assert(row.getLong(2) == 5L, "median is the uniform length")
+    assert(row.getLong(3) == 0L,
+      "MAD must be 0 when >half the docs share the median length")
+    assert(row.getLong(4) == 1L,
+      "only the bomb deviates (|500-5| > 3*0) — uniform docs are NOT " +
+        "outliers under the strict > gate")
+    assert(row.getLong(5) == 100000L, "1 of 10 docs = 100000 ppm")
+  }
+
+  test("q261 density: an exact-clone family is a full clique " +
+    "(10^6 ppm, no chain risk)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev261").toString
+    // 4 exact clones + 3 unrelated singletons (distinct vocabularies)
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val clones = (1 to 4).map(i => (i.toLong, text, "en", "s", 1L))
+    val lone = Seq(
+      (10L, (1 to 30).map(i => s"aaa$i").mkString(" "), "en", "s", 1L),
+      (11L, (1 to 30).map(i => s"bbb$i").mkString(" "), "en", "s", 1L),
+      (12L, (1 to 30).map(i => s"ccc$i").mkString(" "), "en", "s", 1L))
+    (clones ++ lone).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q261_cluster_density")(spark, dir)
+      .collect()
+    val fam = r.filter(_.getLong(0) == 1L)
+    assert(fam.length == 1, s"the clone family forms one cluster: ${r.toSeq}")
+    val row = fam.head
+    assert(row.getLong(1) == 4L, "n_members")
+    assert(row.getLong(2) == 6L, "C(4,2) within-family direct pairs")
+    assert(row.getLong(3) == 1000000L, "clique density")
+    assert(!row.getBoolean(4), "a clique is never a chain risk")
+  }
+
+  test("q261 invariants on the test corpus: direct <= C(n,2), " +
+    "density <= 10^6, members >= 2") {
+    val rows = SparkEntry.queries("q261_cluster_density")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val direct = r.getLong(2)
+      assert(n >= 2, s"cluster ${r.getLong(0)}: a cluster needs >= 2 docs")
+      assert(direct >= 1 && direct <= n * (n - 1) / 2,
+        s"cluster ${r.getLong(0)}: direct $direct outside [1, C($n,2)]")
+      assert(r.getLong(3) <= 1000000L)
+      assert(r.getBoolean(4) == (4 * direct < n * (n - 1)),
+        "flag must replay the integer rule")
+    }
+  }
+
   test("envelope production values are pinned to the oracle literals") {
     // both sides interpolate the same constant, so they cannot drift
     // from each other — this pins the PRODUCTION value itself so a
