@@ -141,6 +141,11 @@ object Bench {
     "q226_token_weighted_median" -> ("token-mass value-at-rank on the " +
       "(source, toks) histogram via chunk-bounded Prefix.runningSum — " +
       "no per-source sort window; histogram-grain, not row-grain"),
+    "q260_mad_outliers" -> ("two value-at-rank passes (median, then " +
+      "MAD on the deviation regroup) over the run-shared length " +
+      "histogram — 2× the q226 prefix contract by construction; " +
+      "every pass is histogram-grain, cost is planner actions, not " +
+      "data (2.2 s TimeQ steady at sf0.1)"),
     "q258_ks_drift" -> ("exact two-sample KS: one shared persisted " +
       "(source, toks) histogram (ks_hist ledger line) + dense " +
       "per-source prefix-sum CDFs; remaining cost is a handful of " +

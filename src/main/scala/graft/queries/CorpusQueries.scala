@@ -1745,12 +1745,20 @@ object CorpusQueries {
       val hist = lenHist(s, d)
       val tot = hist.groupBy(col("source"))
         .agg(sum(col("cnt")).as("n_docs"))
-      val cum = graft.operators.Prefix.runningSum(
-        hist, "source", "toks", "cnt", "cum")
-      val med = cum.join(broadcast(tot), "source")
-        .groupBy(col("source"))
-        .agg(min(when(col("cum") * 2 >= col("n_docs"), col("toks")))
-          .as("median_len"))
+      // the median frame is SOURCE-grain and feeds three downstream
+      // actions (the deviation prefix's quantile + partials jobs and
+      // the final plan); run-shared like every deterministic artifact
+      // here, so those actions read a cached 1-row-per-source frame
+      // instead of re-running the first prefix pipeline each time
+      // (measured 8.5 → ~3 s at sf0.1)
+      val med = Shared.frame(s, "len_median", d) {
+        val cum = graft.operators.Prefix.runningSum(
+          hist, "source", "toks", "cnt", "cum")
+        cum.join(broadcast(tot), "source")
+          .groupBy(col("source"))
+          .agg(min(when(col("cum") * 2 >= col("n_docs"), col("toks")))
+            .as("median_len"))
+      }
       val devHist = hist.join(broadcast(med), "source")
         .select(col("source"),
           abs(col("toks") - col("median_len")).as("dev"), col("cnt"))
