@@ -144,4 +144,91 @@ object Prefix {
     withOuts.drop("__chunk" +: "__k" +: "__chunk2" +:
       cols.indices.flatMap(i => Seq(s"__local$i", s"__off$i")): _*)
   }
+
+  /** Running MAX of `valueCol` over `orderCol` within each `keyCol`
+    * group, as `outCol` (bigint) — the same two-phase plan as
+    * `runningSums` (max is associative and commutative, so the chunk
+    * algebra carries over verbatim: local within-chunk window maxima
+    * combine with a broadcast per-(key, chunk) offset holding the max
+    * of all EARLIER chunks).
+    *
+    * `inclusive = false` yields the STRICT prefix — the max over rows
+    * strictly before the current one in the order, NULL when none
+    * exist — which is exactly the dominance sweep a 2-D skyline needs
+    * ("best competitor ranked strictly above me"). Requires unique
+    * `orderCol` values per key, like `runningSums`.
+    */
+  def runningMax(df: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String, outCol: String,
+                 inclusive: Boolean = true,
+                 numChunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val chunks =
+      if (numChunks > 0) numChunks
+      else spark.sessionState.conf.numShufflePartitions
+    val bounds = df.stat.approxQuantile(orderCol,
+      (1 until chunks).map(_.toDouble / chunks).toArray, 0.01)
+      .distinct.sorted
+    val chunkCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col(orderCol).cast("double") > lit(b),
+        lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val chunked = df.withColumn("__chunk", chunkCol)
+    // per-(key, chunk) partial maxima — same bounded-collect guard as
+    // runningSums: the operator targets low-cardinality keys, and the
+    // fetch is LIMIT-bounded so a misuse fails loudly, never OOMs
+    val maxPartials = spark.conf
+      .getOption("spark.graft.prefix.maxPartials").map(_.toInt)
+      .getOrElse(1000000)
+    val partialRows = chunked
+      .groupBy(col(keyCol), col("__chunk"))
+      .agg(max(col(valueCol).cast("bigint")).as("__m"))
+      .limit(maxPartials + 1)
+      .collect()
+    require(partialRows.length <= maxPartials,
+      s"Prefix.runningMax: > $maxPartials (key, chunk) partials — the " +
+        s"'$keyCol' key is too high-cardinality for the two-phase " +
+        "prefix max. Use a plain per-key window instead, or raise " +
+        "spark.graft.prefix.maxPartials.")
+    val partials = partialRows.map(r =>
+      (r.get(0), r.getInt(1), r.getLong(2)))
+    // offset of (key, chunk) = max over the key's EARLIER chunks
+    // (None when there is no earlier chunk — the strict-prefix NULL)
+    val offsets = partials.groupBy(_._1).iterator.flatMap {
+      case (key, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val cums = sorted.scanLeft(Option.empty[Long]) { (acc, r) =>
+          Some(acc.fold(r._3)(math.max(_, r._3)))
+        }
+        sorted.zip(cums).map { case ((_, chunk, _), off) =>
+          (key, chunk, off)
+        }
+    }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map {
+        case (k, c, o) =>
+          org.apache.spark.sql.Row(k, c, o.map(Long.box).orNull)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__k",
+          df.schema(keyCol).dataType),
+        org.apache.spark.sql.types.StructField("__chunk2",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val frame = Window.partitionBy(col(keyCol), col("__chunk"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    // greatest() skips NULLs: a NULL local (strict prefix, first row of
+    // its chunk) with a non-NULL offset yields the offset, and vice
+    // versa; both NULL (first row of the key's first chunk, strict
+    // mode) yields NULL — the "no predecessor" marker
+    chunked
+      .withColumn("__local", max(col(valueCol).cast("bigint")).over(frame))
+      .join(broadcast(offDf), col(keyCol) <=> col("__k")
+        && col("__chunk") === col("__chunk2"), "left")
+      .withColumn(outCol, greatest(col("__local"), col("__off")))
+      .drop("__chunk", "__k", "__chunk2", "__local", "__off")
+  }
 }

@@ -1783,6 +1783,85 @@ object CorpusQueries {
           coalesce(col("n_out"), lit(0L)).as("n_outliers"),
           expr("coalesce(n_out, 0L) * 1000000 div n_docs")
             .as("outlier_ppm"))
+    }),
+
+    // ---- DETERMINISTIC BOOTSTRAP CI of the quality-gate keep rate:
+    // 16 half-sample replicates (replicate b keeps a doc iff the top
+    // bit of hex digit b of md5(doc_id || ':boot') is set — p = 1/2,
+    // independent across b, pure projection: same doc → same replicate
+    // set on any cluster, and the oracle replays the substring test
+    // verbatim), each scored for q124's keep rate; the min/max/spread
+    // across replicates is the UNCERTAINTY band a curation owner needs
+    // before acting on "keep rate moved 2pp" — the number q230 sizes a
+    // review sample for, measured instead of assumed. Scale: one pass
+    // over the run-shared quality_signals frame exploded ×16 (doc-grain
+    // ×16, map-combinable to 16 rows); everything after is 16-row
+    // arithmetic; ppm divisions are integral on non-negative longs
+    // (truncation == floor cross-engine). Replicate emptiness is a
+    // 2^-n impossibility, not a handled case (both engines drop empty
+    // groups identically).
+    "q263_bootstrap_keep_rate" -> ((s, d) => {
+      val sig = qualitySignals(s, d)
+        .select(col("doc_id"), col("score"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"),
+          lit(":boot"))))
+      val reps = sig
+        .select(col("score"), col("h"),
+          explode(expr("sequence(0, 15)")).as("b"))
+        .filter(expr("substring(h, b + 1, 1) IN " +
+          "('8','9','a','b','c','d','e','f')"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_b"),
+          sum(when(col("score") >= 0, 1L).otherwise(0L)).as("k_b"))
+        .select(expr("(k_b * 1000000) div n_b").as("ppm"))
+        .agg(count(lit(1)).as("n_reps"),
+          expr("sum(ppm) div count(1)").as("mean_rep_ppm"),
+          min(col("ppm")).as("min_rep_ppm"),
+          max(col("ppm")).as("max_rep_ppm"),
+          (max(col("ppm")) - min(col("ppm"))).as("spread_ppm"))
+      val full = sig
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+        .select(col("n_docs"),
+          expr("(n_keep * 1000000) div n_docs").as("full_keep_ppm"))
+      // 1-row × 1-row broadcast cross join (the q14/q28 scalar idiom)
+      full.crossJoin(broadcast(reps))
+    }),
+
+    // ---- 2-D SKYLINE (Pareto frontier) over (quality score, length):
+    // the documents no other document beats on BOTH axes — the
+    // "best exemplars" set an inspection/eval-curation pass starts
+    // from (and the classic multi-criteria operator the suite lacked).
+    // Dominance is decided at DISTINCT-SCORE grain: per score, the max
+    // token count (one map-combinable aggregate), then the strict
+    // prefix max over scores DESCENDING via the two-phase
+    // Prefix.runningMax — max tokens among strictly higher scores —
+    // so a point survives iff its tmax beats every higher-score tmax
+    // (and a doc survives iff it carries its score's tmax; equal
+    // (score, tokens) ties all surface, neither dominates). NEVER a
+    // global sort of docs: the sweep runs on the score-grain stats
+    // frame (bounded by score range, not corpus size — the q90/q229
+    // histogram-grain discipline), and the frontier-point set joined
+    // back is skyline-sized, broadcast. Oracle replays the naive
+    // NOT-EXISTS dominance definition — the spec asserts set equality
+    // with brute force.
+    "q267_pareto_skyline" -> ((s, d) => {
+      val sig = qualitySignals(s, d)
+        .select(col("doc_id"), col("score"), col("n_tokens"))
+      val pts = sig.groupBy(col("score"))
+        .agg(max(col("n_tokens")).as("tmax"))
+        // orderCol must be numeric ascending; -score makes the prefix
+        // run over scores DESCENDING (strictly-higher-score rows first)
+        .withColumn("__g", lit(0)).withColumn("__ord", -col("score"))
+      val swept = graft.operators.Prefix.runningMax(
+        pts, "__g", "__ord", "tmax", "above_max", inclusive = false)
+      val frontier = swept
+        .filter(col("above_max").isNull
+          || col("tmax") > col("above_max"))
+        .select(col("score"), col("tmax"))
+      sig.join(broadcast(frontier), Seq("score"))
+        .filter(col("n_tokens") === col("tmax"))
+        .select(col("doc_id"), col("score"), col("n_tokens"))
     })
   )
 
@@ -2974,7 +3053,44 @@ object CorpusQueries {
         |FROM g
         |JOIN med ON g.source = med.source
         |JOIN mad ON g.source = mad.source
-        |LEFT JOIN o ON g.source = o.source""".stripMargin
+        |LEFT JOIN o ON g.source = o.source""".stripMargin,
+
+    "q263_bootstrap_keep_rate" ->
+      s"""WITH $signalsSqlCte,
+        |sig AS (SELECT doc_id, score,
+        |    md5(concat(CAST(doc_id AS VARCHAR), ':boot')) AS h
+        |  FROM pd),
+        |reps AS (SELECT b,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k_b
+        |  FROM sig, generate_series(0, 15) g(b)
+        |  WHERE substr(h, CAST(b AS INT) + 1, 1)
+        |    IN ('8','9','a','b','c','d','e','f')
+        |  GROUP BY b),
+        |rp AS (SELECT (k_b * 1000000) // n_b AS ppm FROM reps),
+        |fold AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |    CAST(sum(ppm) // count(*) AS BIGINT) AS mean_rep_ppm,
+        |    CAST(min(ppm) AS BIGINT) AS min_rep_ppm,
+        |    CAST(max(ppm) AS BIGINT) AS max_rep_ppm,
+        |    CAST(max(ppm) - min(ppm) AS BIGINT) AS spread_ppm
+        |  FROM rp),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST((sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 1000000)
+        |      // count(*) AS BIGINT) AS full_keep_ppm
+        |  FROM sig)
+        |SELECT f.n_docs, f.full_keep_ppm, fold.n_reps,
+        |  fold.mean_rep_ppm, fold.min_rep_ppm, fold.max_rep_ppm,
+        |  fold.spread_ppm
+        |FROM f, fold""".stripMargin,
+
+    "q267_pareto_skyline" ->
+      s"""WITH $signalsSqlCte
+        |SELECT a.doc_id, a.score, a.n_tokens
+        |FROM pd a
+        |WHERE NOT EXISTS (SELECT 1 FROM pd b
+        |  WHERE b.score >= a.score AND b.n_tokens >= a.n_tokens
+        |    AND (b.score > a.score OR b.n_tokens > a.n_tokens))""".stripMargin
   )
 
   /** q240/q241 shared oracle CTE: the per-doc quality signals exactly

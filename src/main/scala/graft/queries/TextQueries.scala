@@ -1027,6 +1027,97 @@ object TextQueries {
           expr("n_contaminated * 1000000 div n_docs")
             .as("contaminated_ppm"),
           col("n_hit_fps"), col("n_all_common"))
+    }),
+
+    // ---- DUP-GRAPH DEGREE PROFILE (hub audit): per-document candidate-
+    // pair degree over the run-shared LSH pair frame, folded to a
+    // bit-length-octave histogram (the q157/q213 no-libm log2 idiom).
+    // The read BEFORE q62 materializes clusters and q261 audits their
+    // density: a heavy-tailed degree profile (hub docs in many pairs)
+    // predicts both banding blow-up (one hot bucket emits C(m,2) pairs)
+    // and chain-merged clusters — uniform low degree licenses the cheap
+    // per-shard dedup, hubs demand the cap/salting machinery. Scale:
+    // no new pairs (rides sharedCandidatePairs), degree fold at doc
+    // grain, octave fold to ≤ 32 rows; only (doc_id) longs shuffle.
+    "q262_dup_degree_profile" -> ((s, d) => {
+      val deg = sharedCandidatePairs(s, d)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(length(bin(col("degree"))).cast("long")
+          .as("deg_octave"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("degree")).as("min_degree"),
+          max(col("degree")).as("max_degree"),
+          sum(col("degree")).as("sum_degree"))
+    }),
+
+    // ---- BAG-OF-WORDS dedup delta (reorder-canonical families): how
+    // many exact-dup families MERGE when the canonical key ignores word
+    // ORDER (sorted-token fingerprint)? Shuffled near-clones — template
+    // expansions, list reorderings — share a bag-of-words but never an
+    // exact digest, so they slip the q20 gate while carrying no new
+    // content; this one-row delta says whether that family is worth a
+    // dedup stage before the (much costlier) MinHash pass. Scale: two
+    // map-side digests per doc (raw md5 + sorted-token md5 — the sort
+    // is in-row, bounded by doc length), then two digest-grain
+    // aggregates; bodies never shuffle, 16-byte digests do.
+    "q264_bow_dedup_delta" -> ((s, d) => {
+      val fams = Tables.documents(s, d).select(
+        md5(col("text").cast("binary")).as("raw"),
+        md5(array_join(sort_array(split(col("text"), " ")), " ")
+          .cast("binary")).as("bow"))
+      fams.groupBy(col("bow"))
+        .agg(countDistinct(col("raw")).as("n_raw"),
+          count(lit(1)).as("nd"))
+        .agg(sum(col("nd")).as("n_docs"),
+          count(lit(1)).as("n_bow_families"),
+          // every raw family lives in exactly one bow family (same
+          // text ⇒ same sorted text), so this sum is the global raw
+          // family count
+          sum(col("n_raw")).as("n_raw_families"),
+          sum(when(col("n_raw") >= 2, 1L).otherwise(0L))
+            .as("n_merged_families"),
+          sum(when(col("n_raw") >= 2, col("nd")).otherwise(0L))
+            .as("n_docs_in_merged"))
+    }),
+
+    // ---- PER-SOURCE VERBATIM DUP-MASS profile: each source's share of
+    // 8-word blocks (q139's scrub grain) that occur in ≥ 2 documents
+    // corpus-wide, plus how many of its docs are MAJORITY-duplicated
+    // (2·dup > blocks — more copied than original). This ranks sources
+    // for dedup DEPLOYMENT — q139 rewrites docs, q140 finds per-source
+    // boilerplate, this says WHERE the dup mass lives and which sources
+    // to scrub first (the RefinedWeb-style duplicate-text-fraction read
+    // at source grain). Scale: block inventory shuffles (digest,
+    // doc_id) only; the dup set is digest-grain; both folds are
+    // map-combinable; dup_ppm is one integral division of two exact
+    // longs.
+    "q265_source_dup_mass" -> ((s, d) => {
+      val B = 8
+      val bl = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("words"))
+        .withColumn("btext", explode(expr(
+          s"transform(sequence(0, (size(words)-1) div $B)," +
+            s" i -> array_join(slice(words, i*$B + 1, $B), ' '))")))
+        .select(col("doc_id"), col("source"),
+          md5(col("btext").cast("binary")).as("h"))
+      val dupH = bl.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("ndd"))
+        .filter(col("ndd") >= 2)
+        .select(col("h"), lit(1L).as("isdup"))
+      val perDoc = bl.join(dupH, Seq("h"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_blocks")).as("n_blocks"),
+          sum(col("n_dup")).as("n_dup_blocks"),
+          expr("(sum(n_dup) * 1000000) div sum(n_blocks)")
+            .as("dup_ppm"),
+          sum(when(col("n_dup") * 2 > col("n_blocks"), 1L)
+            .otherwise(0L)).as("n_majority_dup_docs"))
     })
   )
 
@@ -1756,6 +1847,62 @@ object TextQueries {
         |    * 1000000) // CAST(count(*) AS BIGINT) AS contaminated_ppm,
         |  CAST(sum(n_hit) AS BIGINT) AS n_hit_fps,
         |  CAST(sum(all_common) AS BIGINT) AS n_all_common
-        |FROM j GROUP BY split""".stripMargin
+        |FROM j GROUP BY split""".stripMargin,
+
+    "q262_dup_degree_profile" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+        |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT CAST(length(bin(degree)) AS BIGINT) AS deg_octave,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(degree) AS min_degree,
+        |  max(degree) AS max_degree,
+        |  CAST(sum(degree) AS BIGINT) AS sum_degree
+        |FROM deg GROUP BY 1""".stripMargin,
+
+    "q264_bow_dedup_delta" ->
+      """WITH f AS (SELECT md5(text) AS raw,
+        |    md5(array_to_string(list_sort(string_split(text, ' ')),
+        |      ' ')) AS bow
+        |  FROM documents),
+        |fam AS (SELECT bow, count(DISTINCT raw) AS n_raw,
+        |    count(*) AS nd
+        |  FROM f GROUP BY bow)
+        |SELECT CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bow_families,
+        |  CAST(sum(n_raw) AS BIGINT) AS n_raw_families,
+        |  CAST(sum(CASE WHEN n_raw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_merged_families,
+        |  CAST(sum(CASE WHEN n_raw >= 2 THEN nd ELSE 0 END) AS BIGINT)
+        |    AS n_docs_in_merged
+        |FROM fam""".stripMargin,
+
+    "q265_source_dup_mass" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, source,
+        |    md5(array_to_string(words[(i*8+1):(i*8+8)], ' ')) AS h
+        |  FROM (SELECT doc_id, source, words,
+        |      unnest(generate_series(0, (len(words)-1)//8)) AS i
+        |    FROM w)),
+        |dup AS (SELECT h FROM
+        |    (SELECT h, count(DISTINCT doc_id) AS ndd FROM b GROUP BY h)
+        |  WHERE ndd >= 2),
+        |pd AS (SELECT b.doc_id, b.source,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup
+        |  FROM b LEFT JOIN dup ON b.h = dup.h
+        |  GROUP BY b.doc_id, b.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+        |  CAST(sum(n_dup) AS BIGINT) AS n_dup_blocks,
+        |  CAST((sum(n_dup) * 1000000) // sum(n_blocks) AS BIGINT)
+        |    AS dup_ppm,
+        |  CAST(sum(CASE WHEN n_dup * 2 > n_blocks THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_majority_dup_docs
+        |FROM pd GROUP BY source""".stripMargin
   )
 }

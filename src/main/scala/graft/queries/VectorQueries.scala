@@ -1266,6 +1266,56 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(10).as("k"), col("n_hits"),
           (col("n_hits") / lit(10)).as("recall"))
+    }),
+
+    // ---- LABEL-CENTROID COLLAPSE audit: pairwise similarity of the
+    // per-label mean embeddings — the "did my classes collapse"
+    // encoder-QA read beside q157's norm audit (a broken projection
+    // head maps every class to one direction; two labels whose
+    // centroids sit at cos ≥ 0.95 are indistinguishable to any
+    // retrieval/nearest-centroid consumer). Per-dim label means use
+    // the q152 floor(sum/count) idiom (sums exact in double below
+    // 2^53 — the documented n·KmScale < 2^53 envelope); the verdict
+    // is cross-multiplied DECIMAL(38,0) — dot > 0 AND 400·dot² ≥
+    // 361·n2a·n2b ⟺ cos ≥ 0.95 — and the reported magnitude is the
+    // signed exact integral cos²·1e6 (no sqrt/libm in the contract).
+    // Scale: one posexplode pass over the run-shared quantized frame,
+    // map-combined to labels×dims rows; everything after — the
+    // pairwise join included — runs at LABEL cardinality (centroids
+    // are bounded by KmScale per dim, so products are
+    // corpus-size-independent).
+    "q266_label_centroid_audit" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val dims = quantizedVecs(s, d).join(lab, "vec_id")
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) " +
+          "AS BIGINT)").as("m"))
+      val a = dims.select(col("label").as("label_a"), col("pos"),
+        col("m").as("ma"))
+      val b = dims.select(col("label").as("label_b"),
+        col("pos").as("pos_b"), col("m").as("mb"))
+      val dots = a.join(b, col("pos") === col("pos_b")
+          && col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("ma") * col("mb")).as("dot"))
+      val n2 = dims.groupBy(col("label"))
+        .agg(sum(col("m") * col("m")).as("n2"))
+      dots
+        .join(n2.select(col("label").as("label_a"), col("n2").as("n2_a")),
+          "label_a")
+        .join(n2.select(col("label").as("label_b"), col("n2").as("n2_b")),
+          "label_b")
+        .select(col("label_a"), col("label_b"), col("dot"),
+          col("n2_a"), col("n2_b"),
+          expr("CASE WHEN dot < 0 THEN -1 ELSE 1 END * CAST(" +
+            "(CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
+            "nullif(CAST(n2_a AS DECIMAL(38,0)) * n2_b, 0) AS BIGINT)")
+            .as("cos2_ppm"),
+          expr("dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * 400 " +
+            ">= CAST(n2_a AS DECIMAL(38,0)) * n2_b * 361")
+            .as("near_collapse"))
     })
   )
 
@@ -2078,7 +2128,37 @@ object VectorQueries {
         |    AS rrf,
         |  br.r_lex IS NOT NULL AS in_lex,
         |  vr.r_vec IS NOT NULL AS in_vec
-        |FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id""".stripMargin
+        |FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id""".stripMargin,
+
+    "q266_label_centroid_audit" ->
+      s"""WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |e AS (SELECT label, unnest(qv) AS x,
+        |    unnest(generate_series(1, len(qv))) AS pos
+        |  FROM q),
+        |m AS (SELECT label, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS m
+        |  FROM e GROUP BY label, pos),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.m * b.m) AS BIGINT) AS dot
+        |  FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY a.label, b.label),
+        |n2 AS (SELECT label, CAST(sum(m * m) AS BIGINT) AS n2
+        |  FROM m GROUP BY label)
+        |SELECT d.label_a, d.label_b, d.dot,
+        |  na.n2 AS n2_a, nb.n2 AS n2_b,
+        |  (CASE WHEN d.dot < 0 THEN -1 ELSE 1 END)
+        |    * CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+        |      // nullif(CAST(na.n2 AS HUGEINT) * nb.n2, 0) AS BIGINT)
+        |    AS cos2_ppm,
+        |  d.dot > 0 AND CAST(d.dot AS HUGEINT) * d.dot * 400
+        |    >= CAST(na.n2 AS HUGEINT) * nb.n2 * 361 AS near_collapse
+        |FROM d
+        |JOIN n2 na ON d.label_a = na.label
+        |JOIN n2 nb ON d.label_b = nb.label""".stripMargin
   )
 
   /** q28's oracle, shared verbatim by the q135 fusion CTE. */

@@ -93,6 +93,51 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.prefix.maxPartials")
   }
 
+  test("runningMax inclusive equals the per-key window cummax on " +
+    "multi-key data with sign-mixed values") {
+    import spark.implicits._
+    // values swing negative so the offset/local NULL algebra is
+    // exercised on both signs; unique order (id) per key
+    val rows = (1L to 500L).map(i => (s"k${i % 7}", i, ((i * 31) % 97) - 48))
+    val df = rows.toDF("k", "id", "v")
+    val got = Prefix.runningMax(df, "k", "id", "v", "cm", numChunks = 8)
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+    val want = df.withColumn("cm", max(col("v").cast("bigint")).over(w))
+    assert(canon(got.select("k", "id", "v", "cm"))
+      == canon(want.select("k", "id", "v", "cm")))
+  }
+
+  test("runningMax exclusive equals the strict-prefix window (NULL on " +
+    "each key's first row), including across chunk boundaries") {
+    import spark.implicits._
+    val rows = (1L to 600L).map(i => (s"k${i % 3}", i, ((i * 53) % 89) - 40))
+    val df = rows.toDF("k", "id", "v")
+    val got = Prefix.runningMax(df, "k", "id", "v", "pm",
+      inclusive = false, numChunks = 16)
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("pm", max(col("v").cast("bigint")).over(w))
+    assert(canon(got.select("k", "id", "v", "pm"))
+      == canon(want.select("k", "id", "v", "pm")))
+    // each key's order-minimum row has no strict predecessor
+    assert(got.filter(col("pm").isNull).count() == 3)
+    // and the plan windows on (k, __chunk), never k alone
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__chunk"), plan)
+  }
+
+  test("runningMax refuses a high-cardinality key past the partials cap") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (s"k$i", i, i)).toDF("k", "id", "v")
+    spark.conf.set("spark.graft.prefix.maxPartials", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Prefix.runningMax(df, "k", "id", "v", "cm", numChunks = 2)
+      }
+      assert(e.getMessage.contains("high-cardinality"))
+    } finally spark.conf.unset("spark.graft.prefix.maxPartials")
+  }
+
   test("q128 curriculum order: global_pos is a 1..n permutation, " +
     "deterministic, and weighted-fair in every prefix") {
     val out = SparkEntry.queries("q128_curriculum_order")(spark, sf)

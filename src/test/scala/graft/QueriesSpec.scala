@@ -2657,4 +2657,154 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(sumRaw > 1000000 - out.size && sumRaw <= 1000000)
     assert(sumEff > 1000000 - out.size && sumEff <= 1000000)
   }
+
+  test("q262 degree profile: octave ledger closes against the raw " +
+    "pair frame (Σ degree = 2·|pairs|, docs partition by bit length)") {
+    val out = SparkEntry.queries("q262_dup_degree_profile")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val pairs = SparkEntry.queries("q21_minhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(_._2).sum == deg.size) // every flagged doc counted once
+    assert(out.map(_._5).sum == 2L * pairs.length)
+    out.foreach { case (oct, n, mn, mx, sd) =>
+      assert(n > 0 && mn <= mx, s"octave $oct")
+      assert(java.lang.Long.toBinaryString(mn).length == oct, s"min $mn")
+      assert(java.lang.Long.toBinaryString(mx).length == oct, s"max $mx")
+      assert(sd >= n * mn && sd <= n * mx)
+    }
+    // full per-octave replay
+    val expect = deg.values.groupBy(d =>
+      java.lang.Long.toBinaryString(d).length.toLong).map {
+      case (oct, ds) =>
+        (oct, (ds.size.toLong, ds.min, ds.max, ds.sum))
+    }
+    assert(out.map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap == expect)
+  }
+
+  test("q263 bootstrap CI: 16 nonempty replicates, min <= mean <= max, " +
+    "spread closes, full rate replays against q124's gate, " +
+    "deterministic") {
+    val r = SparkEntry.queries("q263_bootstrap_keep_rate")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val Seq(nDocs, fullPpm, nReps, meanPpm, minPpm, maxPpm, spread) =
+      (0 to 6).map(r(0).getLong)
+    assert(nReps == 16)
+    assert(minPpm <= meanPpm && meanPpm <= maxPpm)
+    assert(spread == maxPpm - minPpm)
+    assert(fullPpm >= 0 && fullPpm <= 1000000)
+    // the full-sample rate is exactly q124's keep rate
+    val cls = SparkEntry.queries("q124_quality_classifier")(spark, sf)
+      .collect()
+    assert(nDocs == cls.length)
+    val keeps = cls.count(_.getBoolean(2)).toLong
+    assert(fullPpm == keeps * 1000000L / nDocs)
+    // half-sampling replicates should bracket the full rate loosely —
+    // and be bit-deterministic across invocations
+    val again = SparkEntry.queries("q263_bootstrap_keep_rate")(spark, sf)
+      .collect()
+    assert(r(0).toString == again(0).toString)
+  }
+
+  test("q264 bag-of-words delta: naive family replay, raw >= bow " +
+    "family counts, merged ledger consistent") {
+    val r = SparkEntry.queries("q264_bow_dedup_delta")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val Seq(nDocs, nBow, nRaw, nMerged, nDocsMerged) =
+      (0 to 4).map(r(0).getLong)
+    val texts = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val byBow = texts.groupBy(t => t.split(" ", -1).sorted.mkString(" "))
+    val expRaw = byBow.values.map(_.distinct.size.toLong).sum
+    val expMergedFams = byBow.values.count(_.distinct.size >= 2).toLong
+    val expDocsMerged = byBow.values
+      .filter(_.distinct.size >= 2).map(_.size.toLong).sum
+    assert(nDocs == texts.length)
+    assert(nBow == byBow.size)
+    assert(nRaw == expRaw)
+    assert(nRaw >= nBow) // order-blind canonicalization only merges
+    assert(nMerged == expMergedFams)
+    assert(nDocsMerged == expDocsMerged)
+  }
+
+  test("q265 source dup-mass: block/dup ledgers close against q139's " +
+    "per-doc scrub counts, ppm replays") {
+    val out = SparkEntry.queries("q265_source_dup_mass")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val q139 = SparkEntry.queries("q139_dup_span_scrub")(spark, sf)
+      .select(col("doc_id"), col("n_blocks"), col("n_removed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same 8-word-block grain, same >= 2-distinct-docs dup rule
+    assert(out.values.map(_._2).sum == q139.map(_._2).sum)
+    assert(out.values.map(_._3).sum == q139.map(_._3).sum)
+    assert(out.values.map(_._1).sum ==
+      Tables.documents(spark, sf).count())
+    out.foreach { case (src, (nd, nb, ndup, ppm, nmaj)) =>
+      assert(ndup <= nb, src)
+      assert(ppm == ndup * 1000000L / nb, src)
+      assert(nmaj <= nd, src)
+    }
+  }
+
+  test("q266 label-centroid audit: full integer replay from raw " +
+    "embeddings, pair coverage, cos2 bounds, collapse rule") {
+    val out = SparkEntry.queries("q266_label_centroid_audit")(spark, sf)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000000L).toLong)))
+    val labels = vecs.map(_._1).distinct.sorted
+    assert(out.size == labels.size * (labels.size - 1) / 2)
+    val cents = labels.map { l =>
+      val vs = vecs.filter(_._1 == l).map(_._2)
+      l -> (0 until vs.head.length).map(i =>
+        math.floor(vs.map(_(i)).sum.toDouble / vs.size).toLong)
+    }.toMap
+    for (a <- labels; b <- labels if a < b) {
+      val (dot, n2a, n2b, cos2, nc) = out((a, b))
+      val ca = cents(a); val cb = cents(b)
+      assert(dot == ca.lazyZip(cb).map(_ * _).sum, s"($a,$b)")
+      assert(n2a == ca.map(x => x * x).sum && n2b == cb.map(x => x * x).sum)
+      val expCos2 = if (n2a == 0 || n2b == 0) None
+      else Some((if (dot < 0) -1L else 1L) *
+        (BigInt(dot) * dot * 1000000 / (BigInt(n2a) * n2b)).toLong)
+      assert(expCos2.forall(_ == cos2) && cos2.abs <= 1000000, s"($a,$b)")
+      assert(nc == (dot > 0 &&
+        BigInt(dot) * dot * 400 >= BigInt(n2a) * n2b * 361), s"($a,$b)")
+    }
+  }
+
+  test("q267 skyline: set-equal to the brute-force dominance replay, " +
+    "mutually non-dominating, includes both axis maxima") {
+    val out = SparkEntry.queries("q267_pareto_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per-doc (score, n_tokens) from the classifier + a token count —
+    // the same signals the query consumes
+    val score = SparkEntry.queries("q124_quality_classifier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sig = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), score(r.getLong(0)),
+        r.getLong(1)))
+    def dominates(x: (Long, Long, Long), y: (Long, Long, Long)) =
+      x._2 >= y._2 && x._3 >= y._3 && (x._2 > y._2 || x._3 > y._3)
+    val brute = sig.filter(d => !sig.exists(e => dominates(e, d)))
+    assert(out.toSet == brute.toSet)
+    out.foreach(a => out.foreach(b =>
+      assert(a == b || !dominates(a, b), s"$a dominates $b")))
+    val maxScore = sig.map(_._2).max
+    val maxToks = sig.map(_._3).max
+    assert(out.exists(_._2 == maxScore))
+    assert(out.exists(_._3 == maxToks))
+  }
 }
