@@ -151,7 +151,19 @@ object Bench {
       "per-source prefix-sum CDFs; remaining cost is a handful of " +
       "planner-scale jobs (quantile chunking + partials collect) over " +
       "the cached histogram — job-overhead-bound at sf0.1 (3.2 s " +
-      "isolated steady state), histogram-grain at 100 TB"))
+      "isolated steady state), histogram-grain at 100 TB"),
+    "q268_greedy_coverage" -> ("greedy set-cover driver loop: 3 " +
+      "rounds × (one map-combined count over the persisted shingle " +
+      "frame + a 1-row TakeOrdered fetch) + the distinct-total " +
+      "action — 4 bounded planner actions by contract (the kmeansQ " +
+      "fetch posture); job-count-bound at sf0.1 (3.6 s TimeQ steady), " +
+      "each job is one pass over the shared doc_tri_distinct artifact"),
+    "q271_skyline_maintenance" -> ("two paretoFrontier sweeps (rest, " +
+      "then frontier ∪ batch): each runs Prefix.runningMax's " +
+      "quantile-chunking + partials-collect planner actions at " +
+      "distinct-score grain — job-overhead-bound at sf0.1; at 100 TB " +
+      "the stored frontier is a persisted artifact and the daily " +
+      "update touches |frontier| + |batch| rows only"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1316,6 +1316,36 @@ object VectorQueries {
           expr("dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * 400 " +
             ">= CAST(n2_a AS DECIMAL(38,0)) * n2_b * 361")
             .as("near_collapse"))
+    }),
+
+    // ---- CLUSTER-LABEL PURITY (clustering-quality audit): per trained
+    // k-means cluster, how concentrated are the ground-truth labels?
+    // Majority label + purity ppm per cluster — the standard external
+    // clustering-evaluation read (purity), and the acceptance gate on
+    // q113's index BEFORE q122 routes semantic dedup through it: a
+    // cluster whose majority share sits near 1/n_labels is routing
+    // noise, not structure. Rides the run-shared centroid set (one
+    // broadcast argmax assignment pass — the q114/q130 posture);
+    // everything after is a (cid, label) census folded to k rows; the
+    // majority pick is a map-combinable max of a (count, -label)
+    // struct (the q89 argmax idiom — count desc, then smallest label;
+    // no window).
+    "q270_cluster_label_purity" -> ((s, d) => {
+      val assign = Vectors.assignTrained(Tables.embeddings(s, d),
+        "vec_id", "embedding", centroidsFull(s, d), KmScale)
+      val lc = assign
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          "vec_id")
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      lc.groupBy(col("cid"))
+        .agg(sum(col("c")).as("n_members"),
+          max(struct(col("c").as("c"), (-col("label")).as("nl")))
+            .as("m"))
+        .select(col("cid"), col("n_members"),
+          (-col("m.nl")).as("maj_label"),
+          col("m.c").as("maj_count"),
+          expr("(m.c * 1000000) div n_members").as("purity_ppm"))
     })
   )
 
@@ -2158,7 +2188,24 @@ object VectorQueries {
         |    >= CAST(na.n2 AS HUGEINT) * nb.n2 * 361 AS near_collapse
         |FROM d
         |JOIN n2 na ON d.label_a = na.label
-        |JOIN n2 nb ON d.label_b = nb.label""".stripMargin
+        |JOIN n2 nb ON d.label_b = nb.label""".stripMargin,
+
+    "q270_cluster_label_purity" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |lc AS (SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS c
+        |  FROM a${KmIters + 1} a JOIN embeddings e USING (vec_id)
+        |  GROUP BY a.cid, e.label),
+        |tot AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n_members
+        |  FROM lc GROUP BY cid),
+        |maj AS (SELECT cid, label AS maj_label, c AS maj_count
+        |  FROM (SELECT cid, label, c, row_number() OVER
+        |      (PARTITION BY cid ORDER BY c DESC, label ASC) AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT t.cid, t.n_members, m.maj_label, m.maj_count,
+        |  CAST((m.maj_count * 1000000) // t.n_members AS BIGINT)
+        |    AS purity_ppm
+        |FROM tot t JOIN maj m ON t.cid = m.cid""".stripMargin
   )
 
   /** q28's oracle, shared verbatim by the q135 fusion CTE. */

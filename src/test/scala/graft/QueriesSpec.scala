@@ -2807,4 +2807,142 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(out.exists(_._2 == maxScore))
     assert(out.exists(_._3 == maxToks))
   }
+
+  test("q268 greedy coverage: full greedy replay over distinct " +
+    "trigram sets, non-increasing gains, telescoping coverage") {
+    val out = SparkEntry.queries("q268_greedy_coverage")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // greedy replay on raw shingle strings (injective stand-in for the
+    // 60-bit wkey at this scale — a collision would already have failed
+    // the DuckDB hash parity)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        val n = math.max(tk.length - 2, 1)
+        r.getLong(0) -> (1 to n).map(p =>
+          tk.slice(p - 1, p + 2).mkString(" ")).toSet
+      }.toMap
+    val total = docs.values.flatten.toSet.size.toLong
+    var covered = Set.empty[String]
+    var picked = Set.empty[Long]
+    var cum = 0L
+    (1 to 3).foreach { r =>
+      val (doc, gain) = docs.view.filterKeys(!picked.contains(_))
+        .map { case (id, sh) => (id, (sh -- covered).size.toLong) }
+        .toSeq.sortBy { case (id, g) => (-g, id) }.head
+      val (oDoc, oGain, oCum, oPpm) =
+        (out(r - 1)._2, out(r - 1)._3, out(r - 1)._4, out(r - 1)._5)
+      assert((oDoc, oGain) == (doc, gain), s"round $r")
+      cum += gain
+      assert(oCum == cum && oPpm == cum * 1000000L / total, s"round $r")
+      covered ++= docs(doc); picked += doc
+    }
+    // submodularity: greedy marginal gains never increase
+    assert(out(0)._3 >= out(1)._3 && out(1)._3 >= out(2)._3)
+  }
+
+  test("q269 joint decile census: cell mass partitions the corpus, " +
+    "margins consistent, association verdict replays in BigInt") {
+    val rows = SparkEntry.queries("q269_joint_decile_census")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val nAll = rows.map(_._3).sum
+    assert(nAll == Tables.documents(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (sd, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"row margin of $sd")
+    }
+    rows.groupBy(_._2).foreach { case (ld, rs) =>
+      assert(rs.map(_._3).sum == rs.head._5, s"col margin of $ld")
+    }
+    rows.foreach { case (sd, ld, n, rn, cn, assoc, over) =>
+      assert(sd >= 1 && sd <= 10 && ld >= 1 && ld <= 10)
+      assert(assoc ==
+        (BigInt(n) * nAll * 1000000 / (BigInt(rn) * cn)).toLong,
+        s"cell ($sd,$ld)")
+      assert(over == (BigInt(n) * nAll > BigInt(rn) * cn))
+    }
+  }
+
+  test("q270 cluster purity: assignment census replays from the q113 " +
+    "centroids, members partition the corpus, majority rule holds") {
+    val out = SparkEntry.queries("q270_cluster_label_purity")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val cents = SparkEntry.queries("q113_kmeans_centroids")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)
+        .map(x => math.floor(x.toDouble * 1000000L).toLong)))
+    val census = vecs.map { case (_, label, qv) =>
+      val cid = cents.toSeq.map { case (c, ce) =>
+        (c, qv.lazyZip(ce).map(_ * _).sum)
+      }.minBy { case (c, dot) => (-dot, c) }._1
+      (cid, label)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.values.map(_._1).sum == vecs.length)
+    assert(out.keySet == census.keySet)
+    census.foreach { case (cid, labels) =>
+      val (n, majL, majC, ppm) = out(cid)
+      assert(n == labels.length, s"cluster $cid")
+      val expMaj = labels.groupBy(identity).view
+        .mapValues(_.size).toSeq.minBy { case (l, c) => (-c, l) }
+      assert((majL, majC) == (expMaj._1, expMaj._2.toLong), s"cid $cid")
+      assert(ppm == majC * 1000000L / n && ppm > 0 && ppm <= 1000000)
+    }
+  }
+
+  test("q271 incremental skyline: two-stage maintenance equals the " +
+    "full-corpus skyline (q267) with the batch flag correct") {
+    val out = SparkEntry.queries("q271_skyline_maintenance")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val full = SparkEntry.queries("q267_pareto_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the incremental identity: skyline(skyline(rest) ∪ batch) equals
+    // the direct sweep over the whole corpus
+    assert(out.map(t => (t._1, t._2, t._3)).toSet == full.toSet)
+    out.foreach { case (doc, _, _, flag) =>
+      assert(flag == (doc % 10 == 7), s"doc $doc")
+    }
+  }
+
+  test("q272 token movers: rank arithmetic replays from raw counts, " +
+    "both top-20 heads covered, outer-join null semantics") {
+    val out = SparkEntry.queries("q272_top_token_movers")(spark, sf)
+      .collect()
+    val counts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1)
+        .map(t => ((r.getLong(0) % 2 == 0, t), 1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def top20(side: Boolean) = counts.collect {
+      case ((s, t), c) if s == side => (t, c)
+    }.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).zipWithIndex
+      .map { case ((t, c), i) => t -> (i + 1L, c) }.toMap
+    val ref = top20(true); val cur = top20(false)
+    assert(out.length == (ref.keySet ++ cur.keySet).size)
+    out.foreach { r =>
+      val tok = r.getString(0)
+      val (rr, rc) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))
+      val (cr, cc) = (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))
+      assert(rr == ref.get(tok).map(_._1) && rc == ref.get(tok).map(_._2),
+        tok)
+      assert(cr == cur.get(tok).map(_._1) && cc == cur.get(tok).map(_._2),
+        tok)
+      val shift = Option(r.get(5)).map(_.asInstanceOf[Long])
+      assert(shift == (for (a <- rr; b <- cr) yield a - b), tok)
+    }
+  }
 }
