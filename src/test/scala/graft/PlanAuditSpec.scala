@@ -285,7 +285,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"part filter must reach the fact as a semi join:\n$p")
   }
 
-  test("plan budgets hold on the 20 most expensive queries") {
+  test("plan budgets hold on the most expensive queries (top-20 set + round-11 late entrants)") {
     // VERDICT r10 #8: exchange-count + sort-merge-join ceilings for
     // the 20 most expensive committed exclusive lines, so a plan
     // regression (an extra shuffle, a broadcast flipping to SMJ)
@@ -318,7 +318,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q195_lm_perplexity" -> (14, 2),
       "q101_salted_join" -> (1, 0),
       "q241_score_auc" -> (7, 0),
-      "q243_lone_failed_supplier" -> (4, 0))
+      "q243_lone_failed_supplier" -> (4, 0),
+      // round-11 late-batch entrants to the top-20 (refreshed
+      // exclusive reference, 272 queries): the skyline pair, the
+      // joint decile census, and the MAD/edit/agreement lines that
+      // rose into the watch set (PlanBudget re-run on this tree)
+      "q271_skyline_maintenance" -> (10, 0),
+      "q269_joint_decile_census" -> (11, 0),
+      "q268_greedy_coverage" -> (0, 0), // driver-loop rounds: final
+      // frame is a local relation; the per-round jobs are actions,
+      // invisible to the static plan — the 0 pin catches a refactor
+      // that turns the bounded fetches back into a lazy mega-plan
+      "q260_mad_outliers" -> (18, 1),
+      "q97_edit_banded" -> (2, 0),
+      "q146_dedup_agreement" -> (18, 8))
     val failures = budgets.toSeq.sortBy(_._1).flatMap {
       case (name, (maxEx, maxSmj)) =>
         val (ex, smj) = PlanBudget.counts(spark, name, sf)
