@@ -657,4 +657,52 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       .contains("> 2090000"))
     assert(SparkEntry.oracleSql("q258_ks_drift").contains("> 300000000"))
   }
+
+  test("q264 bow delta: a planted word-reorder clone merges exactly " +
+    "one family; distinct-vocabulary docs never merge") {
+    val d = docsDir(Seq(
+      (1L, "alpha beta gamma delta", "en", "s0", 1L),
+      (2L, "delta gamma beta alpha", "en", "s0", 1L), // reorder clone
+      (3L, "alpha beta gamma delta", "en", "s0", 1L), // exact clone of 1
+      (4L, "one two three four", "en", "s0", 1L)))
+    val r = SparkEntry.queries("q264_bow_dedup_delta")(spark, d)
+      .collect()(0)
+    assert(r.getLong(0) == 4L, "n_docs")
+    assert(r.getLong(1) == 2L, "bow families: {reorder trio, lone}")
+    assert(r.getLong(2) == 3L, "raw families: two orderings + lone")
+    assert(r.getLong(3) == 1L, "exactly the reorder trio merged")
+    assert(r.getLong(4) == 3L, "3 docs live in the merged family")
+  }
+
+  test("q267 skyline: all-identical docs tie onto the frontier " +
+    "together (no strict dominator exists)") {
+    val d = docsDir((1L to 5L).map(i =>
+      (i, "w1 w2 w3 w4 w5", "en", "s0", 1L)))
+    val out = SparkEntry.queries("q267_pareto_skyline")(spark, d)
+      .collect()
+    assert(out.length == 5,
+      s"equal (score, tokens) points never dominate each other: " +
+        s"${out.length}")
+  }
+
+  test("q266 collapse audit: two labels sharing one direction flag " +
+    "near_collapse, an orthogonal label never does") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev266").toString
+    // labels 0 and 1 both sit on e0 (scaled copies — cos = 1); label 2
+    // sits on e1 (cos = 0 against both)
+    def vec(axis: Int, s: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) s else 0.0f)
+    val rows = Seq(
+      (0L, vec(0, 0.9f), 0), (1L, vec(0, 0.8f), 0),
+      (2L, vec(0, 0.7f), 1), (3L, vec(0, 0.6f), 1),
+      (4L, vec(1, 0.9f), 2), (5L, vec(1, 0.8f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q266_label_centroid_audit")(spark, dir)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getBoolean(6))).toMap
+    assert(out((0, 1)), "same-direction labels must flag")
+    assert(!out((0, 2)) && !out((1, 2)), "orthogonal labels must not")
+  }
 }
