@@ -202,6 +202,38 @@ object PipelineQueries {
         .filter(col("shared_keys") >= 2)
     }),
 
+    // ---- AUDIO near-dup over a REAL container decode: the q163
+    // pipeline lifted from raw payload bytes to genuine WAV files —
+    // each doc materializes as a 16-bit mono PCM RIFF payload
+    // (Multimodal.wavAssets: one sample per text byte, replayable
+    // integer synth), the REAL Wav parser walks the chunks (magic
+    // checks, fmt validation, even-byte padding) and the
+    // Haitsma–Kalker band-energy deltas run over the DECODED samples
+    // (signed sums — DC offsets cancel in the double difference).
+    // Same index discipline as q163/q144: distinct (doc_id, md5 key),
+    // ≤ 20 bucket cap (oracle-mirrored), pairs sharing ≥ 2 shingle
+    // keys. The oracle regenerates the samples from text arithmetic
+    // and replays the fingerprint SQL — so driver hash equality
+    // proves the encode→parse round trip is lossless, the q143
+    // real-codec pattern on the audio leg. Payloads never shuffle.
+    "q273_wav_pcm_neardup" -> ((s, d) => {
+      val sh = Shared.frame(s, "pcm_fp", d)(
+        Multimodal.pcmShingles(s,
+            Multimodal.wavAssets(s, Tables.documents(s, d)))
+          .toDF()
+          .select(col("doc_id"), md5(col("key")).as("h"))
+          .distinct())
+      val sz = sh.groupBy(col("h")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= 20).select(col("h"))
+      val ok = sh.join(sz, "h")
+      val a = ok.select(col("h"), col("doc_id").as("a"))
+      val b = ok.select(col("h"), col("doc_id").as("b"))
+      a.join(b, "h").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_keys"))
+        .filter(col("shared_keys") >= 2)
+    }),
+
     // ---- batch strike accounting: flagged events per user + INACTIVE
     // threshold (streaming StrikeMonitor's batch twin)
     "q33_strike_batch" -> ((s, d) => {
@@ -325,6 +357,47 @@ object PipelineQueries {
         |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    "q273_wav_pcm_neardup" -> {
+      // byte x of the text (0-based), via the hex projection
+      def b(x: String) =
+        s"CAST(concat('0x', substr(hx, ($x)*2 + 1, 2)) AS BIGINT)"
+      // decoded sample at index x: b(x)*256 + b((x+1) mod L) - 32768
+      def smp(x: String) =
+        s"(${b(x)} * 256 + ${b(s"($x + 1) % L")} - 32768)"
+      s"""WITH w AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |e AS (
+        |  SELECT doc_id, i,
+        |    list_transform(generate_series(0, 7), m ->
+        |      list_reduce(list_transform(generate_series(1, 8), j ->
+        |        ${smp("i*32 + m*8 + j - 1")}),
+        |        (a, v) -> a + v))
+        |      AS en
+        |  FROM w, unnest(generate_series(0, (L - 64) // 32)) t(i)),
+        |sf AS (
+        |  SELECT c.doc_id, c.i,
+        |    list_reduce(list_transform(generate_series(1, 7), m ->
+        |      CASE WHEN (c.en[m] - c.en[m+1]) - (p.en[m] - p.en[m+1]) > 0
+        |        THEN 1 << (m - 1) ELSE 0 END), (a, v) -> a + v) AS sfp
+        |  FROM e c JOIN e p ON p.doc_id = c.doc_id AND p.i = c.i - 1),
+        |sl AS (SELECT doc_id, list(sfp ORDER BY i) AS sfs
+        |  FROM sf GROUP BY doc_id),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(sfs[k:k+7], '-')) AS h
+        |  FROM sl, unnest(generate_series(1, len(sfs) - 7)) t(k)),
+        |sz AS (SELECT h FROM
+        |    (SELECT h, count(*) AS m FROM sh GROUP BY h)
+        |  WHERE m <= 20),
+        |ok AS (SELECT sh.* FROM sh JOIN sz USING (h))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  count(*) AS shared_keys
+        |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin
+    },
 
     "q31_multimodal_features" ->
       """SELECT doc_id,

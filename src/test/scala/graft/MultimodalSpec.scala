@@ -180,6 +180,69 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("Wav codec: encode/decode round-trips samples and rate exactly") {
+    val s = Array.tabulate(200)(i =>
+      ((i * 977) % 65536 - 32768).toShort)
+    val bytes = Multimodal.Wav.encode(8000, s)
+    assert(bytes.length == 44 + 400)
+    val Some((rate, back)) = Multimodal.Wav.decode(bytes)
+    assert(rate == 8000)
+    assert(back.toSeq == s.toSeq)
+    // empty waveform round-trips too
+    assert(Multimodal.Wav.decode(Multimodal.Wav.encode(8000,
+      Array.empty[Short])).exists(_._2.isEmpty))
+  }
+
+  test("Wav decode: malformed containers are rejected, unknown chunks " +
+    "are walked over (RIFF padding rule included)") {
+    val good = Multimodal.Wav.encode(8000, Array[Short](1, 2, 3, 4))
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(Multimodal.Wav.decode(badMagic).isEmpty)
+    // truncated data chunk (declared size exceeds payload)
+    assert(Multimodal.Wav.decode(good.dropRight(2)).isEmpty)
+    // non-PCM format code
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(Multimodal.Wav.decode(nonPcm).isEmpty)
+    // stereo
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Multimodal.Wav.decode(stereo).isEmpty)
+    // an unknown ODD-sized chunk inserted before fmt must be skipped
+    // with its pad byte (the RIFF even-boundary rule)
+    val extra = new Array[Byte](8 + 3 + 1) // "junk" + 3 bytes + pad
+    "junk".getBytes("US-ASCII").copyToArray(extra, 0)
+    extra(4) = 3 // little-endian size 3
+    val spliced = good.take(12) ++ extra ++ good.drop(12)
+    // fix the RIFF size field (not checked by our walker, but honest)
+    val Some((r2, s2)) = Multimodal.Wav.decode(spliced)
+    assert(r2 == 8000 && s2.toSeq == Seq[Short](1, 2, 3, 4))
+  }
+
+  test("pcmShingles: DC-offset invariance on decoded samples, clone " +
+    "collision, malformed payload drops") {
+    import spark.implicits._
+    def wavOf(id: Long, s: Array[Short]) =
+      Seq(Multimodal.Asset(id, "audio/wav", Multimodal.Wav.encode(8000, s)))
+        .toDS()
+    val base = Array.tabulate(600)(i => ((i * 331) % 20000 - 10000).toShort)
+    val shifted = base.map(v => (v + 500).toShort) // constant DC offset
+    val fBase = Multimodal.pcmShingles(spark, wavOf(1L, base)).collect()
+      .map(s => (s.idx, s.key)).sortBy(_._1)
+    val fShift = Multimodal.pcmShingles(spark, wavOf(2L, shifted))
+      .collect().map(s => (s.idx, s.key)).sortBy(_._1)
+    assert(fBase.nonEmpty)
+    assert(fBase.toSeq == fShift.toSeq,
+      "constant DC offset must cancel in the energy double-difference")
+    // exact clone collides on every shingle key
+    val fClone = Multimodal.pcmShingles(spark, wavOf(3L, base)).collect()
+      .map(s => (s.idx, s.key)).sortBy(_._1)
+    assert(fClone.toSeq == fBase.toSeq)
+    // a malformed payload drops silently
+    val junk = Seq(Multimodal.Asset(4L, "audio/wav",
+      Array.fill[Byte](100)(7))).toDS()
+    assert(Multimodal.pcmShingles(spark, junk).collect().isEmpty)
+  }
+
   test("decoder is pluggable (stub swap point)") {
     import spark.implicits._
     val custom = new Multimodal.Decoder {
