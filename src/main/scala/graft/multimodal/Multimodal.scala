@@ -194,6 +194,132 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM YUV4MPEG2 (Y4M) codec — the video twin of [[Ppm]]
+    * and [[Wav]]: genuine stream parsing (magic check, space-separated
+    * stream parameters with required W/H, per-frame FRAME markers that
+    * may carry their own parameters, exact 4:2:0 frame payload sizing)
+    * so the video pipeline exercises a real container boundary.
+    * decode() returns (w, h, frames) — each frame the raw
+    * w·h·3/2-byte 4:2:0 planar payload — or None for anything
+    * malformed: wrong magic, missing/odd dimensions, a frame without
+    * its FRAME marker, or truncated frame data.
+    */
+  object Y4m {
+    def frameSize(w: Int, h: Int): Int = w * h * 3 / 2
+
+    def encode(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+        s"4:2:0 needs positive even dims, got ${w}x$h")
+      val fs = frameSize(w, h)
+      frames.foreach(f => require(f.length == fs,
+        s"frame must be $fs bytes, got ${f.length}"))
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+        .getBytes("US-ASCII")
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length
+        + frames.length * (marker.length + fs))
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = header.length
+      frames.foreach { f =>
+        System.arraycopy(marker, 0, out, p, marker.length)
+        System.arraycopy(f, 0, out, p + marker.length, fs)
+        p += marker.length + fs
+      }
+      out
+    }
+
+    def decode(bytes: Array[Byte])
+        : Option[(Int, Int, Seq[Array[Byte]])] = {
+      val magic = "YUV4MPEG2".getBytes("US-ASCII")
+      if (bytes.length < magic.length ||
+          !magic.indices.forall(i => bytes(i) == magic(i))) return None
+      var p = magic.length
+      var w = -1; var h = -1
+      // stream parameters: space-separated tokens up to the newline
+      while (p < bytes.length && bytes(p) != '\n') {
+        if (bytes(p) == ' ') {
+          p += 1
+          if (p < bytes.length && (bytes(p) == 'W' || bytes(p) == 'H')) {
+            val key = bytes(p); p += 1
+            var v = 0L
+            while (p < bytes.length && bytes(p) >= '0'
+                && bytes(p) <= '9') {
+              v = math.min(v * 10 + (bytes(p) - '0'),
+                Int.MaxValue.toLong + 1)
+              p += 1
+            }
+            if (v > Int.MaxValue) return None
+            if (key == 'W') w = v.toInt else h = v.toInt
+          }
+        } else p += 1
+      }
+      if (p >= bytes.length || w <= 0 || h <= 0 || w % 2 != 0
+          || h % 2 != 0 || w.toLong * h * 3 / 2 > Int.MaxValue)
+        return None
+      p += 1 // the stream-header newline
+      val fs = frameSize(w, h)
+      val marker = "FRAME".getBytes("US-ASCII")
+      val frames = Seq.newBuilder[Array[Byte]]
+      while (p < bytes.length) {
+        if (bytes.length - p < marker.length ||
+            !marker.indices.forall(i => bytes(p + i) == marker(i)))
+          return None
+        p += marker.length
+        // frame parameters (if any) run to the newline
+        while (p < bytes.length && bytes(p) != '\n') p += 1
+        if (p >= bytes.length) return None
+        p += 1
+        if (bytes.length - p < fs) return None // truncated frame
+        frames += java.util.Arrays.copyOfRange(bytes, p, p + fs)
+        p += fs
+      }
+      Some((w, h, frames.result()))
+    }
+  }
+
+  /** REAL-codec video materialization: each doc with ≥ 96 text bytes
+    * becomes a genuine 8×8 4:2:0 Y4M stream of min(max(L div 96, 1), 8)
+    * frames, frame k's 96 payload bytes cycling the text from offset
+    * (k·96) mod L — deterministic, wraps at most once (L ≥ 96), so the
+    * oracle reassembles each frame as two text substrings. Payloads
+    * round-trip through [[Y4m.encode]]/[[Y4m.decode]].
+    */
+  def y4mAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(_._2.length >= 96)
+      .mapPartitions(_.map { case (id, text) =>
+        val tb = text.getBytes("US-ASCII")
+        val L = tb.length
+        val nf = math.min(math.max(L / 96, 1), 8)
+        val frames = (0 until nf).map { k =>
+          Array.tabulate(96)(j => tb((k * 96 + j) % L))
+        }
+        Asset(id, "video/x-yuv4mpeg", Y4m.encode(8, 8, frames))
+      })
+  }
+
+  case class FrameDigest(doc_id: Long, frame_idx: Int, h: String)
+
+  /** Per-frame md5 digests over REAL decoded Y4M frames (the [[dHash]]
+    * analog at frame grain): malformed payloads drop, payload bytes
+    * never shuffle — decode runs per partition, only (doc_id, idx,
+    * 32-char digest) rows leave.
+    */
+  def y4mFrameDigests(spark: SparkSession, assets: Dataset[Asset])
+      : Dataset[FrameDigest] = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      Y4m.decode(a.payload).iterator.flatMap { case (_, _, frames) =>
+        frames.iterator.zipWithIndex.map { case (f, i) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          FrameDigest(a.doc_id, i,
+            md.digest(f).map("%02x".format(_)).mkString)
+        }
+      }
+    })
+  }
+
   /** REAL-codec audio materialization (the [[imageAssets]] twin): each
     * doc becomes a genuine WAV file whose 16-bit samples derive from
     * adjacent text bytes — sample(i) = b(i)·256 + b((i+1) mod L) −

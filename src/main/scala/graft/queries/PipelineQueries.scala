@@ -234,6 +234,37 @@ object PipelineQueries {
         .filter(col("shared_keys") >= 2)
     }),
 
+    // ---- VIDEO near-dup over a REAL container decode: q144's
+    // inverted frame index lifted from stub byte stripes to genuine
+    // YUV4MPEG2 streams — Multimodal.y4mAssets materializes each
+    // ≥96-byte doc as an 8×8 4:2:0 Y4M file (frame k cycles the text
+    // from offset (k·96) mod L), the REAL Y4m parser validates magic/
+    // dimensions/FRAME markers/frame sizing, and per-frame md5 digests
+    // come from the DECODED frame payloads. Same discipline as q144:
+    // distinct (doc_id, digest), ≤ 20 bucket cap (oracle-mirrored),
+    // pairs sharing ≥ 2 distinct frames. The oracle reassembles each
+    // frame as text substrings (one wrap max, by the L ≥ 96 gate) and
+    // hashes them — driver equality proves the container round trip,
+    // completing the real-codec story across all three modalities
+    // (PPM images, WAV audio, Y4M video). Payloads never shuffle.
+    "q274_y4m_frame_neardup" -> ((s, d) => {
+      val fh = Shared.frame(s, "y4m_fp", d)(
+        Multimodal.y4mFrameDigests(s,
+            Multimodal.y4mAssets(s, Tables.documents(s, d)))
+          .toDF()
+          .select(col("doc_id"), col("h"))
+          .distinct())
+      val sz = fh.groupBy(col("h")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= 20).select(col("h"))
+      val ok = fh.join(sz, "h")
+      val a = ok.select(col("h"), col("doc_id").as("a"))
+      val b = ok.select(col("h"), col("doc_id").as("b"))
+      a.join(b, "h").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
+    }),
+
     // ---- batch strike accounting: flagged events per user + INACTIVE
     // threshold (streaming StrikeMonitor's batch twin)
     "q33_strike_batch" -> ((s, d) => {
@@ -398,6 +429,27 @@ object PipelineQueries {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin
     },
+
+    "q274_y4m_frame_neardup" ->
+      """WITH w AS (SELECT doc_id, text, len(text) AS L
+        |  FROM documents WHERE len(text) >= 96),
+        |fr AS (SELECT doc_id,
+        |    CASE WHEN st + 96 <= L THEN substr(text, st + 1, 96)
+        |      ELSE substr(text, st + 1, L - st)
+        |        || substr(text, 1, 96 - (L - st)) END AS fbytes
+        |  FROM (SELECT doc_id, text, L, (k * 96) % L AS st
+        |    FROM w, unnest(generate_series(0,
+        |      least(greatest(L // 96, 1), 8) - 1)) t(k))),
+        |fh AS (SELECT DISTINCT doc_id, md5(fbytes) AS h FROM fr),
+        |sz AS (SELECT h FROM
+        |    (SELECT h, count(*) AS m FROM fh GROUP BY h)
+        |  WHERE m <= 20),
+        |ok AS (SELECT fh.* FROM fh JOIN sz USING (h))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  count(*) AS shared_frames
+        |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     "q31_multimodal_features" ->
       """SELECT doc_id,

@@ -243,6 +243,70 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.pcmShingles(spark, junk).collect().isEmpty)
   }
 
+  test("Y4m codec: encode/decode round-trips dims and every frame " +
+    "byte; FRAME markers with parameters are accepted") {
+    val fs = Multimodal.Y4m.frameSize(8, 8)
+    assert(fs == 96)
+    val frames = (0 until 3).map(k =>
+      Array.tabulate(fs)(j => ((k * 131 + j * 7) % 256).toByte))
+    val bytes = Multimodal.Y4m.encode(8, 8, frames)
+    val Some((w, h, back)) = Multimodal.Y4m.decode(bytes)
+    assert(w == 8 && h == 8 && back.length == 3)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // a frame marker carrying its own parameters still parses
+    val s = new String(bytes, "ISO-8859-1")
+    val withParams = s.replaceFirst("FRAME\n", "FRAME Ixyz\n")
+      .getBytes("ISO-8859-1")
+    val Some((_, _, back2)) = Multimodal.Y4m.decode(withParams)
+    assert(back2.length == 3 && back2.head.toSeq == frames.head.toSeq)
+  }
+
+  test("Y4m decode: wrong magic, odd dims, truncated frames, and " +
+    "missing FRAME markers are all rejected") {
+    val fs = Multimodal.Y4m.frameSize(8, 8)
+    val good = Multimodal.Y4m.encode(8, 8,
+      Seq(Array.fill[Byte](fs)(1)))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(Multimodal.Y4m.decode(badMagic).isEmpty)
+    // odd width in the header
+    val odd = new String(good, "ISO-8859-1")
+      .replaceFirst("W8", "W7").getBytes("ISO-8859-1")
+    assert(Multimodal.Y4m.decode(odd).isEmpty)
+    // truncated frame payload
+    assert(Multimodal.Y4m.decode(good.dropRight(1)).isEmpty)
+    // frame data without its FRAME marker
+    val noMarker = new String(good, "ISO-8859-1")
+      .replaceFirst("FRAME\n", "").getBytes("ISO-8859-1")
+    assert(Multimodal.Y4m.decode(noMarker).isEmpty)
+    // encode rejects odd dims and wrong frame sizes up front
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4m.encode(7, 8, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4m.encode(8, 8, Seq(Array.fill[Byte](10)(0)))
+    }
+  }
+
+  test("y4mFrameDigests: clone streams collide on every frame, short " +
+    "docs are gated out, malformed payloads drop") {
+    import spark.implicits._
+    val body = ("alpha beta gamma delta " * 10).trim // > 96 chars
+    val docs = Seq((1L, body), (2L, body), (3L, "short text"))
+      .toDF("doc_id", "text")
+    val dig = Multimodal.y4mFrameDigests(spark,
+      Multimodal.y4mAssets(spark, docs)).collect()
+    assert(dig.nonEmpty)
+    assert(!dig.exists(_.doc_id == 3L), "sub-96-byte docs are gated")
+    val byDoc = dig.groupBy(_.doc_id)
+      .view.mapValues(_.map(d => (d.frame_idx, d.h)).sortBy(_._1).toSeq)
+    assert(byDoc(1L) == byDoc(2L), "clones collide frame-for-frame")
+    val junk = Seq(Multimodal.Asset(9L, "video/x-yuv4mpeg",
+      Array.fill[Byte](200)(3))).toDS()
+    assert(Multimodal.y4mFrameDigests(spark, junk).collect().isEmpty)
+  }
+
   test("decoder is pluggable (stub swap point)") {
     import spark.implicits._
     val custom = new Multimodal.Decoder {
