@@ -1346,6 +1346,81 @@ object VectorQueries {
           (-col("m.nl")).as("maj_label"),
           col("m.c").as("maj_count"),
           expr("(m.c * 1000000) div n_members").as("purity_ppm"))
+    }),
+
+    // ---- IVF ROUTING-GEOMETRY audit (dot vs L2 assignment
+    // agreement): the index routes by MAX INTEGER DOT (the cosine-ish
+    // rule every leg shares), but L2-nearest is the geometry most ANN
+    // papers assume — and on UNNORMALIZED vectors the two genuinely
+    // disagree (max⟨v,c⟩ ≠ argmin‖v−c‖² when centroid norms differ).
+    // Per cluster: members, how many would route to the SAME centroid
+    // under argmin d² = n2v − 2·dot + n2c (all exact BIGINT — no sqrt
+    // enters, squared distances order identically), and the agreement
+    // ppm. A cluster with low agreement is serving recall losses that
+    // nprobe can't fix — the norm-spread diagnostic that says
+    // "normalize or switch metric" BEFORE q114's recall number drops.
+    // Scale: one k-row broadcast crossJoin over the shared quantized
+    // frame, map-combinable min_by/argmax folds, k output rows.
+    "q275_routing_geometry_audit" -> ((s, d) => {
+      import s.implicits._
+      val cents = centroidsFull(s, d)
+      val centDf = cents.map { case (cid, ce) =>
+        (cid, ce, ce.map(x => x * x).sum)
+      }.toDF("cid2", "ce", "n2c")
+      val assign = Vectors.assignTrained(Tables.embeddings(s, d),
+        "vec_id", "embedding", cents, KmScale)
+      val l2 = quantizedVecs(s, d).crossJoin(broadcast(centDf))
+        .select(col("vec_id"),
+          (col("n2") - lit(2L) * expr("doti(qv, ce)") + col("n2c"))
+            .as("d2"),
+          col("cid2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid2"), struct(col("d2"), col("cid2")))
+          .as("l2cid"))
+      assign.join(l2, "vec_id")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("cid") === col("l2cid"), 1L).otherwise(0L))
+            .as("n_l2_agree"))
+        .select(col("cid"), col("n_members"), col("n_l2_agree"),
+          expr("(n_l2_agree * 1000000) div n_members").as("agree_ppm"))
+    }),
+
+    // ---- PQ RECONSTRUCTION-DISTORTION audit: per subspace, the mean
+    // and max squared error between a vector's 8-dim slice and its
+    // assigned codebook centroid — the quantization-fidelity number
+    // behind q120's recall (recall says "the ranking survived", this
+    // says WHERE the 32× compression is spending its error budget; a
+    // subspace with outsized distortion wants more codebook bits).
+    // Rides the run-shared codebooks + code frame (one training, one
+    // encode per run); the error fold is map-combinable, per-vector
+    // e2 is exact in BIGINT (8 dims × (2·KmScale)² ≈ 3.2·10¹³), the
+    // sum accumulates in DECIMAL(38,0) (the q232/q259 mass idiom) and
+    // only the integral-div mean and the max — both BIGINT — are
+    // emitted. 8 output rows.
+    "q276_pq_distortion_audit" -> ((s, d) => {
+      import s.implicits._
+      val centDf = pqBooksShared(s, d).toSeq.flatMap { case (g, cs) =>
+        cs.map { case (cid, ce) => (g, cid, ce) }
+      }.toDF("gid2", "cid2", "ce")
+      val sv = pqStacked(Tables.embeddings(s, d))
+        .select(col("gid"), col("vec_id"),
+          expr(s"transform(sub, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+            s"${KmScale}L) AS BIGINT))").as("sv"))
+      pqCodesShared(s, d)
+        .join(sv, Seq("gid", "vec_id"))
+        .join(broadcast(centDf),
+          col("gid") === col("gid2") && col("cid") === col("cid2"))
+        .select(col("gid"),
+          expr("aggregate(zip_with(sv, ce, (a, b) -> (a - b) * (a - b))" +
+            ", 0L, (acc, x) -> acc + x)").as("e2"))
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(sum(CAST(e2 AS DECIMAL(38,0))) div count(1) " +
+            "AS BIGINT)").as("mean_e2"),
+          max(col("e2")).as("max_e2"))
+        .select(col("gid").cast("long").as("subspace"), col("n_vecs"),
+          col("mean_e2"), col("max_e2"))
     })
   )
 
@@ -2189,6 +2264,58 @@ object VectorQueries {
         |FROM d
         |JOIN n2 na ON d.label_a = na.label
         |JOIN n2 nb ON d.label_b = nb.label""".stripMargin,
+
+    "q275_routing_geometry_audit" ->
+      s"""WITH $kmeansCtes,
+        |${kmAssignCte(KmIters + 1, s"c$KmIters")},
+        |cn AS (SELECT cid, ce,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> ce[i] * ce[i]), (a, v) -> a + v) AS n2c
+        |  FROM c$KmIters),
+        |nv AS (SELECT vec_id, qv,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> qv[i] * qv[i]), (a, v) -> a + v) AS n2
+        |  FROM q),
+        |l2 AS (SELECT vec_id, cid AS l2cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        (v.n2 - 2 * list_reduce(list_transform(
+        |          generate_series(1, 64), i -> v.qv[i] * c.ce[i]),
+        |          (a, x) -> a + x) + c.n2c) ASC, c.cid ASC) AS rn
+        |    FROM nv v, cn c) WHERE rn = 1)
+        |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(CASE WHEN a.cid = l2.l2cid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_l2_agree,
+        |  CAST((sum(CASE WHEN a.cid = l2.l2cid THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS agree_ppm
+        |FROM a${KmIters + 1} a JOIN l2 USING (vec_id)
+        |GROUP BY a.cid""".stripMargin,
+
+    "q276_pq_distortion_audit" -> {
+      val legs = (0 until PqM).map { ss =>
+        s"""SELECT $ss AS subspace,
+           |  list_reduce(list_transform(generate_series(1, $PqDims),
+           |    j -> (t.sv[j] - c.ce[j]) * (t.sv[j] - c.ce[j])),
+           |    (a, v) -> a + v) AS e2
+           |FROM s${ss}code a
+           |JOIN (SELECT vec_id, sv FROM qs$ss) t USING (vec_id)
+           |JOIN s${ss}c$PqIters c USING (cid)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |$pqSubsCtes,
+        |$pqCodeCtes,
+        |err AS (
+        |$legs)
+        |SELECT CAST(subspace AS BIGINT) AS subspace,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(e2) // count(*) AS BIGINT) AS mean_e2,
+        |  CAST(max(e2) AS BIGINT) AS max_e2
+        |FROM err GROUP BY subspace""".stripMargin
+    },
 
     "q270_cluster_label_purity" ->
       s"""WITH $kmeansCtes,

