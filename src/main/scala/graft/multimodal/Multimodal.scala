@@ -205,7 +205,13 @@ object Multimodal {
     * its FRAME marker, or truncated frame data.
     */
   object Y4m {
-    def frameSize(w: Int, h: Int): Int = w * h * 3 / 2
+    // w*h*3 can exceed Int range even when the final /2 fits, so the
+    // product must be taken in Long before narrowing.
+    def frameSize(w: Int, h: Int): Int = {
+      val fs = w.toLong * h * 3 / 2
+      require(fs <= Int.MaxValue, s"4:2:0 frame ${w}x$h exceeds 2GiB")
+      fs.toInt
+    }
 
     def encode(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
       require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
@@ -283,13 +289,39 @@ object Multimodal {
     * (k·96) mod L — deterministic, wraps at most once (L ≥ 96), so the
     * oracle reassembles each frame as two text substrings. Payloads
     * round-trip through [[Y4m.encode]]/[[Y4m.decode]].
+    *
+    * ASCII-corpus contract (shared with [[imageAssets]]/[[wavAssets]]):
+    * bytes come from `getBytes("US-ASCII")` and the frame gate uses
+    * UTF-16 `String.length`, while the DuckDB oracle uses UTF-8
+    * `encode()` bytes and character `substr`/`len`. The two agree only
+    * when every document is pure ASCII (1 char = 1 byte, no '?'
+    * substitution) — true of the generated corpus and asserted where
+    * the assets are built. Non-ASCII corpora need UTF-8 `getBytes` and
+    * byte-length gating here to keep oracle hash parity.
     */
+  /** US-ASCII bytes of `text`, failing loudly on any non-ASCII char —
+    * enforcing the asset builders' ASCII-corpus contract (see
+    * [[y4mAssets]]) instead of silently '?'-substituting and breaking
+    * oracle hash parity.
+    */
+  private def asciiBytes(text: String, who: String): Array[Byte] = {
+    var i = 0
+    while (i < text.length) {
+      require(text.charAt(i) < 128,
+        f"$who: non-ASCII char U+${text.charAt(i).toInt}%04X at index " +
+          s"$i violates the ASCII-corpus contract (doc bytes would " +
+          "diverge from the oracle's UTF-8 encode())")
+      i += 1
+    }
+    text.getBytes("US-ASCII")
+  }
+
   def y4mAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .filter(_._2.length >= 96)
       .mapPartitions(_.map { case (id, text) =>
-        val tb = text.getBytes("US-ASCII")
+        val tb = asciiBytes(text, "y4mAssets")
         val L = tb.length
         val nf = math.min(math.max(L / 96, 1), 8)
         val frames = (0 until nf).map { k =>
@@ -327,12 +359,14 @@ object Multimodal {
     * covered, replayable as integer SQL). Payloads round-trip through
     * [[Wav.encode]]/[[Wav.decode]], so downstream consumers exercise
     * the real container parse, not a bytes-are-samples stub.
+    * ASCII-corpus contract: see [[y4mAssets]] — US-ASCII bytes match
+    * the oracle's UTF-8 `encode()` only on a pure-ASCII corpus.
     */
   def wavAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val tb = text.getBytes("US-ASCII")
+        val tb = asciiBytes(text, "wavAssets")
         val s = new Array[Short](tb.length)
         var i = 0
         while (i < tb.length) {
@@ -443,12 +477,14 @@ object Multimodal {
     * whole doc, no padding region to degenerate the fingerprint).
     * Payloads round-trip through [[Ppm.encode]]/[[Ppm.decode]], so
     * downstream consumers exercise the real codec path, not the fake.
+    * ASCII-corpus contract: see [[y4mAssets]] — US-ASCII bytes match
+    * the oracle's UTF-8 `encode()` only on a pure-ASCII corpus.
     */
   def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val tb = text.getBytes("US-ASCII")
+        val tb = asciiBytes(text, "imageAssets")
         val raster = new Array[Byte](16 * 16 * 3)
         var i = 0
         while (i < raster.length) {

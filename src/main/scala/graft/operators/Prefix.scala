@@ -101,22 +101,34 @@ object Prefix {
         "Use a plain Window.partitionBy per-key running sum instead — " +
         "at this cardinality it parallelizes without serializing any " +
         "key through one task — or raise spark.graft.prefix.maxPartials.")
+    // an all-NULL (key, chunk) group sums to NULL — carry it as None
+    // (instead of letting getLong throw an opaque NPE) so the offset
+    // algebra can distinguish "earlier chunks held no value" (None →
+    // the window's NULL) from "earlier values summed to 0" (Some(0))
     val partials = partialRows.map(r =>
-      (r.get(0), r.getInt(1), cols.indices.map(i => r.getLong(2 + i))))
+      (r.get(0), r.getInt(1), cols.indices.map(i =>
+        if (r.isNullAt(2 + i)) Option.empty[Long]
+        else Some(r.getLong(2 + i)))))
     // phase 3: offset of (key, chunk) = total of the key's EARLIER chunks
     val offsets = partials.groupBy(_._1).iterator.flatMap {
       case (key, rows) =>
         val sorted = rows.sortBy(_._2)
-        val cums = sorted.scanLeft(Vector.fill(cols.length)(0L)) {
-          (acc, r) => acc.lazyZip(r._3).map(_ + _)
-        }
+        val cums = sorted
+          .scanLeft(Vector.fill(cols.length)(Option.empty[Long])) {
+            (acc, r) => acc.lazyZip(r._3).map {
+              case (Some(a), Some(v)) => Some(a + v)
+              case (a, v)             => a.orElse(v)
+            }.toVector
+          }
         sorted.zip(cums).map { case ((_, chunk, _), offs) =>
           (key, chunk, offs)
         }
     }.toSeq
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets.map {
-        case (k, c, os) => org.apache.spark.sql.Row(k +: c +: os: _*)
+        case (k, c, os) =>
+          org.apache.spark.sql.Row(
+            k +: c +: os.map(_.map(Long.box).orNull): _*)
       }, 1),
       org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("__k",
@@ -125,7 +137,7 @@ object Prefix {
           org.apache.spark.sql.types.IntegerType, nullable = false) +:
         cols.indices.map(i =>
           org.apache.spark.sql.types.StructField(s"__off$i",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+            org.apache.spark.sql.types.LongType, nullable = true))))
     // phase 4: bounded within-chunk window + broadcast offset lookup
     val w = Window.partitionBy(col(keyCol), col("__chunk"))
       .orderBy(col(orderCol))
@@ -136,10 +148,16 @@ object Prefix {
     val joined = withLocals
       .join(broadcast(offDf), col(keyCol) <=> col("__k")
         && col("__chunk") === col("__chunk2"), "left")
+    // window-sum parity on NULLs: NULL only when NEITHER the in-chunk
+    // prefix (__local) NOR any earlier chunk (__off) held a value —
+    // otherwise NULLs are ignored, exactly like sum().over(window)
     val withOuts = cols.zipWithIndex.foldLeft(joined) {
       case (acc, ((_, out), i)) =>
         acc.withColumn(out,
-          col(s"__local$i") + coalesce(col(s"__off$i"), lit(0L)))
+          when(col(s"__local$i").isNull && col(s"__off$i").isNull,
+            lit(null).cast("bigint"))
+            .otherwise(coalesce(col(s"__local$i"), lit(0L)) +
+              coalesce(col(s"__off$i"), lit(0L))))
     }
     withOuts.drop("__chunk" +: "__k" +: "__chunk2" +:
       cols.indices.flatMap(i => Seq(s"__local$i", s"__off$i")): _*)
@@ -190,15 +208,22 @@ object Prefix {
         s"'$keyCol' key is too high-cardinality for the two-phase " +
         "prefix max. Use a plain per-key window instead, or raise " +
         "spark.graft.prefix.maxPartials.")
+    // an all-NULL (key, chunk) group's max is NULL — carry it as None
+    // (contributes nothing to the fold, but its chunk still inherits
+    // EARLIER chunks' offsets) instead of letting getLong NPE
     val partials = partialRows.map(r =>
-      (r.get(0), r.getInt(1), r.getLong(2)))
+      (r.get(0), r.getInt(1),
+        if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
     // offset of (key, chunk) = max over the key's EARLIER chunks
-    // (None when there is no earlier chunk — the strict-prefix NULL)
+    // (None when there is no earlier non-NULL value — strict-prefix NULL)
     val offsets = partials.groupBy(_._1).iterator.flatMap {
       case (key, rows) =>
         val sorted = rows.sortBy(_._2)
         val cums = sorted.scanLeft(Option.empty[Long]) { (acc, r) =>
-          Some(acc.fold(r._3)(math.max(_, r._3)))
+          (acc, r._3) match {
+            case (Some(a), Some(v)) => Some(math.max(a, v))
+            case (a, v)             => a.orElse(v)
+          }
         }
         sorted.zip(cums).map { case ((_, chunk, _), off) =>
           (key, chunk, off)

@@ -289,6 +289,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Y4m decode: dims whose w*h*3 overflows Int (but w*h*3/2 fits " +
+    "in Long) return None instead of crashing") {
+    // w*h*3/2 = 1.35e9 < Int.MaxValue so the Long envelope passes, but
+    // Int w*h*3 = 2.7e9 wraps negative — the crafted-payload crash
+    // class: decode must hit the truncated-frame check and return None
+    val crafted = ("YUV4MPEG2 W30000 H30000\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII")
+    assert(Multimodal.Y4m.decode(crafted).isEmpty)
+    // and a genuinely over-2GiB frame still trips the Long envelope
+    val tooBig = "YUV4MPEG2 W65536 H65536\nFRAME\n".getBytes("US-ASCII")
+    assert(Multimodal.Y4m.decode(tooBig).isEmpty)
+    // frameSize itself now refuses the overflow loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4m.frameSize(65536, 65536)
+    }
+  }
+
+  test("asset builders fail loudly on non-ASCII text — the ASCII-corpus " +
+    "contract is enforced, not silently '?'-substituted") {
+    import spark.implicits._
+    val docs = Seq((1L, "café au lait " * 12)).toDF("doc_id", "text")
+    def chain(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) {
+        sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause
+      }
+      sb.toString
+    }
+    Seq(
+      () => Multimodal.imageAssets(spark, docs).collect(),
+      () => Multimodal.wavAssets(spark, docs).collect(),
+      () => Multimodal.y4mAssets(spark, docs).collect()
+    ).foreach { run =>
+      val ex = intercept[Throwable](run())
+      assert(chain(ex).contains("ASCII-corpus contract"),
+        s"expected the contract message, got: ${chain(ex)}")
+    }
+  }
+
   test("y4mFrameDigests: clone streams collide on every frame, short " +
     "docs are gated out, malformed payloads drop") {
     import spark.implicits._

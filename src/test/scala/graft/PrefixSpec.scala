@@ -126,6 +126,35 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("__chunk"), plan)
   }
 
+  test("runningMax and runningSum survive an all-NULL (key, chunk) " +
+    "group and still match the per-key window") {
+    import spark.implicits._
+    // key "kn" is entirely NULL-valued (its chunk partials aggregate to
+    // NULL — used to NPE in the partials fetch); "km" leads with a long
+    // NULL stretch; "ko" sandwiches a NULL-only stretch BETWEEN valued
+    // regions, so offsets must carry prior sums/maxima ACROSS a chunk
+    // whose own partial is NULL (numChunks = 8 over ids 1..600 makes
+    // each stretch own whole chunks)
+    val rows = (1L to 600L).map { i =>
+      val k = if (i <= 120) "kn" else if (i <= 360) "km" else "ko"
+      val valued = (k == "km" && i > 280) ||
+        (k == "ko" && (i <= 440 || i > 520))
+      val v: java.lang.Long =
+        if (valued) Long.box(((i * 31) % 97) - 48) else null
+      (k, Long.box(i), v)
+    }
+    val df = rows.toDF("k", "id", "v")
+    val gotM = Prefix.runningMax(df, "k", "id", "v", "cm", numChunks = 8)
+    val wM = Window.partitionBy(col("k")).orderBy(col("id"))
+    val wantM = df.withColumn("cm", max(col("v").cast("bigint")).over(wM))
+    assert(canon(gotM.select("k", "id", "cm"))
+      == canon(wantM.select("k", "id", "cm")))
+    val gotS = Prefix.runningSum(df, "k", "id", "v", "cs", numChunks = 8)
+    val wantS = df.withColumn("cs", sum(col("v").cast("bigint")).over(wM))
+    assert(canon(gotS.select("k", "id", "cs"))
+      == canon(wantS.select("k", "id", "cs")))
+  }
+
   test("runningMax refuses a high-cardinality key past the partials cap") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"k$i", i, i)).toDF("k", "id", "v")
