@@ -1912,10 +1912,12 @@ object CorpusQueries {
     // doc_id asc — deterministic ties); the covered-shingle set
     // entering the next round is the shingles of ≤ r picked docs —
     // bounded by r × doc length BY CONSTRUCTION, so its broadcast can
-    // never grow corpus-shaped. Rounds are plan composition, not
-    // driver iteration: no collect anywhere; the 3-row cumulative
-    // fold is a 3×3 self-join (no global window). Shingles travel as
-    // 60-bit md5 longs (wkey).
+    // never grow corpus-shaped. Rounds ARE a greedy driver loop —
+    // three 1-row collects plus one 1-row total fetch, adopted after
+    // measuring the fully lazy plan-composition alternative at 8×
+    // the cost (details at the loop below); driver state is 3 doc
+    // ids + 3 gains, never corpus-shaped. Shingles travel as 60-bit
+    // md5 longs (wkey).
     "q268_greedy_coverage" -> ((s, d) => {
       val toks = Shared.frame(s, "doc_tri_distinct", d) {
         Text.wordShingles(Tables.documents(s, d), "doc_id", "text")
@@ -2042,6 +2044,139 @@ object CorpusQueries {
         .select(col("tok"), col("ref_rank"), col("ref_cnt"),
           col("cur_rank"), col("cur_cnt"),
           (col("ref_rank") - col("cur_rank")).as("rank_shift"))
+    }),
+
+    // ---- the FULL curation pipeline, second generation: q95 chained
+    // the 2023-era gates (LSH near-dup → repetition filter → split);
+    // this chains the robust-statistics-era stages the suite has
+    // since grown — near-dup removal (q38's canonical rule) → MAD
+    // outlier QUARANTINE recomputed over the survivors (q260's math —
+    // the medians must move with the population or the gate drifts) →
+    // soft-dedup EFFECTIVE MIXTURE over the kept set (q259's
+    // 1/dup_count weighting) → sequence PACKING bins (q110's
+    // concat-and-cut) — as ONE lazy plan at per-source pipeline
+    // grain, proving the stages compose without intermediate
+    // materialization drift (the oracle replays the whole chain).
+    // Scale: the pairs frame is the run-shared LSH index; the
+    // canonical frame is a PERSISTED narrow (id, source, digest, len)
+    // projection (the quality_signals discipline — five downstream
+    // actions each re-tokenizing + re-hashing the full text measured
+    // 25 s at sf0.1 vs ~3 s cached; text itself never enters the
+    // cache); both quarantine medians are histogram-grain
+    // value-at-rank reads over chunk-bounded Prefix.runningSum (never
+    // a per-source sort window); the mixture is one digest group-by +
+    // a 1-row broadcast of kept-corpus totals; the packing stage
+    // reduces to (tokens_kept − 1) div win + 1 — concat-and-cut
+    // leaves no gaps, so q110's per-doc layout collapses to its total
+    // at pipeline grain, and the ORACLE still builds the full
+    // per-source running-sum layout and folds max bin, so the hash
+    // compare PROVES the reduction identity on every run (the q271
+    // oracle pattern). All integer arithmetic (ppm by integral div).
+    "q277_curation_e2e" -> ((s, d) => {
+      val win = 2048
+      val docs = Tables.documents(s, d)
+      // stage 1 — near-dup: canonical = never the larger id of a pair
+      val canon = Shared.frame(s, "curation_canon", d) {
+        val pairs = TextQueries.sharedCandidatePairs(s, d)
+        docs.join(pairs.select(col("doc_b")),
+            docs("doc_id") === col("doc_b"), "left_anti")
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("h"),
+            size(split(col("text"), " ")).cast("bigint").as("toks"))
+      }
+      // stages 2+3 — MAD quarantine over the SURVIVOR population, then
+      // per-doc soft-dedup weights, cached as ONE doc-grain frame: the
+      // median/MAD prefix pipelines and the digest window would
+      // otherwise re-run inside every consumer branch (measured 16 s
+      // steady at sf0.1 vs ~1 s with the two caches). median_len/mad
+      // travel as columns of the kept frame (constant per source), so
+      // the final fold never re-plans the quarantine subtrees.
+      val kept = Shared.frame(s, "curation_kept", d) {
+        val hist = canon.groupBy(col("source"), col("toks"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = hist.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("docs_canonical"))
+        val med = graft.operators.Prefix
+          .runningSum(hist, "source", "toks", "cnt", "cum")
+          .join(broadcast(tot), "source")
+          .groupBy(col("source"))
+          .agg(min(when(col("cum") * 2 >= col("docs_canonical"),
+            col("toks"))).as("median_len"))
+        val devHist = hist.join(broadcast(med), "source")
+          .select(col("source"),
+            abs(col("toks") - col("median_len")).as("dev"), col("cnt"))
+          .groupBy(col("source"), col("dev"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val mad = graft.operators.Prefix
+          .runningSum(devHist, "source", "dev", "cnt", "cumd")
+          .join(broadcast(tot), "source")
+          .groupBy(col("source"))
+          .agg(min(when(col("cumd") * 2 >= col("docs_canonical"),
+            col("dev"))).as("mad"))
+        // the (source, median, MAD) gate table is planner-scale BY
+        // CONSTRUCTION (one row per source), so fetch it as a bounded
+        // local frame (the centroid-fetch posture, LIMIT-guarded like
+        // Prefix's partials): embedding the two prefix pipelines as
+        // broadcast SUBTREES instead made every downstream action
+        // re-canonicalize a huge plan (~0.7 s/scan measured)
+        val gateRows = med.join(mad, "source").limit(100001).collect()
+        require(gateRows.length <= 100000,
+          "q277: > 100000 sources — the per-source gate table is no " +
+            "longer planner-scale; stage the quarantine differently")
+        val gateDf = s.createDataFrame(
+          s.sparkContext.parallelize(gateRows.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types
+              .StructField("source", canon.schema("source").dataType),
+            org.apache.spark.sql.types.StructField("median_len",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mad",
+              org.apache.spark.sql.types.LongType))))
+        // dup_count rides ONE window over the digest (high-cardinality
+        // partition key — parallelizes with data) instead of a
+        // groupBy + join-back that would scan the gate output twice
+        import org.apache.spark.sql.expressions.Window
+        canon.join(broadcast(gateDf), "source")
+          .filter(abs(col("toks") - col("median_len"))
+            <= col("mad") * 3)
+          .withColumn("dup_count", count(lit(1))
+            .over(Window.partitionBy(col("h"))))
+      }
+      val per = kept
+        .select(col("source"), col("toks"), col("median_len"),
+          col("mad"),
+          (col("toks") * expr("1000000L div dup_count"))
+            .cast("decimal(38,0)").as("wt"))
+        .groupBy(col("source"))
+        .agg(max(col("median_len")).as("median_len"),
+          max(col("mad")).as("mad"),
+          count(lit(1)).as("docs_kept"),
+          sum(col("toks")).as("tokens_kept"),
+          sum(col("wt")).as("wt_mass"))
+      val ctot = per.agg(
+        sum(col("tokens_kept")).cast("decimal(38,0)").as("tot_raw"),
+        sum(col("wt_mass")).as("tot_wt"))
+      val tot = canon.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_canonical"))
+      // stage 4 — packing bins: concat-and-cut leaves no gaps, so the
+      // bins a source's kept stream occupies = (total − 1) div win + 1;
+      // the oracle derives the same number from the FULL q110 running-
+      // sum layout, so parity proves the identity. Raw per-source doc
+      // counts fold off the run-shared length histogram (one cached
+      // scan, shared with q226/q258/q260) instead of re-reading the
+      // documents table.
+      lenHist(s, d).groupBy(col("source"))
+        .agg(sum(col("cnt")).as("docs_raw"))
+        .join(tot, "source").join(per, "source")
+        .crossJoin(broadcast(ctot))
+        .select(col("source"), col("docs_raw"), col("docs_canonical"),
+          col("docs_kept"), col("median_len"), col("mad"),
+          col("tokens_kept"),
+          expr("CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000 " +
+            "div tot_raw AS BIGINT)").as("raw_ppm"),
+          expr("CAST(wt_mass * 1000000 div tot_wt AS BIGINT)")
+            .as("eff_ppm"),
+          expr(s"(tokens_kept - 1) div $win + 1").as("n_bins"))
     })
   )
 
@@ -3374,7 +3509,80 @@ object CorpusQueries {
         |SELECT coalesce(ref.tok, cur.tok) AS tok,
         |  ref_rank, ref_cnt, cur_rank, cur_cnt,
         |  ref_rank - cur_rank AS rank_shift
-        |FROM ref FULL OUTER JOIN cur ON ref.tok = cur.tok""".stripMargin
+        |FROM ref FULL OUTER JOIN cur ON ref.tok = cur.tok""".stripMargin,
+
+    "q277_curation_e2e" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |canon AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+        |hs AS (SELECT source, toks, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM canon GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(cnt) AS BIGINT)
+        |    AS docs_canonical
+        |  FROM hs GROUP BY 1),
+        |c AS (SELECT source, toks,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM hs),
+        |med AS (SELECT c.source,
+        |    min(CASE WHEN c.cum * 2 >= g.docs_canonical
+        |      THEN c.toks END) AS median_len
+        |  FROM c JOIN g ON c.source = g.source GROUP BY c.source),
+        |dh AS (SELECT hs.source,
+        |    abs(hs.toks - med.median_len) AS dev,
+        |    CAST(sum(hs.cnt) AS BIGINT) AS cnt
+        |  FROM hs JOIN med ON hs.source = med.source GROUP BY 1, 2),
+        |cd AS (SELECT source, dev,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumd
+        |  FROM dh),
+        |mad AS (SELECT cd.source,
+        |    min(CASE WHEN cd.cumd * 2 >= g.docs_canonical
+        |      THEN cd.dev END) AS mad
+        |  FROM cd JOIN g ON cd.source = g.source GROUP BY cd.source),
+        |kept AS (SELECT canon.doc_id, canon.source, canon.h,
+        |    canon.toks
+        |  FROM canon
+        |  JOIN med ON canon.source = med.source
+        |  JOIN mad ON canon.source = mad.source
+        |  WHERE abs(canon.toks - med.median_len) <= mad.mad * 3),
+        |grp AS (SELECT h, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM kept GROUP BY 1),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+        |    CAST(sum(toks) AS BIGINT) AS tokens_kept,
+        |    CAST(sum(CAST(toks * (1000000 // dup_count) AS HUGEINT))
+        |      AS HUGEINT) AS wt_mass
+        |  FROM kept JOIN grp USING (h) GROUP BY 1),
+        |ctot AS (SELECT CAST(sum(tokens_kept) AS HUGEINT) AS tot_raw,
+        |    CAST(sum(wt_mass) AS HUGEINT) AS tot_wt
+        |  FROM per),
+        |pk AS (SELECT source,
+        |    CAST(max((cum - 1) // 2048) + 1 AS BIGINT) AS n_bins
+        |  FROM (SELECT source,
+        |      CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS cum
+        |    FROM kept)
+        |  GROUP BY 1),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_raw
+        |  FROM documents GROUP BY 1)
+        |SELECT raw.source AS source, raw.docs_raw, g.docs_canonical,
+        |  per.docs_kept, med.median_len, mad.mad, per.tokens_kept,
+        |  CAST((CAST(per.tokens_kept AS HUGEINT) * 1000000)
+        |    // ctot.tot_raw AS BIGINT) AS raw_ppm,
+        |  CAST((per.wt_mass * 1000000) // ctot.tot_wt AS BIGINT)
+        |    AS eff_ppm,
+        |  pk.n_bins
+        |FROM raw
+        |JOIN g ON raw.source = g.source
+        |JOIN med ON raw.source = med.source
+        |JOIN mad ON raw.source = mad.source
+        |JOIN per ON raw.source = per.source
+        |JOIN pk ON raw.source = pk.source, ctot""".stripMargin
   )
 
   /** q240/q241 shared oracle CTE: the per-doc quality signals exactly
