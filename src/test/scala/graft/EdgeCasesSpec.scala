@@ -705,4 +705,76 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(out((0, 1)), "same-direction labels must flag")
     assert(!out((0, 2)) && !out((1, 2)), "orthogonal labels must not")
   }
+
+  test("StreamKsDrift zero-doc window: gap windows emit no row, so the " +
+    "C=0 divide-by-zero class is structurally unreachable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val ref = graft.streaming.StreamKsDrift.referenceFrom(
+      (1 to 10).map(doc).toDF("text"), "text", nGrid = 4)
+    val input = MemoryStream[DocEvt]
+    val out = graft.streaming.StreamKsDrift.drift(
+      input.toDF(), ref, "1 minute", "1 minute")
+    val q = out.writeStream.format("memory").queryName("kszero")
+      .outputMode("append").start()
+    try {
+      // docs land in 10:00 and 10:02 — 10:01 is a zero-doc gap window
+      input.addData(DocEvt(1, t("2024-01-01 10:00:10"), doc(3)))
+      input.addData(DocEvt(2, t("2024-01-01 10:02:10"), doc(7)))
+      input.addData(DocEvt(3, t("2024-01-01 10:10:00"), "z")) // closer
+      q.processAllAvailable()
+      val rows = spark.table("kszero").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      // only the two populated windows exist; every emitted n_docs > 0,
+      // so d_ppm's `div (n_docs * R)` can never see a zero denominator
+      assert(rows.map(_._1).toSet == Set(
+        t("2024-01-01 10:00:00"), t("2024-01-01 10:02:00")),
+        s"gap window must not emit: ${rows.toSeq}")
+      assert(rows.forall(_._2 > 0L))
+    } finally q.stop()
+  }
+
+  test("StreamKsDrift degenerate grid: a single-length reference " +
+    "collapses nGrid=2 to one cut and the monitor stays exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // all 50 reference docs have length 5 → both quantile targets land
+    // on the same value → cuts.distinct collapses to ONE grid point
+    val ref = graft.streaming.StreamKsDrift.referenceFrom(
+      Seq.fill(50)(doc(5)).toDF("text"), "text", nGrid = 2)
+    assert(ref.cuts == Seq(5L) && ref.refCum == Seq(50L)
+      && ref.refTotal == 50L)
+    val input = MemoryStream[DocEvt]
+    val out = graft.streaming.StreamKsDrift.drift(
+      input.toDF(), ref, "1 minute", "1 minute")
+    val q = out.writeStream.format("memory").queryName("ksdegen")
+      .outputMode("append").start()
+    try {
+      // 10:00 mirrors the reference (all length 5) — D must be exactly 0
+      (1 to 10).foreach(i => input.addData(
+        DocEvt(i.toLong, t("2024-01-01 10:00:10"), doc(5))))
+      // 10:01 puts ALL mass above the single cut — g0 = 0, so
+      // dnum = refCum·C = R·C, i.e. D = 1, the maximum the one-point
+      // grid can express; far past the α=0.05 critical value
+      (1 to 20).foreach(i => input.addData(
+        DocEvt(100L + i, t("2024-01-01 10:01:10"), doc(9))))
+      input.addData(DocEvt(999, t("2024-01-01 10:10:00"), "z")) // closer
+      q.processAllAvailable()
+      val rows = spark.table("ksdegen").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+      val w1 = rows.find(_._1 == t("2024-01-01 10:00:00")).get
+      val w2 = rows.find(_._1 == t("2024-01-01 10:01:00")).get
+      assert(w1._2 == 10L && w1._3 == 0L && !w1._4,
+        s"mirror window must be exactly clean: $w1")
+      assert(w2._2 == 20L && w2._3 == 1000000L && w2._4,
+        s"all-mass-above-cut window must hit D = 1 and flag: $w2")
+    } finally q.stop()
+  }
 }
