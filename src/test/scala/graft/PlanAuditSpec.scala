@@ -331,7 +331,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // that turns the bounded fetches back into a lazy mega-plan
       "q260_mad_outliers" -> (18, 1),
       "q97_edit_banded" -> (2, 0),
-      "q146_dedup_agreement" -> (18, 8))
+      "q146_dedup_agreement" -> (18, 8),
+      // round-12 entrants: the two ANN audits that landed at round-11
+      // close without instrumentation, and the curation composite
+      // (its pin also guards the staged design — the naive composition
+      // measured 117 exchanges before the canonical/kept frames and
+      // the local gate fetch brought it to 19)
+      "q275_routing_geometry_audit" -> (3, 1),
+      "q276_pq_distortion_audit" -> (2, 0),
+      "q277_curation_e2e" -> (19, 2))
     val failures = budgets.toSeq.sortBy(_._1).flatMap {
       case (name, (maxEx, maxSmj)) =>
         val (ex, smj) = PlanBudget.counts(spark, name, sf)
