@@ -2052,11 +2052,13 @@ object CorpusQueries {
     // since grown — near-dup removal (q38's canonical rule) → MAD
     // outlier QUARANTINE recomputed over the survivors (q260's math —
     // the medians must move with the population or the gate drifts) →
-    // soft-dedup EFFECTIVE MIXTURE over the kept set (q259's
-    // 1/dup_count weighting) → sequence PACKING bins (q110's
-    // concat-and-cut) — as ONE lazy plan at per-source pipeline
-    // grain, proving the stages compose without intermediate
-    // materialization drift (the oracle replays the whole chain).
+    // soft-dedup EFFECTIVE MIXTURE of the kept set under q259's
+    // 1/dup_count weights taken from the RAW corpus (within-kept
+    // counts are provably constant 1 — see the dup_count note in the
+    // builder) → sequence PACKING bins (q110's concat-and-cut) — as
+    // ONE lazy plan at per-source pipeline grain, proving the stages
+    // compose without intermediate materialization drift (the oracle
+    // replays the whole chain).
     // Scale: the pairs frame is the run-shared LSH index; the
     // canonical frame is a PERSISTED narrow (id, source, digest, len)
     // projection (the quality_signals discipline — five downstream
@@ -2064,8 +2066,9 @@ object CorpusQueries {
     // 25 s at sf0.1 vs ~3 s cached; text itself never enters the
     // cache); both quarantine medians are histogram-grain
     // value-at-rank reads over chunk-bounded Prefix.runningSum (never
-    // a per-source sort window); the mixture is one digest group-by +
-    // a 1-row broadcast of kept-corpus totals; the packing stage
+    // a per-source sort window); the mixture weights ride the
+    // run-shared family map + a 1-row broadcast of kept-corpus
+    // totals; the packing stage
     // reduces to (tokens_kept − 1) div win + 1 — concat-and-cut
     // leaves no gaps, so q110's per-doc layout collapses to its total
     // at pipeline grain, and the ORACLE still builds the full
@@ -2132,15 +2135,21 @@ object CorpusQueries {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("mad",
               org.apache.spark.sql.types.LongType))))
-        // dup_count rides ONE window over the digest (high-cardinality
-        // partition key — parallelizes with data) instead of a
-        // groupBy + join-back that would scan the gate output twice
-        import org.apache.spark.sql.expressions.Window
+        // dup_count = the doc's exact-dup family size in the RAW
+        // corpus (the run-shared lsh_members frame), NOT within the
+        // kept set: identical texts always share every LSH band, so
+        // near-dup removal provably leaves the kept set md5-unique
+        // and a within-kept count would be constant 1 — the mixture
+        // stage would be vacuous. Weighting survivors by their raw
+        // family size is the q259 soft-dedup read THROUGH the
+        // pipeline: a source whose survivors were heavily cloned
+        // upstream shrinks, a clean source grows.
         canon.join(broadcast(gateDf), "source")
           .filter(abs(col("toks") - col("median_len"))
             <= col("mad") * 3)
-          .withColumn("dup_count", count(lit(1))
-            .over(Window.partitionBy(col("h"))))
+          .join(TextQueries.sharedMembers(s, d)
+            .select(col("doc_id"), col("fsize").as("dup_count")),
+            "doc_id")
       }
       val per = kept
         .select(col("source"), col("toks"), col("median_len"),
@@ -3550,8 +3559,9 @@ object CorpusQueries {
         |  JOIN med ON canon.source = med.source
         |  JOIN mad ON canon.source = mad.source
         |  WHERE abs(canon.toks - med.median_len) <= mad.mad * 3),
-        |grp AS (SELECT h, CAST(count(*) AS BIGINT) AS dup_count
-        |  FROM kept GROUP BY 1),
+        |grp AS (SELECT md5(text) AS h,
+        |    CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM documents GROUP BY 1),
         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
         |    CAST(sum(toks) AS BIGINT) AS tokens_kept,
         |    CAST(sum(CAST(toks * (1000000 // dup_count) AS HUGEINT))

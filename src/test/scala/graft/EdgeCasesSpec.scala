@@ -706,6 +706,64 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(!out((0, 2)) && !out((1, 2)), "orthogonal labels must not")
   }
 
+  test("q277 planted pipeline: clones collapse, the outlier " +
+    "quarantines, and clone-heavy survivors shrink in the mixture") {
+    def doc(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // sa: 4 exact clones (one canonical survives, raw family size 4)
+    // + two distinct docs; lengths 40/36/44 → median 40, MAD 4, all kept
+    // sb: 5 distinct docs, lengths 30/32/34/36/300 → median 34, MAD 2,
+    // the 300-token doc quarantines
+    val clone = doc("ca", 40)
+    val d = docsDir(Seq(
+      (1L, clone, "en", "sa", clone.length.toLong),
+      (2L, clone, "en", "sa", clone.length.toLong),
+      (3L, clone, "en", "sa", clone.length.toLong),
+      (4L, clone, "en", "sa", clone.length.toLong),
+      (5L, doc("da", 36), "en", "sa", 1L),
+      (6L, doc("db", 44), "en", "sa", 1L),
+      (7L, doc("ea", 30), "en", "sb", 1L),
+      (8L, doc("eb", 32), "en", "sb", 1L),
+      (9L, doc("ec", 34), "en", "sb", 1L),
+      (10L, doc("ed", 36), "en", "sb", 1L),
+      (11L, doc("ee", 300), "en", "sb", 1L)))
+    val out = SparkEntry.queries("q277_curation_e2e")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9))).toMap
+    // sa kept tokens 40+36+44 = 120; weights: canonical clone carries
+    // its RAW family weight 40·(10^6 div 4), the distinct docs 10^6
+    // each → wt 90e6 of tot 222e6 = 405405 ppm vs raw 476190 ppm —
+    // the clone-heavy source SHRINKS under soft-dedup weighting
+    assert(out("sa") == ((6L, 3L, 3L, 40L, 4L, 120L, 476190L,
+      405405L, 1L)), s"sa: ${out("sa")}")
+    // sb: the 300-token doc is |300-34| = 266 > 3·MAD(2) → quarantined
+    assert(out("sb") == ((5L, 5L, 4L, 34L, 2L, 132L, 523809L,
+      594594L, 1L)), s"sb: ${out("sb")}")
+  }
+
+  test("q277 invariants on the test corpus: monotone doc counts, " +
+    "ppm bounded, packing-bin identity") {
+    val rows = SparkEntry.queries("q277_curation_e2e")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var rawSum = 0L; var effSum = 0L
+    rows.foreach { r =>
+      val (raw, canon, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept >= 1 && kept <= canon && canon <= raw,
+        s"${r.getString(0)}: counts must be monotone: $raw/$canon/$kept")
+      val toks = r.getLong(6)
+      assert(r.getLong(9) == (toks - 1) / 2048 + 1,
+        s"${r.getString(0)}: n_bins must replay the closed form")
+      assert(r.getLong(7) <= 1000000L && r.getLong(8) <= 1000000L)
+      rawSum += r.getLong(7); effSum += r.getLong(8)
+    }
+    // integral-div floor rounding loses < 1 ppm per source
+    assert(rawSum <= 1000000L && rawSum > 1000000L - rows.length)
+    assert(effSum <= 1000000L && effSum > 1000000L - rows.length)
+  }
+
   test("StreamKsDrift zero-doc window: gap windows emit no row, so the " +
     "C=0 divide-by-zero class is structurally unreachable") {
     import spark.implicits._

@@ -339,7 +339,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // the local gate fetch brought it to 19)
       "q275_routing_geometry_audit" -> (3, 1),
       "q276_pq_distortion_audit" -> (2, 0),
-      "q277_curation_e2e" -> (19, 2))
+      "q277_curation_e2e" -> (18, 2))
     val failures = budgets.toSeq.sortBy(_._1).flatMap {
       case (name, (maxEx, maxSmj)) =>
         val (ex, smj) = PlanBudget.counts(spark, name, sf)
