@@ -70,6 +70,61 @@ object Bench {
       n -> prior.get(n).filter(p => p > 0 && p < sec).getOrElse(sec)
     }
 
+  /** VERDICT r12 #1 (sanctioned fallback): when the host refuses a
+    * quiet full-suite window, a NEW query's exclusive line may be
+    * measured in a load-gated scoped micro-window (the TimeQ
+    * steady-state protocol the watch-threshold adjudication already
+    * trusts) and recorded in BENCH_EXCLUSIVE.json under a separate
+    * `"provisional"` map — never in `"queries"`. Supersede rule, both
+    * directions: a committed line always wins (the effective
+    * reference takes a provisional value only for a key with no
+    * committed line), and a clean full-suite refresh — which by
+    * construction covers every query — drops every superseded
+    * provisional key, so provisional lines cannot outlive the first
+    * quiet window. Non-positive sentinels never enter the reference.
+    */
+  def effectiveRef(committed: Map[String, Double],
+      provisional: Map[String, Double]): Map[String, Double] =
+    committed ++ provisional.filter { case (k, v) =>
+      v > 0 && !committed.contains(k)
+    }
+
+  /** Provisional keys that survive a committed-reference refresh:
+    * only those the new committed line set STILL does not cover.
+    */
+  def carryProvisional(newCommitted: Map[String, Double],
+      provisional: Map[String, Double]): Map[String, Double] =
+    provisional.filter { case (k, v) =>
+      v > 0 && !newCommitted.contains(k)
+    }
+
+  /** Replace (or append) the `"provisional":{…}` entry of a one-line
+    * bench JSON record, leaving every other byte of the committed line
+    * untouched — a provisional micro-window must not be able to
+    * perturb the committed fields it rides alongside. `provJson` is
+    * the rendered flat map, e.g. `{"q275_x":0.31}`.
+    */
+  def upsertProvisional(line: String, provJson: String): String = {
+    val key = "\"provisional\":"
+    val idx = line.indexOf(key + "{")
+    if (idx >= 0) {
+      // flat name→sec map: the first '}' after the key closes it
+      val end = line.indexOf("}", idx)
+      line.substring(0, idx) + key + provJson + line.substring(end + 1)
+    } else {
+      val cut = line.lastIndexOf("}")
+      line.substring(0, cut) + "," + key + provJson + line.substring(cut)
+    }
+  }
+
+  /** Micro-window cleanliness gate for provisional lines: both the
+    * pre-run and post-run job-overhead floors must sit at the quiet
+    * floor (~0.07 s; every round-12 CONTENDED run measured ≥ 0.12 s),
+    * or the window refuses to record — the same refuse-don't-loosen
+    * posture the full-suite exclusive refresh uses.
+    */
+  private[graft] val ProvisionalFloorSec = 0.10
+
   /** VERDICT r10 #1 (the q112 incident): breach re-times run right
     * after a contended pass on the same still-noisy host, so a retime
     * can itself be garbage — round 10 published a 62.9 s median-of-3
@@ -211,8 +266,17 @@ object Bench {
     }
     // optional subset run (scale smokes over partial-table clone dirs):
     // SPARK_GRAFT_BENCH_ONLY=q22_ngram_jaccard,q87_triangles
+    // provisional micro-window (VERDICT r12 #1 fallback):
+    // SPARK_GRAFT_BENCH_PROVISIONAL=q275_…,q276_… scopes the run to
+    // the named queries AND — iff the window measures quiet at both
+    // ends — records their lines in BENCH_EXCLUSIVE.json's
+    // "provisional" map (committed "queries" lines are never touched)
+    val provisionalScope = sys.env.get("SPARK_GRAFT_BENCH_PROVISIONAL")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(provisionalScope)
     // deterministic name order: per-query numbers comparable across runs
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
@@ -282,17 +346,26 @@ object Bench {
     // breaching query in-process (median of 3) so the artifact carries
     // its own correction — a contended run self-identifies instead of
     // waiting for judge archaeology.
-    def readMedians(path: String): Map[String, Double] =
+    def readMap(path: String, key: String): Map[String, Double] =
       try {
         val txt = new String(Files.readAllBytes(Paths.get(path)),
           StandardCharsets.UTF_8)
-        val qsec = txt.indexOf("\"queries\":{")
-        val body = txt.substring(qsec + 11, txt.indexOf("}", qsec))
+        val marker = "\"" + key + "\":{"
+        val qsec = txt.indexOf(marker)
+        val body =
+          txt.substring(qsec + marker.length, txt.indexOf("}", qsec))
         "\"(q[^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    def readMedians(path: String): Map[String, Double] =
+      readMap(path, "queries")
+    // the breach test measures against the EFFECTIVE reference —
+    // committed lines plus provisional micro-window lines for queries
+    // no committed line covers yet (VERDICT r12 #1)
     val exclusiveRef: Map[String, Double] =
-      if (only.isEmpty) readMedians("BENCH_EXCLUSIVE.json")
+      if (only.isEmpty)
+        effectiveRef(readMedians("BENCH_EXCLUSIVE.json"),
+          readMap("BENCH_EXCLUSIVE.json", "provisional"))
       else Map.empty[String, Double]
     val breaches = results.filter { case (n, sec) =>
       sec >= 1.0 && exclusiveRef.get(n).exists(ref => ref > 0 && sec / ref >= 4.0)
@@ -380,12 +453,74 @@ object Bench {
         val merged =
           mergeExclusiveRef(readMedians("BENCH_EXCLUSIVE.json"), results)
         val mergedTotal = merged.map(_._2).sum
+        // supersede rule (VERDICT r12 #1): every provisional key this
+        // clean pass now covers with a committed line is dropped; a
+        // full-suite pass covers everything, so the carried map is
+        // normally empty
+        val carried = carryProvisional(merged.toMap,
+          readMap("BENCH_EXCLUSIVE.json", "provisional"))
         val exclusiveLine =
-          s"""{"metric":"total","value":$mergedTotal,"unit":"sec","n_queries":${merged.size},"n_failed":0,"reps":$reps,"stat":"median","merge":"per-query min across clean exclusive runs","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(merged)},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":$mergedTotal,"unit":"sec","n_queries":${merged.size},"n_failed":0,"reps":$reps,"stat":"median","merge":"per-query min across clean exclusive runs","floor_sec":$floorSec,"events_ts":"$eventsTsType",$contentionJson,"queries":${jsonMap(merged)},"provisional":${jsonMap(carried.toSeq.sortBy(_._1))},"shuffle_bytes":$shuffle,"sf":"$sfDir"}"""
         Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
           (exclusiveLine + "\n").getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
           StandardOpenOption.WRITE)
+      }
+    }
+    // ---- provisional micro-window write (VERDICT r12 #1 fallback):
+    // a scoped run attested via SPARK_GRAFT_BENCH_PROVISIONAL records
+    // each measured query WITHOUT a committed line into the reference's
+    // "provisional" map — iff the window stayed quiet end-to-end (the
+    // pre-run floor above plus a post-run floor re-measure, both at
+    // the quiet floor). Tighten-only min-merge against prior
+    // provisional lines; committed lines and every other byte of the
+    // committed record are preserved verbatim (string surgery).
+    provisionalScope.foreach { _ =>
+      val postFloor = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try spark.range(1).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val committed = readMedians("BENCH_EXCLUSIVE.json")
+      val fresh = results.filter { case (n, sec) =>
+        sec > 0 && !committed.contains(n)
+      }
+      if (floorSec > ProvisionalFloorSec || postFloor > ProvisionalFloorSec)
+        System.err.println(
+          f"[bench] provisional micro-window CONTENDED (floor pre " +
+            f"$floorSec%.3f s / post $postFloor%.3f s vs gate " +
+            f"$ProvisionalFloorSec%.2f s) — NOT recording provisional " +
+            "lines; re-try on a quieter window")
+      else if (nFail > 0)
+        System.err.println(
+          s"[bench] provisional window had $nFail failed queries — " +
+            "NOT recording provisional lines")
+      else if (fresh.isEmpty)
+        System.err.println(
+          "[bench] every scoped query already has a committed line — " +
+            "nothing provisional to record")
+      else {
+        val prior = readMap("BENCH_EXCLUSIVE.json", "provisional")
+        val outMap =
+          carryProvisional(committed, prior) ++
+            mergeExclusiveRef(prior, fresh).toMap
+        val refLine = new String(
+          Files.readAllBytes(Paths.get("BENCH_EXCLUSIVE.json")),
+          StandardCharsets.UTF_8).trim
+        val updated = upsertProvisional(refLine,
+          jsonMap(outMap.toSeq.sortBy(_._1)))
+        Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
+          (updated + "\n").getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE)
+        System.err.println(
+          s"[bench] provisional lines recorded (floor pre/post " +
+            f"$floorSec%.3f/$postFloor%.3f s): " +
+            fresh.map { case (n, s) => f"$n=$s%.2f" }.mkString(", "))
       }
     }
     val head = results.filter(r => headline.contains(r._1))

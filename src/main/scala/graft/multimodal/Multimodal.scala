@@ -283,22 +283,6 @@ object Multimodal {
     }
   }
 
-  /** REAL-codec video materialization: each doc with ≥ 96 text bytes
-    * becomes a genuine 8×8 4:2:0 Y4M stream of min(max(L div 96, 1), 8)
-    * frames, frame k's 96 payload bytes cycling the text from offset
-    * (k·96) mod L — deterministic, wraps at most once (L ≥ 96), so the
-    * oracle reassembles each frame as two text substrings. Payloads
-    * round-trip through [[Y4m.encode]]/[[Y4m.decode]].
-    *
-    * ASCII-corpus contract (shared with [[imageAssets]]/[[wavAssets]]):
-    * bytes come from `getBytes("US-ASCII")` and the frame gate uses
-    * UTF-16 `String.length`, while the DuckDB oracle uses UTF-8
-    * `encode()` bytes and character `substr`/`len`. The two agree only
-    * when every document is pure ASCII (1 char = 1 byte, no '?'
-    * substitution) — true of the generated corpus and asserted where
-    * the assets are built. Non-ASCII corpora need UTF-8 `getBytes` and
-    * byte-length gating here to keep oracle hash parity.
-    */
   /** US-ASCII bytes of `text`, failing loudly on any non-ASCII char —
     * enforcing the asset builders' ASCII-corpus contract (see
     * [[y4mAssets]]) instead of silently '?'-substituting and breaking
@@ -316,6 +300,22 @@ object Multimodal {
     text.getBytes("US-ASCII")
   }
 
+  /** REAL-codec video materialization: each doc with ≥ 96 text bytes
+    * becomes a genuine 8×8 4:2:0 Y4M stream of min(max(L div 96, 1), 8)
+    * frames, frame k's 96 payload bytes cycling the text from offset
+    * (k·96) mod L — deterministic, wraps at most once (L ≥ 96), so the
+    * oracle reassembles each frame as two text substrings. Payloads
+    * round-trip through [[Y4m.encode]]/[[Y4m.decode]].
+    *
+    * ASCII-corpus contract (shared with [[imageAssets]]/[[wavAssets]]):
+    * bytes come from `getBytes("US-ASCII")` and the frame gate uses
+    * UTF-16 `String.length`, while the DuckDB oracle uses UTF-8
+    * `encode()` bytes and character `substr`/`len`. The two agree only
+    * when every document is pure ASCII (1 char = 1 byte, no '?'
+    * substitution) — true of the generated corpus and asserted where
+    * the assets are built. Non-ASCII corpora need UTF-8 `getBytes` and
+    * byte-length gating here to keep oracle hash parity.
+    */
   def y4mAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

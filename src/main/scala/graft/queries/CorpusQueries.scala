@@ -26,6 +26,62 @@ object CorpusQueries {
     */
   private[graft] var SpearmanEnvelopeN: Long = 2090000L
   private[graft] var KsEnvelopeN: Long = 300000000L
+  /** q277 eff_ppm guard: per-source wt_mass ≤ 10³¹ keeps
+    * wt_mass·10⁶ inside DECIMAL(38,0) (and, with the gate-enforced
+    * ≤ 10⁵ sources, tot_wt ≤ 10³⁶ inside it too); past the envelope
+    * non-ANSI Spark would silently NULL while DuckDB's HUGEINT errors
+    * at a different bound — so both engines raise at THIS bound. The
+    * IS NULL arm catches a sum that already overflowed upstream of
+    * the check (a silent-NULL wt_mass must not yield a NULL eff_ppm).
+    */
+  private[graft] var CurationWtEnvelope: BigInt = BigInt(10).pow(31)
+
+  /** MAD quarantine gate shared by q277/q278: from a per-source
+    * (source, toks, cnt) DOC-COUNT histogram, both quarantine
+    * statistics as histogram-grain value-at-rank reads over
+    * chunk-bounded [[graft.operators.Prefix.runningSum]] (never a
+    * per-source sort window), fetched as a bounded LOCAL frame — the
+    * (source, median, MAD) gate table is planner-scale BY CONSTRUCTION
+    * (one row per source), and embedding the two prefix pipelines as
+    * broadcast SUBTREES instead made every downstream action
+    * re-canonicalize a huge plan (~0.7 s/scan measured, q277 staging
+    * history). LIMIT-guarded like Prefix's partials.
+    */
+  private def madGateDf(s: SparkSession, hist: DataFrame,
+      who: String): DataFrame = {
+    val tot = hist.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("docs_canonical"))
+    val med = graft.operators.Prefix
+      .runningSum(hist, "source", "toks", "cnt", "cum")
+      .join(broadcast(tot), "source")
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") * 2 >= col("docs_canonical"),
+        col("toks"))).as("median_len"))
+    val devHist = hist.join(broadcast(med), "source")
+      .select(col("source"),
+        abs(col("toks") - col("median_len")).as("dev"), col("cnt"))
+      .groupBy(col("source"), col("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = graft.operators.Prefix
+      .runningSum(devHist, "source", "dev", "cnt", "cumd")
+      .join(broadcast(tot), "source")
+      .groupBy(col("source"))
+      .agg(min(when(col("cumd") * 2 >= col("docs_canonical"),
+        col("dev"))).as("mad"))
+    val gateRows = med.join(mad, "source").limit(100001).collect()
+    require(gateRows.length <= 100000,
+      s"$who: > 100000 sources — the per-source gate table is no " +
+        "longer planner-scale; stage the quarantine differently")
+    s.createDataFrame(
+      s.sparkContext.parallelize(gateRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types
+          .StructField("source", hist.schema("source").dataType),
+        org.apache.spark.sql.types.StructField("median_len",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mad",
+          org.apache.spark.sql.types.LongType))))
+  }
 
   /** Source-overlap pair frame (src_a < src_b, w = shared distinct
     * 8-gram count) — one build per run (Shared.frame), consumed by q105
@@ -2081,10 +2137,13 @@ object CorpusQueries {
       // stage 1 — near-dup: canonical = never the larger id of a pair
       val canon = Shared.frame(s, "curation_canon", d) {
         val pairs = TextQueries.sharedCandidatePairs(s, d)
+        // no md5 column here: dup_count joins on doc_id through the
+        // run-shared lsh_members frame, so hashing every kept text
+        // again would be wasted compute + cache width (ADVICE r12);
+        // only the DuckDB oracle derives md5, on its own side.
         docs.join(pairs.select(col("doc_b")),
             docs("doc_id") === col("doc_b"), "left_anti")
           .select(col("doc_id"), col("source"),
-            md5(col("text").cast("binary")).as("h"),
             size(split(col("text"), " ")).cast("bigint").as("toks"))
       }
       // stages 2+3 — MAD quarantine over the SURVIVOR population, then
@@ -2097,44 +2156,7 @@ object CorpusQueries {
       val kept = Shared.frame(s, "curation_kept", d) {
         val hist = canon.groupBy(col("source"), col("toks"))
           .agg(count(lit(1)).as("cnt"))
-        val tot = hist.groupBy(col("source"))
-          .agg(sum(col("cnt")).as("docs_canonical"))
-        val med = graft.operators.Prefix
-          .runningSum(hist, "source", "toks", "cnt", "cum")
-          .join(broadcast(tot), "source")
-          .groupBy(col("source"))
-          .agg(min(when(col("cum") * 2 >= col("docs_canonical"),
-            col("toks"))).as("median_len"))
-        val devHist = hist.join(broadcast(med), "source")
-          .select(col("source"),
-            abs(col("toks") - col("median_len")).as("dev"), col("cnt"))
-          .groupBy(col("source"), col("dev"))
-          .agg(sum(col("cnt")).as("cnt"))
-        val mad = graft.operators.Prefix
-          .runningSum(devHist, "source", "dev", "cnt", "cumd")
-          .join(broadcast(tot), "source")
-          .groupBy(col("source"))
-          .agg(min(when(col("cumd") * 2 >= col("docs_canonical"),
-            col("dev"))).as("mad"))
-        // the (source, median, MAD) gate table is planner-scale BY
-        // CONSTRUCTION (one row per source), so fetch it as a bounded
-        // local frame (the centroid-fetch posture, LIMIT-guarded like
-        // Prefix's partials): embedding the two prefix pipelines as
-        // broadcast SUBTREES instead made every downstream action
-        // re-canonicalize a huge plan (~0.7 s/scan measured)
-        val gateRows = med.join(mad, "source").limit(100001).collect()
-        require(gateRows.length <= 100000,
-          "q277: > 100000 sources — the per-source gate table is no " +
-            "longer planner-scale; stage the quarantine differently")
-        val gateDf = s.createDataFrame(
-          s.sparkContext.parallelize(gateRows.toSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types
-              .StructField("source", canon.schema("source").dataType),
-            org.apache.spark.sql.types.StructField("median_len",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("mad",
-              org.apache.spark.sql.types.LongType))))
+        val gateDf = madGateDf(s, hist, "q277")
         // dup_count = the doc's exact-dup family size in the RAW
         // corpus (the run-shared lsh_members frame), NOT within the
         // kept set: identical texts always share every LSH band, so
@@ -2183,9 +2205,150 @@ object CorpusQueries {
           col("tokens_kept"),
           expr("CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000 " +
             "div tot_raw AS BIGINT)").as("raw_ppm"),
-          expr("CAST(wt_mass * 1000000 div tot_wt AS BIGINT)")
-            .as("eff_ppm"),
+          expr(s"CAST(CASE WHEN wt_mass IS NULL OR " +
+            s"wt_mass > $CurationWtEnvelope THEN " +
+            "CAST(raise_error('q277: wt_mass beyond DECIMAL(38,0) " +
+            "ppm envelope') AS DECIMAL(38,0)) ELSE wt_mass END " +
+            "* 1000000 div tot_wt AS BIGINT)").as("eff_ppm"),
           expr(s"(tokens_kept - 1) div $win + 1").as("n_bins"))
+    }),
+
+    // ---- INCREMENTAL CURATION MAINTENANCE: today's batch (doc_id%10
+    // == 7, the q96/q271 convention) folded into STORED curation state
+    // instead of re-curating the corpus — the q271 maintenance pattern
+    // applied to the q277 pipeline, proving the curation family
+    // composes incrementally the way the skyline does. What a 100 TB
+    // deployment actually persists: the LSH band index (the q196
+    // posture), the per-digest family counts, and the
+    // (source, toks, fsize) histogram of CANONICAL docs — everything
+    // the quarantine + soft-dedup mixture reads, all ADDITIVE. The
+    // daily fold is EXACT because each stage decomposes exactly:
+    //   canonical(full) ∩ old = canonical(old) − demoted, where
+    //     demoted = old docs that are the larger id of a cross pair
+    //     (band membership is per-doc, so pairs(old×old) =
+    //     pairs(full) filtered — reading the shared index IS the
+    //     stored-state read);
+    //   canonical(full) ∩ batch = batch docs never a larger pair id;
+    //   fsize(full) = fsize(old) + batch members, so SURVIVING old
+    //     docs in touched families move cells
+    //     (source, toks, fsize_old) → (source, toks, fsize_full).
+    // Median/MAD are not foldable constants — they move with the
+    // population — which is exactly why the stored state is the
+    // additive histogram: value-at-rank re-derives them from the
+    // merged histogram (the q260/q277 prefix-sum discipline), and the
+    // kept mass + soft-dedup weights fold at histogram grain too (wt
+    // depends only on (toks, fsize)). Delta work ∝ batch + touched
+    // families; merged-stat work is histogram-grain — never a corpus
+    // re-scan. The ORACLE replays the from-scratch full-corpus
+    // definition, so the driver's hash compare PROVES the fold
+    // identity on every run (the q271/q121 pattern), including the
+    // demotion/addition audit columns.
+    "q278_incremental_curation" -> ((s, d) => {
+      val pairs = TextQueries.sharedCandidatePairs(s, d)
+      // doc-grain state+delta frame, cached once (the q277 canon
+      // discipline): doc_id, source, toks, fsize(full), fsize_old,
+      // n_batch, is_dem — every histogram below folds off it
+      val docstate = Shared.frame(s, "incr_curation_state", d) {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("toks"))
+        val members = TextQueries.sharedMembers(s, d)
+        val batchN = members.filter(col("doc_id") % 10 === 7)
+          .groupBy(col("canon")).agg(count(lit(1)).as("n_batch"))
+        val fam = members.join(batchN, Seq("canon"), "left")
+          .select(col("doc_id"), col("fsize"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+            (col("fsize") - coalesce(col("n_batch"), lit(0L)))
+              .as("fsize_old"))
+        val nonCanonOld = pairs
+          .filter(col("doc_a") % 10 =!= 7 && col("doc_b") % 10 =!= 7)
+          .select(col("doc_b")).distinct()
+        val oldCanon = base.filter(col("doc_id") % 10 =!= 7)
+          .join(nonCanonOld, base("doc_id") === col("doc_b"),
+            "left_anti")
+        val demotedIds = pairs.filter(col("doc_a") % 10 === 7)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("is_dem", lit(1L))
+        oldCanon.join(fam, "doc_id")
+          .join(demotedIds, Seq("doc_id"), "left")
+      }
+      val batchCanon = {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("toks"))
+        base.filter(col("doc_id") % 10 === 7)
+          .join(pairs.select(col("doc_b")),
+            base("doc_id") === col("doc_b"), "left_anti")
+          .join(TextQueries.sharedMembers(s, d)
+            .select(col("doc_id"), col("fsize")), "doc_id")
+      }
+      // stored state + the three signed deltas, all at
+      // (source, toks, fsize) grain
+      val stored = docstate
+        .groupBy(col("source"), col("toks"),
+          col("fsize_old").as("fsize"))
+        .agg(count(lit(1)).as("cnt"))
+      val demotedDelta = docstate.filter(col("is_dem") === 1L)
+        .groupBy(col("source"), col("toks"),
+          col("fsize_old").as("fsize"))
+        .agg((-count(lit(1))).as("cnt"))
+      val moves = docstate
+        .filter(col("is_dem").isNull && col("n_batch") > 0)
+        .select(col("source"), col("toks"), explode(array(
+          struct(col("fsize_old").as("fsize"), lit(-1L).as("cnt")),
+          struct(col("fsize").as("fsize"), lit(1L).as("cnt")))).as("m"))
+        .select(col("source"), col("toks"), col("m.fsize").as("fsize"),
+          col("m.cnt").as("cnt"))
+      val additions = batchCanon
+        .groupBy(col("source"), col("toks"), col("fsize"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = stored.unionByName(demotedDelta).unionByName(moves)
+        .unionByName(additions)
+        .groupBy(col("source"), col("toks"), col("fsize"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0)
+      val hist2 = merged.groupBy(col("source"), col("toks"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val gateDf = madGateDf(s, hist2, "q278")
+      val keptHist = merged.join(broadcast(gateDf), "source")
+        .filter(abs(col("toks") - col("median_len"))
+          <= col("mad") * 3)
+      val per = keptHist
+        .select(col("source"), col("median_len"), col("mad"),
+          col("cnt"), col("toks"),
+          (col("cnt") * col("toks") * expr("1000000L div fsize"))
+            .cast("decimal(38,0)").as("wt"))
+        .groupBy(col("source"))
+        .agg(max(col("median_len")).as("median_len"),
+          max(col("mad")).as("mad"),
+          sum(col("cnt")).as("docs_kept"),
+          sum(col("cnt") * col("toks")).as("tokens_kept"),
+          sum(col("wt")).as("wt_mass"))
+      val tot = hist2.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("docs_canonical"))
+      val ctot = per.agg(
+        sum(col("tokens_kept")).cast("decimal(38,0)").as("tot_raw"),
+        sum(col("wt_mass")).as("tot_wt"))
+      val demPer = docstate.filter(col("is_dem") === 1L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_demoted"))
+      val addPer = batchCanon.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_added"))
+      tot.join(per, "source")
+        .join(demPer, Seq("source"), "left")
+        .join(addPer, Seq("source"), "left")
+        .crossJoin(broadcast(ctot))
+        .select(col("source"), col("docs_canonical"), col("docs_kept"),
+          col("median_len"), col("mad"), col("tokens_kept"),
+          expr("CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000 " +
+            "div tot_raw AS BIGINT)").as("raw_ppm"),
+          expr(s"CAST(CASE WHEN wt_mass IS NULL OR " +
+            s"wt_mass > $CurationWtEnvelope THEN " +
+            "CAST(raise_error('q278: wt_mass beyond DECIMAL(38,0) " +
+            "ppm envelope') AS DECIMAL(38,0)) ELSE wt_mass END " +
+            "* 1000000 div tot_wt AS BIGINT)").as("eff_ppm"),
+          coalesce(col("docs_demoted"), lit(0L)).as("docs_demoted"),
+          coalesce(col("docs_added"), lit(0L)).as("docs_added"))
     })
   )
 
@@ -3584,7 +3747,11 @@ object CorpusQueries {
         |  per.docs_kept, med.median_len, mad.mad, per.tokens_kept,
         |  CAST((CAST(per.tokens_kept AS HUGEINT) * 1000000)
         |    // ctot.tot_raw AS BIGINT) AS raw_ppm,
-        |  CAST((per.wt_mass * 1000000) // ctot.tot_wt AS BIGINT)
+        |  CAST((CASE WHEN per.wt_mass IS NULL
+        |      OR per.wt_mass > $CurationWtEnvelope THEN
+        |    CAST(error('q277: wt_mass beyond DECIMAL(38,0) ppm ' ||
+        |      'envelope') AS HUGEINT)
+        |    ELSE per.wt_mass END * 1000000) // ctot.tot_wt AS BIGINT)
         |    AS eff_ppm,
         |  pk.n_bins
         |FROM raw
@@ -3592,7 +3759,96 @@ object CorpusQueries {
         |JOIN med ON raw.source = med.source
         |JOIN mad ON raw.source = mad.source
         |JOIN per ON raw.source = per.source
-        |JOIN pk ON raw.source = pk.source, ctot""".stripMargin
+        |JOIN pk ON raw.source = pk.source, ctot""".stripMargin,
+
+    // from-scratch replay of the full-corpus curation stats (the
+    // Spark side folds stored old-state + batch deltas; hash parity
+    // proves the incremental identity) plus the definitional
+    // demotion/addition audit columns
+    "q278_incremental_curation" ->
+      s"""WITH pairs AS (${TextQueries.minhashPairsSql}),
+        |canon AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+        |hs AS (SELECT source, toks, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM canon GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(cnt) AS BIGINT)
+        |    AS docs_canonical
+        |  FROM hs GROUP BY 1),
+        |c AS (SELECT source, toks,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM hs),
+        |med AS (SELECT c.source,
+        |    min(CASE WHEN c.cum * 2 >= g.docs_canonical
+        |      THEN c.toks END) AS median_len
+        |  FROM c JOIN g ON c.source = g.source GROUP BY c.source),
+        |dh AS (SELECT hs.source,
+        |    abs(hs.toks - med.median_len) AS dev,
+        |    CAST(sum(hs.cnt) AS BIGINT) AS cnt
+        |  FROM hs JOIN med ON hs.source = med.source GROUP BY 1, 2),
+        |cd AS (SELECT source, dev,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumd
+        |  FROM dh),
+        |mad AS (SELECT cd.source,
+        |    min(CASE WHEN cd.cumd * 2 >= g.docs_canonical
+        |      THEN cd.dev END) AS mad
+        |  FROM cd JOIN g ON cd.source = g.source GROUP BY cd.source),
+        |kept AS (SELECT canon.doc_id, canon.source, canon.h,
+        |    canon.toks
+        |  FROM canon
+        |  JOIN med ON canon.source = med.source
+        |  JOIN mad ON canon.source = mad.source
+        |  WHERE abs(canon.toks - med.median_len) <= mad.mad * 3),
+        |grp AS (SELECT md5(text) AS h,
+        |    CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM documents GROUP BY 1),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+        |    CAST(sum(toks) AS BIGINT) AS tokens_kept,
+        |    CAST(sum(CAST(toks * (1000000 // dup_count) AS HUGEINT))
+        |      AS HUGEINT) AS wt_mass
+        |  FROM kept JOIN grp USING (h) GROUP BY 1),
+        |ctot AS (SELECT CAST(sum(tokens_kept) AS HUGEINT) AS tot_raw,
+        |    CAST(sum(wt_mass) AS HUGEINT) AS tot_wt
+        |  FROM per),
+        |oldcanon AS (SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 10 <> 7 AND doc_id NOT IN
+        |    (SELECT doc_b FROM pairs WHERE doc_a % 10 <> 7)),
+        |dem AS (SELECT source, CAST(count(*) AS BIGINT)
+        |    AS docs_demoted
+        |  FROM oldcanon
+        |  WHERE doc_id IN (SELECT doc_b FROM pairs
+        |    WHERE doc_a % 10 = 7)
+        |  GROUP BY 1),
+        |addx AS (SELECT source, CAST(count(*) AS BIGINT)
+        |    AS docs_added
+        |  FROM documents
+        |  WHERE doc_id % 10 = 7 AND doc_id NOT IN
+        |    (SELECT doc_b FROM pairs)
+        |  GROUP BY 1)
+        |SELECT g.source AS source, g.docs_canonical, per.docs_kept,
+        |  med.median_len, mad.mad, per.tokens_kept,
+        |  CAST((CAST(per.tokens_kept AS HUGEINT) * 1000000)
+        |    // ctot.tot_raw AS BIGINT) AS raw_ppm,
+        |  CAST((CASE WHEN per.wt_mass IS NULL
+        |      OR per.wt_mass > $CurationWtEnvelope THEN
+        |    CAST(error('q278: wt_mass beyond DECIMAL(38,0) ppm ' ||
+        |      'envelope') AS HUGEINT)
+        |    ELSE per.wt_mass END * 1000000) // ctot.tot_wt AS BIGINT)
+        |    AS eff_ppm,
+        |  CAST(COALESCE(dem.docs_demoted, 0) AS BIGINT)
+        |    AS docs_demoted,
+        |  CAST(COALESCE(addx.docs_added, 0) AS BIGINT) AS docs_added
+        |FROM g
+        |JOIN med ON g.source = med.source
+        |JOIN mad ON g.source = mad.source
+        |JOIN per ON g.source = per.source
+        |LEFT JOIN dem ON g.source = dem.source
+        |LEFT JOIN addx ON g.source = addx.source, ctot""".stripMargin
   )
 
   /** q240/q241 shared oracle CTE: the per-doc quality signals exactly

@@ -76,11 +76,15 @@ object TwsStreamKsDrift {
           c += 1
         }
       }
-      if (c > st0.c || had) {
+      // c > st0.c alone: a batch whose rows were ALL late-dropped
+      // leaves (g, c, we) exactly as loaded, and rewriting identical
+      // state is a wasted RocksDB write per no-op batch on every open
+      // window (ADVICE r12)
+      if (c > st0.c) {
         state.update(KsSt(g.toSeq, c, we))
         // the timer target never moves (the window end is a constant
         // of the key), so arm exactly once — on first open
-        if (!had && c > 0) getHandle.registerTimer(we)
+        if (!had) getHandle.registerTimer(we)
       }
       Iterator.empty
     }

@@ -86,4 +86,58 @@ class BenchRefSpec extends AnyFunSuite {
     assert(usable == Seq("q_new" -> 9.9, "q_sent" -> 9.9))
     assert(unusable.isEmpty)
   }
+
+  // Provisional micro-window lines (VERDICT r12 #1 sanctioned
+  // fallback): a query the contended host never let into a clean
+  // full-suite pass gets a load-gated scoped line under "provisional".
+  // The supersede rule keeps the committed reference sovereign in both
+  // directions.
+
+  test("a committed line always wins over a provisional one") {
+    val eff = Bench.effectiveRef(
+      committed = Map("q_a" -> 0.50),
+      provisional = Map("q_a" -> 0.10, "q_new" -> 0.30))
+    assert(eff == Map("q_a" -> 0.50, "q_new" -> 0.30),
+      "provisional must fill gaps only — never override a committed " +
+        "line, even with a faster number")
+  }
+
+  test("non-positive provisional sentinels never enter the reference") {
+    val eff = Bench.effectiveRef(Map.empty,
+      Map("q_fail" -> -1.0, "q_zero" -> 0.0, "q_ok" -> 0.25))
+    assert(eff == Map("q_ok" -> 0.25))
+  }
+
+  test("a clean full-suite refresh supersedes covered provisional keys") {
+    // the new committed set covers q275; only q999 (still uncovered)
+    // survives the refresh
+    val carried = Bench.carryProvisional(
+      newCommitted = Map("q275_x" -> 0.31, "q01_a" -> 0.10),
+      provisional = Map("q275_x" -> 0.45, "q999_y" -> 0.80))
+    assert(carried == Map("q999_y" -> 0.80),
+      "a provisional line must not outlive the first clean pass that " +
+        "commits its query")
+  }
+
+  test("upsertProvisional appends to a record without the key and " +
+    "leaves every committed byte untouched") {
+    val line = """{"metric":"total","value":1.0,"queries":{"q_a":0.5},"shuffle_bytes":{"q_a":{"write":1,"read":2,"spill":0}},"sf":"x"}"""
+    val out = Bench.upsertProvisional(line, """{"q_new":0.3}""")
+    assert(out ==
+      """{"metric":"total","value":1.0,"queries":{"q_a":0.5},"shuffle_bytes":{"q_a":{"write":1,"read":2,"spill":0}},"sf":"x","provisional":{"q_new":0.3}}""")
+  }
+
+  test("upsertProvisional replaces an existing provisional map in place") {
+    val line =
+      """{"queries":{"q_a":0.5},"provisional":{"q_old":0.9},"sf":"x"}"""
+    val out = Bench.upsertProvisional(line, """{"q_new":0.3}""")
+    assert(out ==
+      """{"queries":{"q_a":0.5},"provisional":{"q_new":0.3},"sf":"x"}""")
+  }
+
+  test("upsertProvisional handles an empty existing provisional map") {
+    val line = """{"queries":{"q_a":0.5},"provisional":{},"sf":"x"}"""
+    val out = Bench.upsertProvisional(line, """{"q_new":0.3}""")
+    assert(out == """{"queries":{"q_a":0.5},"provisional":{"q_new":0.3},"sf":"x"}""")
+  }
 }

@@ -581,6 +581,67 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("q278 planted new-batch: a batch clone DEMOTES an old " +
+    "canonical doc, a batch clone of a kept doc halves its weight, " +
+    "a fresh batch doc enters — per-source stats land on hand math") {
+    // batch = doc_id % 10 == 7. s0: doc 7 (batch) clones old doc 11 —
+    // the pair is (7, 11), so 11 (the larger id) is demoted and 7
+    // enters canonical. s1: doc 17 (batch) clones old doc 2 — the pair
+    // is (2, 17), so 17 never enters but doc 2's family grows to 2 and
+    // its soft-dedup weight halves (the fsize MOVE delta); doc 27 is a
+    // fresh batch arrival. All docs are 5 tokens, so median=5, MAD=0,
+    // everything kept — the mixture numbers are pure hand arithmetic.
+    val d = docsDir(Seq(
+      (1L, "apple brick cloud dune ember", "en", "s0", 1L),
+      (11L, "frost gale harbor iris jade", "en", "s0", 1L),
+      (7L, "frost gale harbor iris jade", "en", "s0", 1L),
+      (2L, "koala lemon maple noble olive", "en", "s1", 1L),
+      (12L, "piano quartz raven slate tiger", "en", "s1", 1L),
+      (17L, "koala lemon maple noble olive", "en", "s1", 1L),
+      (27L, "umber viola walnut xenon yarrow", "en", "s1", 1L)))
+    val r = SparkEntry.queries("q278_incremental_curation")(spark, d)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("s0", "s1"))
+    val s0 = r("s0")
+    // (source, docs_canonical, docs_kept, median_len, mad,
+    //  tokens_kept, raw_ppm, eff_ppm, docs_demoted, docs_added)
+    assert(s0.getLong(1) == 2L, "s0 canonical: doc 1 + batch doc 7")
+    assert(s0.getLong(2) == 2L, "s0 kept (MAD 0 keeps all)")
+    assert(s0.getLong(3) == 5L && s0.getLong(4) == 0L)
+    assert(s0.getLong(5) == 10L, "s0 tokens_kept")
+    assert(s0.getLong(6) == 400000L, "s0 raw_ppm = 10/25")
+    // wt: doc1 fsize1 → 5e6; doc7 fsize2 → 5·(1e6 div 2) = 2.5e6;
+    // tot_wt = 7.5e6 + 12.5e6 = 20e6 → s0 eff = 375000
+    assert(s0.getLong(7) == 375000L, "s0 eff_ppm")
+    assert(s0.getLong(8) == 1L, "doc 11 demoted by batch doc 7")
+    assert(s0.getLong(9) == 1L, "doc 7 added")
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 3L, "s1 canonical: 2, 12, 27")
+    assert(s1.getLong(5) == 15L)
+    assert(s1.getLong(6) == 600000L)
+    // wt: doc2 (family grew to 2) 2.5e6 + doc12 5e6 + doc27 5e6
+    assert(s1.getLong(7) == 625000L, "s1 eff_ppm after the fsize move")
+    assert(s1.getLong(8) == 0L && s1.getLong(9) == 1L,
+      "17 never enters (larger pair id); 27 is the only addition")
+  }
+
+  test("q277 wt_mass envelope fires loudly past CurationWtEnvelope") {
+    import graft.queries.CorpusQueries
+    val saved = CorpusQueries.CurationWtEnvelope
+    try {
+      CorpusQueries.CurationWtEnvelope = BigInt(0) // any wt_mass > 0
+      val ex = intercept[Throwable] {
+        SparkEntry.queries("q277_curation_e2e")(spark, sf).collect()
+      }
+      assert(
+        messageChain(ex).contains(
+          "q277: wt_mass beyond DECIMAL(38,0) ppm envelope"),
+        s"expected the documented envelope message, got: ${messageChain(ex)}")
+    } finally CorpusQueries.CurationWtEnvelope = saved
+    assert(SparkEntry.queries("q277_curation_e2e")(spark, sf)
+      .collect().nonEmpty)
+  }
+
   test("q260 MAD: a uniform source has MAD 0 and zero outliers; one " +
     "planted truncation-bomb flags against the 0-MAD gate") {
     import spark.implicits._
@@ -656,6 +717,10 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.oracleSql("q240_spearman_signals")
       .contains("> 2090000"))
     assert(SparkEntry.oracleSql("q258_ks_drift").contains("> 300000000"))
+    assert(graft.queries.CorpusQueries.CurationWtEnvelope ==
+      BigInt(10).pow(31))
+    assert(SparkEntry.oracleSql("q277_curation_e2e")
+      .contains("> " + BigInt(10).pow(31)))
   }
 
   test("q264 bow delta: a planted word-reorder clone merges exactly " +
