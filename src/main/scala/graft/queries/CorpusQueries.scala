@@ -2269,10 +2269,17 @@ object CorpusQueries {
         val demotedIds = pairs.filter(col("doc_a") % 10 === 7)
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("is_dem", lit(1L))
+        // lazy localCheckpoint (the Components lineage-cut posture):
+        // the three delta branches below each re-reference this frame,
+        // and WITHOUT the cut every downstream action re-analyzes the
+        // full pairs+members lineage ~8× per run — measured 31–44 s of
+        // pure plan canonicalization per steady-state run at sf0.1 vs
+        // ~1 s once the cached artifacts are LogicalRDD-backed
         oldCanon.join(fam, "doc_id")
           .join(demotedIds, Seq("doc_id"), "left")
+          .localCheckpoint(false)
       }
-      val batchCanon = {
+      val batchCanon = Shared.frame(s, "incr_curation_batch", d) {
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("bigint").as("toks"))
@@ -2281,6 +2288,7 @@ object CorpusQueries {
             base("doc_id") === col("doc_b"), "left_anti")
           .join(TextQueries.sharedMembers(s, d)
             .select(col("doc_id"), col("fsize")), "doc_id")
+          .localCheckpoint(false)
       }
       // stored state + the three signed deltas, all at
       // (source, toks, fsize) grain
@@ -2302,17 +2310,34 @@ object CorpusQueries {
       val additions = batchCanon
         .groupBy(col("source"), col("toks"), col("fsize"))
         .agg(count(lit(1)).as("cnt"))
-      val merged = stored.unionByName(demotedDelta).unionByName(moves)
-        .unionByName(additions)
-        .groupBy(col("source"), col("toks"), col("fsize"))
-        .agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") =!= 0)
+      // the folded histogram is cached as its own run-shared artifact
+      // (it IS the post-fold stored state a deployment would persist):
+      // the MAD gate's value-at-rank machinery below runs several
+      // planner actions (quantile chunking + partials per statistic),
+      // and each one re-executing the 4-branch union measured ~47 s
+      // steady at sf0.1 vs ~1 s off the cache — the exact q277
+      // curation_kept staging lesson replayed
+      val merged = Shared.frame(s, "incr_curation_hist", d) {
+        stored.unionByName(demotedDelta).unionByName(moves)
+          .unionByName(additions)
+          .groupBy(col("source"), col("toks"), col("fsize"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0)
+          .localCheckpoint(false)
+      }
       val hist2 = merged.groupBy(col("source"), col("toks"))
         .agg(sum(col("cnt")).as("cnt"))
-      val gateDf = madGateDf(s, hist2, "q278")
-      val keptHist = merged.join(broadcast(gateDf), "source")
-        .filter(abs(col("toks") - col("median_len"))
-          <= col("mad") * 3)
+      // the gated histogram is the session's third cached artifact
+      // (q277's curation_kept discipline): madGateDf's value-at-rank
+      // machinery runs ~5 planner actions, and re-running them at
+      // every query CONSTRUCTION measured ~8 s steady at sf0.1 vs
+      // cache-lookup construction once the gate rides the kept frame
+      val keptHist = Shared.frame(s, "incr_curation_kept", d) {
+        val gateDf = madGateDf(s, hist2, "q278")
+        merged.join(broadcast(gateDf), "source")
+          .filter(abs(col("toks") - col("median_len"))
+            <= col("mad") * 3)
+      }
       val per = keptHist
         .select(col("source"), col("median_len"), col("mad"),
           col("cnt"), col("toks"),
