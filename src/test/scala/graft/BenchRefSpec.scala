@@ -140,4 +140,30 @@ class BenchRefSpec extends AnyFunSuite {
     val out = Bench.upsertProvisional(line, """{"q_new":0.3}""")
     assert(out == """{"queries":{"q_a":0.5},"provisional":{"q_new":0.3},"sf":"x"}""")
   }
+
+  test("the committed BENCH_EXCLUSIVE.json never shadows a committed " +
+    "line with a provisional one and only carries positive lines") {
+    // artifact-level pin of the supersede rule: the reference on disk
+    // must honor the invariant the pure functions enforce — every
+    // provisional key names a query with NO committed line
+    val p = java.nio.file.Paths.get("BENCH_EXCLUSIVE.json")
+    assume(java.nio.file.Files.exists(p))
+    val txt = java.nio.file.Files.readString(p)
+    def sect(key: String): Map[String, Double] = {
+      val marker = "\"" + key + "\":{"
+      val i = txt.indexOf(marker)
+      if (i < 0) Map.empty
+      else "\"(q[^\"]+)\":([-0-9.eE]+)".r
+        .findAllMatchIn(txt.substring(i + marker.length,
+          txt.indexOf("}", i)))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val committed = sect("queries")
+    val prov = sect("provisional")
+    val shadowed = prov.keySet.intersect(committed.keySet)
+    assert(shadowed.isEmpty,
+      s"provisional lines shadow committed ones: $shadowed")
+    assert(prov.values.forall(_ > 0),
+      "non-positive provisional sentinel leaked into the reference")
+  }
 }
