@@ -508,9 +508,14 @@ object Bench {
         val outMap =
           carryProvisional(committed, prior) ++
             mergeExclusiveRef(prior, fresh).toMap
-        val refLine = new String(
-          Files.readAllBytes(Paths.get("BENCH_EXCLUSIVE.json")),
-          StandardCharsets.UTF_8).trim
+        // a repo without a committed reference yet still gets its
+        // provisional lines — seed a minimal record instead of crashing
+        // after the measurements were already taken
+        val refLine =
+          try new String(
+            Files.readAllBytes(Paths.get("BENCH_EXCLUSIVE.json")),
+            StandardCharsets.UTF_8).trim
+          catch { case _: Throwable => """{"queries":{}}""" }
         val updated = upsertProvisional(refLine,
           jsonMap(outMap.toSeq.sortBy(_._1)))
         Files.write(Paths.get("BENCH_EXCLUSIVE.json"),
