@@ -2338,10 +2338,18 @@ object CorpusQueries {
           .filter(abs(col("toks") - col("median_len"))
             <= col("mad") * 3)
       }
+      // the multiply must happen at DECIMAL grain: histogram cells carry
+      // a cnt factor q277's per-doc form doesn't, so the Long product
+      // cnt*toks*1e6 wraps at ~9.2e18 — reachable at the 100 TB corpus
+      // this targets — and a wrapped value sails PAST the wt_mass
+      // envelope. In decimal(38,0) the product is exact; past 38 digits
+      // it NULLs and the envelope's IS NULL arm fires loudly instead.
+      // (tokens_kept stays bigint: no 1e6 factor, ~4e5× headroom.)
       val per = keptHist
         .select(col("source"), col("median_len"), col("mad"),
           col("cnt"), col("toks"),
-          (col("cnt") * col("toks") * expr("1000000L div fsize"))
+          (col("cnt").cast("decimal(38,0)") * col("toks")
+            * expr("1000000L div fsize"))
             .cast("decimal(38,0)").as("wt"))
         .groupBy(col("source"))
         .agg(max(col("median_len")).as("median_len"),

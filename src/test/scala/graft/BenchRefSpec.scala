@@ -109,14 +109,57 @@ class BenchRefSpec extends AnyFunSuite {
   }
 
   test("a clean full-suite refresh supersedes covered provisional keys") {
-    // the new committed set covers q275; only q999 (still uncovered)
-    // survives the refresh
+    // the new committed set covers q275; only q999 (still uncovered,
+    // still in the suite) survives the refresh
     val carried = Bench.carryProvisional(
       newCommitted = Map("q275_x" -> 0.31, "q01_a" -> 0.10),
-      provisional = Map("q275_x" -> 0.45, "q999_y" -> 0.80))
+      provisional = Map("q275_x" -> 0.45, "q999_y" -> 0.80),
+      suite = Set("q275_x", "q01_a", "q999_y"))
     assert(carried == Map("q999_y" -> 0.80),
       "a provisional line must not outlive the first clean pass that " +
         "commits its query")
+  }
+
+  test("a retired query's provisional line drops at the next carry") {
+    // banked provisionally, then renamed before any clean full-suite
+    // pass: the carry must drop it exactly as mergeExclusiveRef drops
+    // retired committed keys — otherwise it is carried forever (a
+    // full-suite refresh never covers a name no longer in the suite)
+    val carried = Bench.carryProvisional(
+      newCommitted = Map("q01_a" -> 0.10),
+      provisional = Map("q_renamed_away" -> 0.45, "q999_y" -> 0.80),
+      suite = Set("q01_a", "q999_y"))
+    assert(carried == Map("q999_y" -> 0.80),
+      "a renamed/retired query's provisional line must not haunt the " +
+        "reference")
+  }
+
+  test("provisionalFresh records only attested-scope queries") {
+    // SPARK_GRAFT_BENCH_ONLY may widen the run beyond the attested
+    // provisional scope; the extra queries must never enter the
+    // reference from a window that was not attested for them
+    val fresh = Bench.provisionalFresh(
+      results = Seq("q_attested" -> 0.30, "q_only_extra" -> 0.50,
+        "q_failed" -> -1.0, "q_committed" -> 0.20),
+      scope = Set("q_attested", "q_failed", "q_committed"),
+      committed = Map("q_committed" -> 0.15))
+    assert(fresh == Seq("q_attested" -> 0.30),
+      "only measured-positive, attested, uncommitted queries may " +
+        "record provisional lines")
+  }
+
+  test("parseRefMap returns empty for an absent key instead of " +
+    "parsing whatever precedes the first '}'") {
+    // a pre-provisional-format record whose first '}' closes a
+    // non-empty retimes map: the absent "provisional" key must not
+    // surface the retimes entries as phantom provisional lines
+    val line =
+      """{"metric":"total","retimes":{"q138_srp_recall":0.2756},"queries":{"q_a":0.5}}"""
+    assert(Bench.parseRefMap(line, "provisional") == Map.empty,
+      "absent key must be an empty map, not the retimes map")
+    assert(Bench.parseRefMap(line, "queries") == Map("q_a" -> 0.5))
+    assert(Bench.parseRefMap(line, "retimes") ==
+      Map("q138_srp_recall" -> 0.2756))
   }
 
   test("upsertProvisional appends to a record without the key and " +
@@ -139,6 +182,15 @@ class BenchRefSpec extends AnyFunSuite {
     val line = """{"queries":{"q_a":0.5},"provisional":{},"sf":"x"}"""
     val out = Bench.upsertProvisional(line, """{"q_new":0.3}""")
     assert(out == """{"queries":{"q_a":0.5},"provisional":{"q_new":0.3},"sf":"x"}""")
+  }
+
+  test("upsertProvisional rebuilds from the seed on an empty or " +
+    "truncated record instead of throwing") {
+    // BENCH_EXCLUSIVE.json exists but a crashed prior write left it
+    // empty: the missing-file seed never triggers, and substring(0,-1)
+    // would kill the bench AFTER the scoped measurements were taken
+    assert(Bench.upsertProvisional("", """{"q_new":0.3}""") ==
+      """{"queries":{},"provisional":{"q_new":0.3}}""")
   }
 
   test("the committed BENCH_EXCLUSIVE.json never shadows a committed " +
