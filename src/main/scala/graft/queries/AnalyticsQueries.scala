@@ -18,6 +18,19 @@ import graft.Tables
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** q225 loud-failure envelope (the q240/q258/q277 discipline): the
+    * N-scaled ANOVA sums of squares are computed exactly in
+    * DECIMAL(38,0)/HUGEINT, but the OUTPUT columns are BIGINT by the
+    * house scalar-schema rule — past this bound the BIGINT cast would
+    * wrap (Spark) or error at a different point (DuckDB), so both
+    * engines raise at THIS bound with the same message. The IS NULL
+    * arm catches a sum that silently overflowed DECIMAL(38,0)
+    * upstream (t·n > ~10¹⁹ — astronomically past any event feed).
+    * `var` only so EdgeCasesSpec can force the failure on the test
+    * corpus; nothing in main source mutates it.
+    */
+  private[graft] var AnovaSsEnvelope: Long = Long.MaxValue
+
   val queries: Map[String, Q] = Map(
     // ---- CUBE totals with grouping() markers (q39 covers ROLLUP);
     // grouping flags disambiguate data NULLs from subtotal NULLs
@@ -532,8 +545,19 @@ object AnalyticsQueries {
     // carries a 1/n_g that is NOT integral, so each group's term takes
     // ONE floor division (identical in both engines — parity-safe; the
     // ≤ n_g absolute bias per group is documented and harmless at ppm
-    // scale). Two tiny aggregates (365-row daily frame → 7-row dow
-    // frame); η² ∈ [0, 1e6] ppm.
+    // scale). The LINEAR deviations stay Long-exact to T·N ≈ 9·10¹⁸
+    // (T = total events, N ≤ a few hundred daily rows), but their
+    // SQUARES reach T²·N² — wrapping silently at T·N > ~3·10⁹, i.e. a
+    // few 10⁷ events/day — so every square runs in DECIMAL(38,0)
+    // (exact to T·N ≈ 10¹⁹) with the q229 exact-floor division
+    // ((a − a%n)/n is rounding-free for an integral quotient ≤ 10³²),
+    // and the BIGINT output casts are AnovaSsEnvelope-guarded: past
+    // Long range both engines raise the same error instead of Spark
+    // wrapping where DuckDB's HUGEINT stays exact (the q214-class
+    // silent divergence). A zero-variance series (every day the same
+    // count) is defined as η² = 0 on both engines — Spark's div would
+    // return NULL where DuckDB's // errors. Two tiny aggregates
+    // (365-row daily frame → 7-row dow frame); η² ∈ [0, 1e6] ppm.
     "q225_dow_anova" -> ((s, d) => {
       val day = 86400000000L
       val daily = Tables.events(s, d)
@@ -543,19 +567,32 @@ object AnalyticsQueries {
       val tot = daily.agg(sum(col("x")).as("t"),
         count(lit(1)).as("n"))
       val ssTot = daily.crossJoin(broadcast(tot))
-        .select(((col("x") * col("n") - col("t"))
-          * (col("x") * col("n") - col("t"))).as("dev2"),
+        .select((col("x") * col("n") - col("t")).as("dv"),
           col("t"), col("n"))
+        .select((col("dv").cast("decimal(19,0)") * col("dv"))
+          .as("dev2"), col("t"), col("n"))
         .groupBy(col("t"), col("n")).agg(sum(col("dev2")).as("ss_tot"))
       val ssB = daily.groupBy(col("dow"))
         .agg(sum(col("x")).as("tg"), count(lit(1)).as("ng"))
         .crossJoin(broadcast(tot))
-        .select(expr("((tg * n - t * ng) * (tg * n - t * ng)) div ng")
-          .as("term"))
+        .select((col("tg") * col("n") - col("t") * col("ng")).as("dv"),
+          col("ng"))
+        .select(expr("CAST((CAST(dv AS DECIMAL(19,0)) * dv " +
+          "- CAST(dv AS DECIMAL(19,0)) * dv % ng) / ng " +
+          "AS DECIMAL(38,0))").as("term"))
         .agg(sum(col("term")).as("ss_b"))
       ssTot.crossJoin(broadcast(ssB))
-        .select(col("n").as("n_days"), col("ss_b"), col("ss_tot"),
-          expr("ss_b * 1000000 div ss_tot").as("eta2_ppm"))
+        .select(col("n").as("n_days"),
+          expr(s"CASE WHEN ss_b IS NULL OR ss_b > $AnovaSsEnvelope " +
+            "THEN CAST(raise_error('q225: SS beyond BIGINT-exact " +
+            "envelope') AS BIGINT) ELSE CAST(ss_b AS BIGINT) END")
+            .as("ss_b"),
+          expr(s"CASE WHEN ss_tot IS NULL OR ss_tot > $AnovaSsEnvelope " +
+            "THEN CAST(raise_error('q225: SS beyond BIGINT-exact " +
+            "envelope') AS BIGINT) ELSE CAST(ss_tot AS BIGINT) END")
+            .as("ss_tot"),
+          expr("CASE WHEN ss_tot = 0 THEN 0L " +
+            "ELSE ss_b * 1000000 div ss_tot END").as("eta2_ppm"))
     }),
 
     // ---- FUNNEL CONVERSION LATENCY: how long from a user's first
@@ -924,9 +961,12 @@ object AnalyticsQueries {
 
     // dow is a grouping key only, never output — Spark's 1..7 and
     // DuckDB's 0..6 weekday labels induce the SAME 7-way partition,
-    // so every reported sum matches bit-for-bit
+    // so every reported sum matches bit-for-bit. Squares in HUGEINT
+    // (the Spark side's DECIMAL(38,0)), AnovaSsEnvelope-guarded
+    // BIGINT output casts, zero-variance η² defined 0 — see the
+    // Spark-side derivation.
     "q225_dow_anova" ->
-      """WITH t0 AS (SELECT (epoch_ns(ts) // 1000)
+      s"""WITH t0 AS (SELECT (epoch_ns(ts) // 1000)
         |    - ((epoch_ns(ts) // 1000) % 86400000000) AS day_us
         |  FROM events),
         |daily AS (SELECT day_us, CAST(count(*) AS BIGINT) AS x
@@ -935,16 +975,26 @@ object AnalyticsQueries {
         |    dayofweek(make_timestamp(day_us)) AS dow FROM daily),
         |tot AS (SELECT CAST(sum(x) AS BIGINT) AS t,
         |    CAST(count(*) AS BIGINT) AS n FROM daily),
-        |st AS (SELECT CAST(sum((x * n - t) * (x * n - t)) AS BIGINT)
-        |    AS ss_tot, max(n) AS n
+        |st AS (SELECT CAST(sum(CAST(x * n - t AS HUGEINT)
+        |      * (x * n - t)) AS HUGEINT) AS ss_tot, max(n) AS n
         |  FROM daily, tot),
         |g AS (SELECT dow, CAST(sum(x) AS BIGINT) AS tg,
         |    CAST(count(*) AS BIGINT) AS ng FROM dw GROUP BY dow),
-        |sb AS (SELECT CAST(sum(((tg * n - t * ng) * (tg * n - t * ng))
-        |    // ng) AS BIGINT) AS ss_b
+        |sb AS (SELECT CAST(sum((CAST(tg * n - t * ng AS HUGEINT)
+        |      * (tg * n - t * ng)) // ng) AS HUGEINT) AS ss_b
         |  FROM g, tot)
-        |SELECT st.n AS n_days, sb.ss_b, st.ss_tot,
-        |  (sb.ss_b * 1000000) // st.ss_tot AS eta2_ppm
+        |SELECT st.n AS n_days,
+        |  CASE WHEN sb.ss_b IS NULL OR sb.ss_b > $AnovaSsEnvelope
+        |    THEN CAST(error('q225: SS beyond BIGINT-exact envelope')
+        |      AS BIGINT)
+        |    ELSE CAST(sb.ss_b AS BIGINT) END AS ss_b,
+        |  CASE WHEN st.ss_tot IS NULL OR st.ss_tot > $AnovaSsEnvelope
+        |    THEN CAST(error('q225: SS beyond BIGINT-exact envelope')
+        |      AS BIGINT)
+        |    ELSE CAST(st.ss_tot AS BIGINT) END AS ss_tot,
+        |  CASE WHEN st.ss_tot = 0 THEN 0
+        |    ELSE CAST((sb.ss_b * 1000000) // st.ss_tot AS BIGINT) END
+        |    AS eta2_ppm
         |FROM st, sb""".stripMargin,
 
     "q215_conversion_latency" ->

@@ -642,6 +642,52 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("q225 SS envelope fires loudly past AnovaSsEnvelope") {
+    import graft.queries.AnalyticsQueries
+    val saved = AnalyticsQueries.AnovaSsEnvelope
+    try {
+      AnalyticsQueries.AnovaSsEnvelope = 0L // any non-degenerate series
+      val ex = intercept[Throwable] {
+        SparkEntry.queries("q225_dow_anova")(spark, sf).collect()
+      }
+      assert(
+        messageChain(ex).contains("q225: SS beyond BIGINT-exact envelope"),
+        s"expected the documented envelope message, got: ${messageChain(ex)}")
+    } finally AnalyticsQueries.AnovaSsEnvelope = saved
+    // production value pinned to the literal BOTH engines interpolate
+    assert(AnalyticsQueries.AnovaSsEnvelope == Long.MaxValue)
+    assert(SparkEntry.oracleSql("q225_dow_anova")
+      .contains(AnalyticsQueries.AnovaSsEnvelope.toString),
+      "the oracle must carry the same envelope literal")
+    assert(SparkEntry.queries("q225_dow_anova")(spark, sf)
+      .collect().nonEmpty)
+  }
+
+  test("q225 zero-variance series: eta2 is the defined 0, not NULL " +
+    "and not a division error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev225").toString
+    // 14 days at exactly 3 events/day: SS_tot = SS_b = 0, where
+    // Spark's `div` returns NULL and DuckDB's `//` raises — the CASE
+    // arm must define 0 on both engines instead
+    val rows = for {
+      dOff <- 0 until 14; i <- 0 until 3
+    } yield new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(dOff.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        + i * 1000L)
+    rows.toDF("ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q225_dow_anova")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 14L, "n_days")
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
+      "SS_b and SS_tot must both be exactly 0")
+    assert(!r.isNullAt(3) && r.getLong(3) == 0L,
+      "zero-variance eta2 must be the defined 0")
+  }
+
   test("q260 MAD: a uniform source has MAD 0 and zero outliers; one " +
     "planted truncation-bomb flags against the 0-MAD gate") {
     import spark.implicits._
