@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField,
-  StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+  StructField, StructType}
 
 /** Exact per-group quantiles over LOW-cardinality groups, by bucketed
   * histogram refinement — the scale-shape replacement for the
@@ -58,6 +58,44 @@ object Quantile {
                      buckets: Int = 8192): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (p, _) => p > 0.0 && p <= 1.0 },
       "Quantile.groupQuantiles: every p must be in (0, 1]")
+    groupQuantilesCore(df, keyCol, valCol,
+      ps.map { case (p, name) =>
+        ((n: Long) => math.ceil(p * n).toLong.max(1L), name) },
+      buckets, emitN = None)
+  }
+
+  /** Exact value-at-rank quantiles with RATIONAL rank rule r =
+    * ⌈num·n/den⌉ computed in integer arithmetic (r13): the two-phase
+    * histogram idiom's `min(when(cum·den ≥ n·num, v))` fold picks
+    * exactly this rank, but the double-p `groupQuantiles` above
+    * computes ⌈p·n⌉ with p·n rounded once in binary — off by one
+    * whenever num·n ≡ 0 (mod den) and p has no exact binary form
+    * (0.2497·10⁴ = 2497.0000000000005). Queries whose oracle replays
+    * the integer cross-multiplication (q160/q175) must use THIS
+    * variant; callers whose oracle replays double semantics keep the
+    * p-based one. `emitN` additionally emits the group's row count
+    * (already collected in the stats pass — free) under the given
+    * name, saving consumers a separate totals aggregate.
+    */
+  def groupQuantilesRational(df: DataFrame, keyCol: String,
+                             valCol: String,
+                             ps: Seq[(Long, Long, String)],
+                             buckets: Int = 8192,
+                             emitN: Option[String] = None): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (num, den, _) =>
+      num > 0 && den > 0 && num <= den },
+      "Quantile.groupQuantilesRational: every num/den must be in (0, 1]")
+    groupQuantilesCore(df, keyCol, valCol,
+      ps.map { case (num, den, name) =>
+        ((n: Long) => ((num * n + den - 1) / den).max(1L), name) },
+      buckets, emitN)
+  }
+
+  private def groupQuantilesCore(df: DataFrame, keyCol: String,
+                                 valCol: String,
+                                 ps: Seq[(Long => Long, String)],
+                                 buckets: Int,
+                                 emitN: Option[String]): DataFrame = {
     val spark = df.sparkSession
     val maxPartials = spark.conf
       .getOption("spark.graft.quantile.maxPartials").map(_.toInt)
@@ -65,8 +103,9 @@ object Quantile {
     val v = col(valCol).cast("double")
     val outSchema = StructType(
       df.schema(keyCol).copy(name = keyCol) +:
-        ps.map { case (_, name) =>
-          StructField(name, DoubleType, nullable = false) })
+        (emitN.map(StructField(_, LongType, nullable = false)).toSeq ++
+          ps.map { case (_, name) =>
+            StructField(name, DoubleType, nullable = false) }))
     // pass 1: per-group count + range (one combine-friendly aggregate);
     // __nr counts ALL rows so partially-null groups are detectable
     // (count(v) skips nulls and would silently shift every rank)
@@ -128,8 +167,8 @@ object Quantile {
     val targets: Map[Any, Seq[(Int, Long)]] = statRows.map {
       case (k, n, _, _) =>
         val bs = hist.filter(_._1 == k).sortBy(_._2)
-        k -> ps.map { case (p, _) =>
-          val r = math.ceil(p * n).toLong.max(1L)
+        k -> ps.map { case (rankOf, _) =>
+          val r = rankOf(n)
           var cum = 0L
           bs.collectFirst {
             case (_, b, c) if { val hit = cum + c >= r; if (!hit) cum += c; hit } =>
@@ -168,7 +207,9 @@ object Quantile {
           s"Quantile.groupQuantiles: residual rank $resid unreachable " +
             s"in bucket $tb for group $k"))
       }
-      Row.fromSeq(k +: vals)
+      val nOfK = statRows.collectFirst { case (k2, n, _, _) if k2 == k => n }
+      Row.fromSeq(k +: (emitN.map(_ => nOfK.get.asInstanceOf[Any]).toSeq
+        ++ vals))
     }.toSeq
     frame(rows, outSchema.fields.toSeq)
   }

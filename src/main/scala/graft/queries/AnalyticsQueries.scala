@@ -128,13 +128,17 @@ object AnalyticsQueries {
     // map-only.
     "q90_quantile_label" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val edges = o.agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as("p25"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as("p50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as("p75"))
+      // r13: the stats pass moves off the native percentile_disc
+      // sort-aggregate (a single-group full sort buffer — the
+      // low-cardinality single-reducer class at 100 TB) onto
+      // Quantile.groupQuantilesRational: three bounded map-combined
+      // passes, no sort anywhere. 1/4, 1/2, 3/4 are exact rationals
+      // (and exact binary doubles), so the rank ⌈p·n⌉ — and therefore
+      // every edge value — is bit-identical to percentile_disc.
+      val edges = graft.operators.Quantile.groupQuantilesRational(
+          o.withColumn("__g", lit(1)), "__g", "o_totalprice",
+          Seq((1L, 4L, "p25"), (1L, 2L, "p50"), (3L, 4L, "p75")))
+        .drop("__g")
       o.crossJoin(broadcast(edges))
         .select(col("o_totalprice"),
           when(col("o_totalprice") <= col("p25"), "q1")

@@ -1412,15 +1412,18 @@ object CorpusQueries {
     // can still truncate most of the token mass when long docs carry
     // it; this is the number the packing/truncation policy actually
     // needs. Value-at-rank on the (source, toks) histogram weighted by
-    // token MASS (toks·cnt), cumulated through Prefix.runningSum (no
-    // per-source sort window — the q208 discipline), answer = min
-    // length with 2·cum_mass ≥ total_mass. Integer-exact.
+    // token MASS (toks·cnt), cumulated through the driver-grid
+    // Grid.cumSum (no per-source sort window — the q208 discipline;
+    // r13: the histogram is planner-scale BY the lenHist contract, so
+    // the two-phase Prefix's quantile+partials jobs and its window
+    // were three Spark jobs to compute what one bounded fetch can),
+    // answer = min length with 2·cum_mass ≥ total_mass. Integer-exact.
     "q226_token_weighted_median" -> ((s, d) => {
       // rides the run-shared length histogram (one doc scan per run,
       // shared with q258/q260); mass derives in-row
       val hist = lenHist(s, d)
         .withColumn("mass", col("toks") * col("cnt"))
-      val cum = graft.operators.Prefix.runningSum(
+      val cum = graft.operators.Grid.cumSum(
         hist, "source", "toks", "mass", "cum_m")
       val tot = hist.groupBy(col("source"))
         .agg(sum(col("cnt")).as("n_docs"), sum(col("mass")).as("total_m"))
@@ -1771,16 +1774,18 @@ object CorpusQueries {
     // scan to the histogram, then everything is histogram-grain.
     "q258_ks_drift" -> ((s, d) => {
       val hist = lenHist(s, d)
-      val grid = hist.select(col("toks")).distinct()
-        .crossJoin(hist.select(col("source")).distinct())
-      val filled = grid.join(hist, Seq("source", "toks"), "left_outer")
-        .select(col("source"), col("toks"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"))
-      val cumS = graft.operators.Prefix.runningSum(
-        filled, "source", "toks", "cnt", "cum")
+      // dense (source × toks) CDF grid via the driver-grid cumSum
+      // (r13): the histogram is planner-scale BY the lenHist contract,
+      // so the crossJoin-built grid + two-phase prefix (approxQuantile
+      // job + partials fetch + chunked window, with the grid join
+      // re-planned under BOTH the cum leg and the cum_all leg of the
+      // sink) collapses to ONE bounded fetch and a broadcast-size
+      // local frame — 10 static exchanges leave the plan
+      val cumS = graft.operators.Grid.cumSum(
+        hist, "source", "toks", "cnt", "cum", dense = true)
       // the grid is DENSE over sources at every step, so the corpus
       // CDF is the source CDFs' sum at each toks — no second prefix
-      // pass (and no second approxQuantile/partials job pair)
+      // pass
       val cumAll = cumS.groupBy(col("toks"))
         .agg(sum(col("cum")).as("cum_all"))
       val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
@@ -1827,13 +1832,17 @@ object CorpusQueries {
       val tot = hist.groupBy(col("source"))
         .agg(sum(col("cnt")).as("n_docs"))
       // the median frame is SOURCE-grain and feeds three downstream
-      // actions (the deviation prefix's quantile + partials jobs and
-      // the final plan); run-shared like every deterministic artifact
-      // here, so those actions read a cached 1-row-per-source frame
-      // instead of re-running the first prefix pipeline each time
-      // (measured 8.5 → ~3 s at sf0.1)
+      // consumers (the deviation regroup and the final plan);
+      // run-shared like every deterministic artifact here, so they
+      // read a cached 1-row-per-source frame. r13: both prefix passes
+      // now ride the driver-grid Grid.cumSum — the histogram (and the
+      // deviation regroup of its own rows) is planner-scale BY the
+      // lenHist contract, so each two-phase call's quantile+partials
+      // jobs and chunked window collapse to one bounded fetch
+      // (measured 8.5 → ~3 s at sf0.1 with the shared median frame,
+      // → ~0.9 s steady with the grid cumSum)
       val med = Shared.frame(s, "len_median", d) {
-        val cum = graft.operators.Prefix.runningSum(
+        val cum = graft.operators.Grid.cumSum(
           hist, "source", "toks", "cnt", "cum")
         cum.join(broadcast(tot), "source")
           .groupBy(col("source"))
@@ -1845,7 +1854,7 @@ object CorpusQueries {
           abs(col("toks") - col("median_len")).as("dev"), col("cnt"))
         .groupBy(col("source"), col("dev"))
         .agg(sum(col("cnt")).as("cnt"))
-      val cumD = graft.operators.Prefix.runningSum(
+      val cumD = graft.operators.Grid.cumSum(
         devHist, "source", "dev", "cnt", "cumd")
       val mad = cumD.join(broadcast(tot), "source")
         .groupBy(col("source"))
@@ -2027,16 +2036,23 @@ object CorpusQueries {
     // decimal envelope).
     "q269_joint_decile_census" -> ((s, d) => {
       val perDoc = qualitySignals(s, d).withColumn("grp", lit(1))
-      val thS = graft.operators.Quantile.groupQuantiles(
-        perDoc.withColumn("sc", col("score").cast("double")), "grp",
-        "sc", (1 to 9).map(k => (k / 10.0, s"s$k")))
-      val thL = graft.operators.Quantile.groupQuantiles(
-        perDoc.withColumn("tl", col("n_tokens").cast("double")), "grp",
-        "tl", (1 to 9).map(k => (k / 10.0, s"l$k")))
-      val thArr = thS
-        .select(array((1 to 9).map(k => col(s"s$k")): _*).as("ss"))
-        .crossJoin(thL
-          .select(array((1 to 9).map(k => col(s"l$k")): _*).as("ls")))
+      // r13 (guide §1.2, remove passes): BOTH decile threshold sets in
+      // ONE groupQuantiles call over the stacked (cid, v) frame — the
+      // refinement's three aggregate passes run once over 2n rows
+      // instead of twice over n, halving the planner actions (6 → 3).
+      // Per-cid groups see exactly the rows the two separate calls
+      // saw, so every threshold is bit-identical percentile_disc.
+      val stacked = perDoc.select(explode(array(
+          struct(lit(1).as("cid"), col("score").cast("double").as("v")),
+          struct(lit(2).as("cid"),
+            col("n_tokens").cast("double").as("v")))).as("x"))
+        .select(col("x.cid").as("cid"), col("x.v").as("v"))
+      val th = graft.operators.Quantile.groupQuantiles(
+        stacked, "cid", "v", (1 to 9).map(k => (k / 10.0, s"q$k")))
+      val thArr = th.filter(col("cid") === 1)
+        .select(array((1 to 9).map(k => col(s"q$k")): _*).as("ss"))
+        .crossJoin(th.filter(col("cid") === 2)
+          .select(array((1 to 9).map(k => col(s"q$k")): _*).as("ls")))
       val cells = perDoc.crossJoin(broadcast(thArr))
         .select(
           expr("size(filter(ss, t -> t < CAST(score AS DOUBLE))) + 1")

@@ -67,7 +67,18 @@ object SamplingQueries {
     * pairs⋈inter. The carried width is 17 bigints/side (~140 B) on
     * band rows that are already (band, digest, id) — still no bodies.
     */
-  private def pairSketchStats(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate-pair sketch-vs-exact stats — built ONCE per run
+    * (Shared.frame, r13): q64 (pair audit) and q238 (calibration
+    * curve) consume the identical deterministic frame (md5-seeded
+    * minhash, banded candidates, exact trigram intersection); before
+    * this each re-ran the whole shingle→signature→band→verify
+    * pipeline (two ~2.5 s sinks for one artifact — the kmeansQ
+    * round-5 lesson at pair grain). */
+  private def pairSketchStats(s: SparkSession, d: String): DataFrame =
+    graft.queries.Shared.frame(s, "pair_stats", d)(
+      pairSketchStatsBuild(s, d))
+
+  private def pairSketchStatsBuild(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tri = Text.wordShingles(docs, "doc_id", "text", 3)
     val mcols = (0 until 16).map(i => s"m$i")

@@ -24,6 +24,7 @@ import graft.operators.Skew
 object WarehouseQueries {
   type Q = (SparkSession, String) => DataFrame
 
+
   val queries: Map[String, Q] = Map(
     // ---- QUANTILE SKETCH audit (the q74/q123 idiom for order
     // statistics): per group, exact discrete percentiles (the values a
@@ -60,26 +61,31 @@ object WarehouseQueries {
       val li = Tables.lineitem(s, d)
       val ps = Seq(("25", 2500), ("50", 5000), ("75", 7500), ("95", 9500))
       val eps = 3 // rank-bracket half-width, ×10^-4 of n (see above)
-      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = graft.operators.Prefix.runningSum(
-        hist, "l_returnflag", "l_extendedprice", "cnt", "cum")
-      val totals = hist.groupBy(col("l_returnflag"))
-        .agg(sum(col("cnt")).as("n"))
+      // r13 (guide §1.2/§2.3): the exact leg moves from the
+      // (flag, price) value histogram + two-phase prefix — the
+      // histogram is NEAR ROW-CARDINALITY (594k rows of 600k at
+      // sf0.1), so its build shuffled distinct values and the cum
+      // fold windowed them, 4 planner actions deep — onto
+      // Quantile.groupQuantilesRational: three bounded map-combined
+      // passes, driver state ≤ groups × buckets, and the rank rule
+      // ⌈pk·n/10⁴⌉ evaluated in EXACT integers = the old min-when
+      // cum·10⁴ ≥ n·pk fold (this is the q197 lesson the Quantile
+      // header documents: bucket refinement IS the prescribed shape
+      // when the value column is near-unique; q160 predated it).
+      // All 12 value-at-rank points (4 percentiles + 8 bracket
+      // bounds) share the three passes.
+      val pts = ps.flatMap { case (nm, pk) =>
+        Seq((pk.toLong, 10000L, s"p$nm"),
+          ((pk - eps).toLong, 10000L, s"lo$nm"),
+          ((pk + eps).toLong, 10000L, s"hi$nm"))
+      }
+      val th = graft.operators.Quantile.groupQuantilesRational(
+        li, "l_returnflag", "l_extendedprice", pts,
+        emitN = Some("n_rows"))
       val ap = li.groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, " +
           "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap"))
-      def atRank(pk: Int, as: String) =
-        min(when(col("cum") * 10000 >= col("n") * pk,
-          col("l_extendedprice"))).as(as)
-      val aggs = ps.flatMap { case (nm, pk) =>
-        Seq(atRank(pk, s"p$nm"), atRank(pk - eps, s"lo$nm"),
-          atRank(pk + eps, s"hi$nm"))
-      }
-      cum.join(broadcast(totals), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(max(col("n")).as("n_rows"), aggs: _*)
-        .join(broadcast(ap), "l_returnflag")
+      th.join(broadcast(ap), "l_returnflag")
         .select(col("l_returnflag") +: col("n_rows") +:
           (ps.map { case (nm, _) => col(s"p$nm") } ++
             ps.zipWithIndex.map { case ((nm, _), i) =>
@@ -102,20 +108,18 @@ object WarehouseQueries {
     // count) — distinct values, never rows. Agrees with q160's
     // percentile_disc by definition (asserted in QueriesSpec).
     "q175_scalable_percentile" -> ((s, d) => {
-      val hist = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = graft.operators.Prefix.runningSum(
-        hist, "l_returnflag", "l_extendedprice", "cnt", "cum")
-      val totals = hist.groupBy(col("l_returnflag"))
-        .agg(sum(col("cnt")).as("n"))
-      cum.join(broadcast(totals), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(max(col("n")).as("n_rows"),
-          min(when(col("cum") * 2 >= col("n"),
-            col("l_extendedprice"))).as("p50"),
-          min(when(col("cum") * 20 >= col("n") * 19,
-            col("l_extendedprice"))).as("p95"))
+      // r13: same move as q160's exact leg — the (flag, price)
+      // histogram here is near row-cardinality, so the two-phase
+      // prefix shuffled ~594k distinct values and windowed them for
+      // two rank reads. groupQuantilesRational computes the identical
+      // values (⌈n/2⌉ and ⌈19n/20⌉ in exact integers — the old
+      // cum·2 ≥ n / cum·20 ≥ 19n folds) in three bounded passes with
+      // no value-grain exchange at all. Still the 100 TB exact-
+      // percentile answer, now via the Quantile refinement operator.
+      graft.operators.Quantile.groupQuantilesRational(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq((1L, 2L, "p50"), (19L, 20L, "p95")),
+        emitN = Some("n_rows"))
     }),
 
     // ---- SMALL-FILE COMPACTION planner (the Delta/Iceberg OPTIMIZE
