@@ -1354,10 +1354,21 @@ object CorpusQueries {
         .withColumn("s2", expr("uniq * 1000 div n_tokens"))
         .withColumn("s3", col("n_tokens"))
         .withColumn("grp", lit(1))
-      val ths = Seq("s1", "s2", "s3").map { c =>
-        graft.operators.Quantile.groupQuantiles(
-          perDoc.withColumn("v", col(c).cast("double")), "grp", "v",
-          (1 to 9).map(k => (k / 10.0, s"t$k")))
+      // r13 (the q269 move): all THREE signals' decile thresholds from
+      // ONE stacked groupQuantiles call — the refinement's three
+      // aggregate passes run once over 3n rows instead of three times
+      // over n (9 planner actions → 3). Per-cid groups see exactly the
+      // rows the three separate calls saw; thresholds bit-identical.
+      val stacked = perDoc.select(explode(array(
+          struct(lit(1).as("cid"), col("s1").cast("double").as("v")),
+          struct(lit(2).as("cid"), col("s2").cast("double").as("v")),
+          struct(lit(3).as("cid"),
+            col("s3").cast("double").as("v")))).as("x"))
+        .select(col("x.cid").as("cid"), col("x.v").as("v"))
+      val th = graft.operators.Quantile.groupQuantiles(
+        stacked, "cid", "v", (1 to 9).map(k => (k / 10.0, s"t$k")))
+      val ths = Seq("s1" -> 1, "s2" -> 2, "s3" -> 3).map { case (c, cid) =>
+        th.filter(col("cid") === cid)
           .select(array((1 to 9).map(k => col(s"t$k")): _*).as(s"ts_$c"))
       }
       val withBins = ths.foldLeft(perDoc)((acc, t) =>
@@ -1599,16 +1610,29 @@ object CorpusQueries {
       val sig = qualitySignals(s, d)
         .select(col("doc_id"), col("score"), col("n_tokens"))
       val n = sig.agg(count(lit(1)).as("nn"))
-      def ranks(vc: String): DataFrame = {
-        val h = sig.groupBy(col(vc)).agg(count(lit(1)).as("c"))
-          .withColumn("k", lit(1))
-        graft.operators.Prefix.runningSum(h, "k", vc, "c", "cum")
-          .select(col(vc), ((col("cum") - col("c")) * 2 + col("c") + 1)
-            .as(s"r2_$vc"))
-      }
+      // r13 (the q269/q216 stacking move): BOTH signals' doubled-rank
+      // maps from ONE stacked histogram + ONE two-phase Prefix pass
+      // keyed by signal id — 4 planner actions (2 per runningSum) → 2,
+      // one histogram shuffle instead of two. Both signals are LONG
+      // (score = Σwt, n_tokens = count), so the shared v column is
+      // exact; per-cid groups see exactly the rows the two separate
+      // histograms held, and Prefix's running sum is per-key, so the
+      // doubled ranks are bit-identical.
+      val stacked = sig.select(explode(array(
+          struct(lit(1).as("cid"), col("score").as("v")),
+          struct(lit(2).as("cid"), col("n_tokens").as("v")))).as("x"))
+        .select(col("x.cid").as("cid"), col("x.v").as("v"))
+      val h = stacked.groupBy(col("cid"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val r2 = graft.operators.Prefix.runningSum(h, "cid", "v", "c", "cum")
+        .select(col("cid"), col("v"),
+          ((col("cum") - col("c")) * 2 + col("c") + 1).as("r2"))
+      def ranks(vc: String, cid: Int): DataFrame =
+        r2.filter(col("cid") === cid)
+          .select(col("v").as(vc), col("r2").as(s"r2_$vc"))
       sig
-        .join(ranks("score"), "score")
-        .join(ranks("n_tokens"), "n_tokens")
+        .join(ranks("score", 1), "score")
+        .join(ranks("n_tokens", 2), "n_tokens")
         .crossJoin(broadcast(n))
         .select(
           (col("r2_score") - (col("nn") + 1)).cast("decimal(19,0)")
@@ -1958,7 +1982,15 @@ object CorpusQueries {
       val sig = qualitySignals(s, d)
         .select(col("doc_id"), col("score"), col("n_tokens"))
       val batch = sig.filter(col("doc_id") % 10 === 7)
-      val stored = paretoFrontier(sig.filter(col("doc_id") % 10 =!= 7))
+      // r13: the STORED frontier is persisted (Shared.frame) — which
+      // is precisely the query's own 100 TB story ("the stored
+      // frontier is a persisted artifact"); unpersisted, its whole
+      // sweep pipeline re-planned inside the second sweep's two
+      // prefix actions AND the final sink (3× the rest-sweep cost,
+      // the q277 re-planned-subtree class). Deterministic, so oracle
+      // hashes cannot move.
+      val stored = Shared.frame(s, "skyline_stored", d)(
+        paretoFrontier(sig.filter(col("doc_id") % 10 =!= 7)))
       paretoFrontier(stored.unionByName(batch))
         .withColumn("entered_from_batch", col("doc_id") % 10 === 7)
     }),

@@ -356,6 +356,12 @@ object TextQueries {
         .exists(_.toBoolean)
       if (raw) prefixFilterCore(docs)._1
       else {
+        // r13 note: riding the run-shared lsh_canon_docs/lsh_members
+        // here was tried and MEASURED SLOWER (3.1 → 4.7 s steady): the
+        // cached canon frame is a low-partition string-heavy
+        // InMemoryRelation, while the inline digest agg reads straight
+        // off the vectorized parquet scan at full parallelism. Kept
+        // inline.
         val (canon, members) = Curation.canonicalInput(docs)
         val (cross, sizes) = prefixFilterCore(canon)
         val expanded = Curation.expandPairs(cross, members, "doc_id",
@@ -390,11 +396,14 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val isBatch = SamplingQueries.hashBucket("doc_id", 21, 10) === 7
       val batch = docs.filter(isBatch)
-      val (corpusCanon0, corpusMembers) =
+      // r13 note: deriving the non-batch family map from the run-shared
+      // lsh_members frame was tried and MEASURED SLOWER — the extra
+      // member-map joins cost more than the digest agg they replace at
+      // the measured scale. Kept inline.
+      val (corpusCanon, corpusMembers) =
         Curation.canonicalInput(docs.filter(!isBatch))
       val fsz = corpusMembers.filter(col("doc_id") === col("canon"))
         .select(col("canon").as("cid"), col("fsize"))
-      val corpusCanon = corpusCanon0
       val index = Shared.frame(s, "inc_band_index", d)(
         Text.candidateBands(corpusCanon, "doc_id", "text")
           .select(col("doc_id").as("cid"), col("band"), col("h")))
@@ -402,7 +411,15 @@ object TextQueries {
         .join(index, Seq("band", "h"))
         .select(col("doc_id"), col("cid")).distinct()
       val triB = Text.wordShingles(batch, "doc_id", "text", 3)
-      val triC = Text.wordShingles(corpusCanon, "doc_id", "text", 3)
+      // r13 (guide §3.2/§8): shingle ONLY the candidate canonicals —
+      // the exact verify reads triC/nshC solely at cids in the
+      // candidate set, so the corpus-wide shingle explode was dead
+      // work (and corpus-shaped work at 100 TB, where per-day cost
+      // must scale with the batch; this restores that contract).
+      val candDocs = corpusCanon.join(
+        broadcast(cand.select(col("cid"))),
+        corpusCanon("doc_id") === col("cid"), "left_semi")
+      val triC = Text.wordShingles(candDocs, "doc_id", "text", 3)
         .select(col("doc_id").as("cid"), col("sh"))
       val nshB = triB.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
       val nshC = triC.groupBy(col("cid")).agg(count(lit(1)).as("nb"))

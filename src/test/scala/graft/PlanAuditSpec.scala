@@ -314,7 +314,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q87_triangles" -> (52, 0),
       "q174_bloom_skipping" -> (7, 1),
       "q220_mannwhitney_shift" -> (3, 0),
-      "q196_incremental_neardup" -> (17, 2),
+      // r13: 17 → 21 — conscious update (PlanBudget re-run): triC now
+      // shingles ONLY candidate canonicals via a broadcast-semi probe
+      // of the cand frame, so the batch-shaped cand subtree is planned
+      // twice (+4 exchanges) but the corpus-shaped whole-canon shingle
+      // explode leaves the plan (per-day cost scales with the batch).
+      "q196_incremental_neardup" -> (21, 2),
       "q195_lm_perplexity" -> (14, 2),
       "q101_salted_join" -> (1, 0),
       "q241_score_auc" -> (7, 0),
