@@ -76,13 +76,18 @@ object AnalyticsQueries {
     // gating the switch; this entry IS the exact leg those audits
     // compare against, kept exact on purpose.
     "q50_percentile_disc" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("median_price"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p90_price"))
+      // r13 (guide §2.2/§5): native percentile_disc is a
+      // TypedImperativeAggregate — every group's FULL value list merges
+      // into one reducer buffer (the subset bench measured the full
+      // 600k-row (flag, price) set shuffling to 3 reducers; at 100 TB
+      // that buffer is the OOM). groupQuantilesRational computes the
+      // same value-at-rank ⌈p·n⌉ (1/2, 9/10 — exact rationals) in three
+      // bounded map-combined passes; only bucket partials ever shuffle.
+      // Values bit-identical: percentile_disc(p) picks the smallest
+      // stored value with cum ≥ ⌈p·n⌉, exactly the rational rank rule.
+      graft.operators.Quantile.groupQuantilesRational(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq((1L, 2L, "median_price"), (9L, 10L, "p90_price")))
     }),
 
     // ---- percentile-sketch audit (the q74 pattern for quantiles):
@@ -95,13 +100,18 @@ object AnalyticsQueries {
     // approx_percentile on 100 TB where the exact quantile is a full
     // sort away.
     "q106_percentile_audit" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("exact_median"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-            .as("approx_median"))
+      // r13: exact leg on groupQuantilesRational (the q50 move — the
+      // native percentile_disc merges each group's full value list
+      // into one reducer buffer); the approx sketch leg keeps its
+      // map-combined aggregate. 3-row broadcast join reunites them.
+      val li = Tables.lineitem(s, d)
+      val exact = graft.operators.Quantile.groupQuantilesRational(
+        li, "l_returnflag", "l_extendedprice",
+        Seq((1L, 2L, "exact_median")))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("approx_median"))
+      approx.join(broadcast(exact), "l_returnflag")
         .select(col("l_returnflag"), col("exact_median"),
           (abs(col("approx_median") - col("exact_median"))
             <= col("exact_median") * 0.01).as("within_1pct"))

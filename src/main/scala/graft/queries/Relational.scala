@@ -543,7 +543,18 @@ object Relational {
       val parts = Tables.part(s, d)
         .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
         .select(col("p_partkey"), col("p_size"))
+      // r13 (guide §3.2, pre-filter the big side): the part filter
+      // (STANDARD, size ≤ 5) and the EUROPE supplier leg are both
+      // selective and both broadcast-sized, so semi-join them into the
+      // fact scan BEFORE the (part, supp) aggregation — the one big
+      // exchange now carries only qualifying offers. Equivalent by
+      // construction: the dropped groups were dropped by the same
+      // inner joins right after the aggregation.
       val offers = Tables.lineitem(s, d)
+        .join(broadcast(parts.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(eurSupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
         .select(col("l_partkey"), col("l_suppkey"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT) " +
             "div CAST(l_quantity AS BIGINT)").as("ucents"))
